@@ -1,0 +1,182 @@
+"""Quantization config system.
+
+TPU-native re-design of the reference's config family
+(gptqmodel/quantization/config.py:2436-4285): one dataclass with a ``method``
+dispatcher instead of a metaclass zoo, the same on-disk ``quantize_config.json``
+schema (bits / group_size / desc_act / sym / checkpoint_format / ...) so
+checkpoints interoperate, and the same ``dynamic`` per-module override regex
+semantics (``+:`` match-and-override, ``-:`` exclude; reference
+config ``dynamic_get``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import asdict, dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any, Optional
+
+
+class METHOD(str, Enum):
+    GPTQ = "gptq"
+    AWQ = "awq"
+    RTN = "rtn"
+
+    def __str__(self) -> str:  # serialize as plain string
+        return self.value
+
+
+class FORMAT(str, Enum):
+    GPTQ = "gptq"  # v1 on-disk: qzeros stored with -1 offset
+    GPTQ_V2 = "gptq_v2"  # runtime format: true zeros
+    AWQ_GEMM = "gemm"
+
+    def __str__(self) -> str:
+        return self.value
+
+
+QUANT_CONFIG_FILENAME = "quantize_config.json"
+
+# keys we understand from reference checkpoints (compat map,
+# reference config.py:61-103)
+_COMPAT_KEYS = {
+    "checkpoint_format": "format",
+    "quant_method": "method",
+    "version": "quantizer_version",
+}
+
+
+@dataclass
+class QuantizeConfig:
+    bits: int = 4
+    group_size: int = 128
+    desc_act: bool = False
+    sym: bool = True
+    method: METHOD = METHOD.GPTQ
+    format: FORMAT = FORMAT.GPTQ
+    true_sequential: bool = True
+    lm_head: bool = False
+    mse: float = 0.0  # >0 enables MSE grid search (reference uses 2.4 norm)
+    damp_percent: float = 0.01
+    damp_auto_increment: float = 0.0025
+    static_groups: bool = False
+    act_group_aware: bool = False  # GAR reordering (reference gar.py)
+    mock_quantization: bool = False  # skip Hessian/Cholesky — fast lifecycle tests
+    pack_dtype: str = "int32"
+    # per-module override regexes: {"+:expr" | "expr": {field: value}, "-:expr": None}
+    dynamic: Optional[dict[str, Optional[dict[str, Any]]]] = None
+    # failsafe: modules with fewer calibration samples than this fall back to RTN
+    fallback_min_samples: int = 1
+    device: Optional[str] = None
+    meta: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.method = METHOD(self.method)
+        self.format = FORMAT(self.format)
+        if self.bits not in (2, 3, 4, 8):
+            raise ValueError(f"unsupported bits: {self.bits}")
+        if self.group_size not in (-1,) and self.group_size <= 0:
+            raise ValueError(f"invalid group_size: {self.group_size}")
+        if self.method == METHOD.AWQ and self.format == FORMAT.GPTQ:
+            self.format = FORMAT.AWQ_GEMM
+
+    # ---------------------------------------------------------------- dynamic
+    def dynamic_get(self, module_name: str, key: str | None = None, default=None):
+        """Resolve per-module overrides.
+
+        Returns False if the module is excluded (``-:`` rule), the override
+        value for ``key`` if a ``+:``/plain rule matches, else ``default``.
+        Mirrors reference ``QuantizeConfig.dynamic_get`` semantics.
+        """
+        if not self.dynamic:
+            return default if key else None
+        for pattern, overrides in self.dynamic.items():
+            neg = pattern.startswith("-:")
+            expr = pattern[2:] if pattern[:2] in ("+:", "-:") else pattern
+            if re.match(expr, module_name):
+                if neg:
+                    return False
+                if key is None:
+                    return overrides
+                if overrides and key in overrides:
+                    return overrides[key]
+                return default
+        return default if key else None
+
+    def for_module(self, module_name: str) -> "QuantizeConfig | None":
+        """Clone with dynamic overrides applied; None if module excluded."""
+        if not self.dynamic:
+            return self
+        probe = self.dynamic_get(module_name, key="bits", default=self.bits)
+        if probe is False:
+            return None
+        overrides = self.dynamic_get(module_name) or {}
+        if not overrides:
+            return self
+        d = self.to_dict()
+        d.pop("checkpoint_format", None)
+        d.pop("quant_method", None)
+        clone = QuantizeConfig(
+            **{**{k: getattr(self, k) for k in self.__dataclass_fields__}, **overrides}
+        )
+        clone.dynamic = None
+        return clone
+
+    @property
+    def maxq(self) -> int:
+        return 2**self.bits - 1
+
+    def bits_per_weight(self) -> float:
+        g = self.group_size if self.group_size > 0 else 4096
+        # codes + fp16 scale/group + packed zeros/group
+        return self.bits + (16 + self.bits) / g
+
+    # ------------------------------------------------------------- serialize
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["quant_method"] = str(self.method)
+        d["checkpoint_format"] = str(self.format)
+        d.pop("method")
+        d.pop("format")
+        d.pop("mock_quantization", None)
+        d.pop("device", None)
+        return d
+
+    def save_pretrained(self, save_dir: str | Path):
+        path = Path(save_dir) / QUANT_CONFIG_FILENAME
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QuantizeConfig":
+        d = dict(d)
+        for src, dst in _COMPAT_KEYS.items():
+            if src in d:
+                val = d.pop(src)
+                if dst == "quantizer_version":
+                    d.setdefault("meta", {})["quantizer_version"] = val
+                else:
+                    d[dst] = val
+        known = set(cls.__dataclass_fields__)
+        extra = {k: v for k, v in d.items() if k not in known}
+        d = {k: v for k, v in d.items() if k in known}
+        cfg = cls(**d)
+        if extra:
+            cfg.meta.setdefault("extra", {}).update(extra)
+        return cfg
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str | Path) -> "QuantizeConfig":
+        model_dir = Path(model_dir)
+        qc = model_dir / QUANT_CONFIG_FILENAME
+        if qc.exists():
+            return cls.from_dict(json.loads(qc.read_text()))
+        # fall back to HF config.json quantization_config
+        hf = model_dir / "config.json"
+        if hf.exists():
+            cfg = json.loads(hf.read_text())
+            if "quantization_config" in cfg:
+                return cls.from_dict(cfg["quantization_config"])
+        raise FileNotFoundError(f"no quantize_config.json in {model_dir}")

@@ -1,0 +1,379 @@
+"""GPTQ solver, TPU-native.
+
+Re-designs the reference GPTQ core (gptqmodel/quantization/gptq.py:
+``add_batch`` :356, ``hessian_inverse`` :859, block solver :1210-1254) as pure
+jittable JAX:
+
+- Hessian accumulation is a running-mean ``H = 2/n Σ xᵀx`` update that can be
+  psum-ed over a data-parallel mesh axis (replaces the reference's per-device
+  partials + ``materialize_global_hessian``).
+- The damped-Cholesky inverse keeps the reference's auto-damp recovery ladder
+  (damp += increment on failure), detected via NaN since TPU Cholesky never
+  throws.
+- The sequential column loop becomes a ``lax.scan`` over 128-column blocks
+  with an inner ``fori_loop``; trailing-matrix updates use masked full-width
+  matmuls instead of dynamic-size slices so XLA sees static shapes and keeps
+  the MXU busy.
+
+All math is fp32 (no fp64 on TPU — same as the reference's CUDA path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.quantization.quantizer import (
+    find_params,
+    quantize,
+)
+
+DEFAULT_BLOCKSIZE = 128
+MAX_DAMP_ATTEMPTS = 6
+
+
+# --------------------------------------------------------------------------
+# Hessian accumulation
+# --------------------------------------------------------------------------
+
+
+def init_hessian(in_features: int) -> jnp.ndarray:
+    return jnp.zeros((in_features, in_features), dtype=jnp.float32)
+
+
+@jax.jit
+def accumulate_hessian(H: jnp.ndarray, nsamples: jnp.ndarray, x: jnp.ndarray):
+    """Running-mean Hessian update (reference gptq.py:481-509 semantics).
+
+    ``x``: activations [rows, in_features] (rows = batch*seq). Returns
+    (H', nsamples'). H converges to ``2 * E[xᵀx] * n`` normalized so damping
+    percentages behave identically to the reference.
+    """
+    x = x.astype(jnp.float32)
+    rows = x.shape[0]
+    new_n = nsamples + rows
+    ratio = nsamples.astype(jnp.float32) / new_n.astype(jnp.float32)
+    x_scaled = x * jnp.sqrt(2.0 / new_n.astype(jnp.float32))
+    # full-f32 matmul: the MXU's default bf16 passes lose Hessian precision
+    H = H * ratio + jnp.matmul(x_scaled.T, x_scaled, precision="highest")
+    return H, new_n
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def merge_hessian_psum(H, nsamples, axis_name: str):
+    """Cross-device Hessian merge: weighted psum over a DP mesh axis.
+
+    Replaces the reference's host-side ``materialize_global_hessian``
+    (gptq.py:610) with a single collective.
+    """
+    total = jax.lax.psum(nsamples, axis_name)
+    w = nsamples.astype(jnp.float32) / total.astype(jnp.float32)
+    return jax.lax.psum(H * w, axis_name), total
+
+
+# --------------------------------------------------------------------------
+# Damped Cholesky inverse with auto-recovery ladder
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _chol_inv_upper(H: jnp.ndarray, damp: jnp.ndarray):
+    """U such that inv(H + damp·mean(diag)·I) = Uᵀ U, U upper-triangular.
+
+    Mirrors reference hessian_inverse (gptq.py:859): damped cholesky →
+    cholesky_inverse → upper cholesky factor. Returns (U, ok).
+    """
+    n = H.shape[0]
+    mean_diag = jnp.mean(jnp.diag(H))
+    Hd = H + (damp * mean_diag) * jnp.eye(n, dtype=H.dtype)
+    L = jnp.linalg.cholesky(Hd)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=H.dtype))
+    Hinv = (Hinv + Hinv.T) * 0.5
+    M = jnp.linalg.cholesky(Hinv)
+    U = M.T
+    ok = jnp.logical_not(jnp.any(jnp.isnan(U)))
+    return U, ok
+
+
+def hessian_inverse(
+    H: jnp.ndarray,
+    damp: float,
+    damp_auto_increment: float = 0.0025,
+    max_attempts: int = MAX_DAMP_ATTEMPTS,
+):
+    """Host-level retry ladder (reference damp auto-recovery, gptq.py:859-957).
+
+    Returns (U, final_damp). Raises if H is unrecoverable.
+    """
+    cur = float(damp)
+    for _ in range(max_attempts):
+        U, ok = _chol_inv_upper(H, jnp.float32(cur))
+        if bool(ok):
+            return U, cur
+        cur = cur + damp_auto_increment if damp_auto_increment > 0 else cur * 10
+    raise np.linalg.LinAlgError(
+        f"Hessian not positive-definite after {max_attempts} damp attempts "
+        f"(final damp={cur})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked solver
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "sym", "mse", "blocksize"),
+)
+def gptq_solve_core(
+    W: jnp.ndarray,
+    Hinv_u: jnp.ndarray,
+    *,
+    bits: int,
+    group_size: int,
+    sym: bool,
+    mse: bool = False,
+    blocksize: int = DEFAULT_BLOCKSIZE,
+):
+    """Blocked GPTQ error-feedback solve.
+
+    ``W``: [out, in] fp32, already permuted (desc_act/GAR) and dead-column
+    zeroed. ``Hinv_u``: upper Cholesky factor of the damped inverse Hessian
+    (same permutation).
+
+    Returns dict with Q codes [out, in] int32, Wq dequantized [out, in] f32,
+    scales/zeros [G, out] f32, losses [out, in] f32 (per-column
+    (w-dq)²/d²·½, reference Losses semantics).
+    """
+    out_f, in_f = W.shape
+    maxq = 2**bits - 1
+    g = in_f if group_size in (-1, None) else group_size
+    B = blocksize
+    if in_f % B != 0:
+        # pad columns up to a block multiple; padded cols have Hinv rows = I
+        pad = B - in_f % B
+        W = jnp.pad(W, ((0, 0), (0, pad)))
+        Hinv_u = jnp.pad(Hinv_u, ((0, pad), (0, pad)))
+        Hinv_u = Hinv_u.at[in_f:, in_f:].set(jnp.eye(pad, dtype=Hinv_u.dtype))
+        return _solve_padded(
+            W, Hinv_u, in_f, bits=bits, group_size=group_size, sym=sym,
+            mse=mse, blocksize=B,
+        )
+    assert g == in_f or (g <= B and B % g == 0) or (g > B and g % B == 0), (
+        f"group_size {g} incompatible with blocksize {B}"
+    )
+
+    n_blocks = in_f // B
+    n_groups = in_f // g
+    col_iota = jnp.arange(B)
+    full_iota = jnp.arange(in_f)
+
+    # per-channel (-1) params computed once on the full W (reference does the
+    # same when groupsize == -1)
+    if g == in_f:
+        s_full, z_full = find_params(W, bits=bits, sym=sym, mse=mse)
+
+    def block_body(carry, blk):
+        W, s_carry, z_carry = carry
+        i1 = blk * B
+        Wb = jax.lax.dynamic_slice(W, (0, i1), (out_f, B))
+        Hbb = jax.lax.dynamic_slice(Hinv_u, (i1, i1), (B, B))
+
+        # ---- group params for this block (from pre-block W, as reference) --
+        if g == in_f:
+            scale_cols = jnp.broadcast_to(s_full[:, None], (out_f, B))
+            zero_cols = jnp.broadcast_to(z_full[:, None], (out_f, B))
+            s_blk = s_full[None, :]  # [1, out] — only written once
+            z_blk = z_full[None, :]
+        elif g <= B:
+            gpb = B // g
+            grouped = Wb.reshape(out_f, gpb, g).transpose(1, 0, 2)  # [gpb,out,g]
+            s_blk, z_blk = find_params(grouped, bits=bits, sym=sym, mse=mse)
+            scale_cols = jnp.repeat(s_blk.T, g, axis=1)  # [out, B]
+            zero_cols = jnp.repeat(z_blk.T, g, axis=1)
+        else:  # g > B: recompute at group boundaries, else carry
+            def recompute(_):
+                Wg = jax.lax.dynamic_slice(W, (0, i1), (out_f, g))
+                return find_params(Wg, bits=bits, sym=sym, mse=mse)
+
+            s_new, z_new = jax.lax.cond(
+                i1 % g == 0, recompute, lambda _: (s_carry, z_carry), None
+            )
+            s_carry, z_carry = s_new, z_new
+            scale_cols = jnp.broadcast_to(s_new[:, None], (out_f, B))
+            zero_cols = jnp.broadcast_to(z_new[:, None], (out_f, B))
+            s_blk = s_new[None, :]
+            z_blk = z_new[None, :]
+
+        # ---- inner column loop with in-block error feedback ----------------
+        def col_body(i, st):
+            Wb, Qb, Dqb, Eb, Lb = st
+            w = jax.lax.dynamic_slice(Wb, (0, i), (out_f, 1))[:, 0]
+            d = Hbb[i, i]
+            s = jax.lax.dynamic_slice(scale_cols, (0, i), (out_f, 1))[:, 0]
+            z = jax.lax.dynamic_slice(zero_cols, (0, i), (out_f, 1))[:, 0]
+            q = quantize(w, s, z, maxq)
+            dq = s * (q - z)
+            err = (w - dq) / d
+            loss = 0.5 * (w - dq) ** 2 / (d * d)
+            # feed error into remaining in-block columns (masked row update)
+            row = Hbb[i, :] * (col_iota > i)
+            Wb = Wb - err[:, None] * row[None, :]
+            upd = lambda A, v: jax.lax.dynamic_update_slice(A, v[:, None], (0, i))
+            return Wb, upd(Qb, q), upd(Dqb, dq), upd(Eb, err), upd(Lb, loss)
+
+        zeros_b = jnp.zeros((out_f, B), dtype=jnp.float32)
+        _, Qb, Dqb, Eb, Lb = jax.lax.fori_loop(
+            0, B, col_body, (Wb, zeros_b, zeros_b, zeros_b, zeros_b)
+        )
+
+        # ---- propagate block error to trailing columns (masked full matmul)
+        Hrows = jax.lax.dynamic_slice(Hinv_u, (i1, 0), (B, in_f))
+        trailing = (full_iota >= i1 + B).astype(W.dtype)
+        W = W - jnp.matmul(Eb, Hrows * trailing[None, :], precision="highest")
+
+        return (W, s_carry, z_carry), (Qb, Dqb, Lb, s_blk, z_blk)
+
+    s0 = jnp.zeros((out_f,), dtype=jnp.float32)
+    init = (W, s0, s0)
+    (_, _, _), (Qs, Dqs, Ls, s_all, z_all) = jax.lax.scan(
+        block_body, init, jnp.arange(n_blocks)
+    )
+
+    # scan stacks block outputs [n_blocks, out, B] -> [out, in]
+    def unblock(A):
+        return A.transpose(1, 0, 2).reshape(out_f, in_f)
+
+    Q = unblock(Qs).astype(jnp.int32)
+    Wq = unblock(Dqs)
+    losses = unblock(Ls)
+
+    # collect per-group scales/zeros [G, out]
+    if g == in_f:
+        scales = s_all[:1, 0, :]
+        zeros = z_all[:1, 0, :]
+    elif g <= B:
+        scales = s_all.reshape(n_blocks * (B // g), out_f)
+        zeros = z_all.reshape(n_blocks * (B // g), out_f)
+    else:
+        stride = g // B
+        scales = s_all[::stride, 0, :]
+        zeros = z_all[::stride, 0, :]
+    scales = scales[:n_groups]
+    zeros = zeros[:n_groups]
+
+    return {"Q": Q, "Wq": Wq, "scales": scales, "zeros": zeros, "losses": losses}
+
+
+def _solve_padded(W, Hinv_u, orig_in, **kw):
+    res = gptq_solve_core(W, Hinv_u, **kw)
+    return {
+        "Q": res["Q"][:, :orig_in],
+        "Wq": res["Wq"][:, :orig_in],
+        "scales": res["scales"],
+        "zeros": res["zeros"],
+        "losses": res["losses"][:, :orig_in],
+    }
+
+
+# --------------------------------------------------------------------------
+# Full quantize pipeline (host orchestration)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class GPTQResult:
+    Q: np.ndarray  # int codes [out, in], original column order
+    Wq: np.ndarray  # dequantized weight [out, in], original column order
+    scales: np.ndarray  # [G, out], group order follows perm when desc_act/GAR
+    zeros: np.ndarray  # [G, out] integer zero points
+    g_idx: np.ndarray  # [in] column -> group index (original order)
+    perm: np.ndarray | None  # column permutation used (None if identity)
+    avg_loss: float
+    damp: float
+    nsamples: int
+
+
+def _preprocess_dead(W: jnp.ndarray, H: jnp.ndarray):
+    diag = jnp.diag(H)
+    dead = diag == 0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    W = W * (~dead)[None, :]
+    return W, H, dead
+
+
+def gptq_quantize(
+    W,
+    H,
+    *,
+    bits: int,
+    group_size: int,
+    sym: bool,
+    desc_act: bool = False,
+    act_group_aware: bool = False,
+    mse: bool = False,
+    damp_percent: float = 0.01,
+    damp_auto_increment: float = 0.0025,
+    nsamples: int = 0,
+    blocksize: int = DEFAULT_BLOCKSIZE,
+) -> GPTQResult:
+    """End-to-end GPTQ for one weight matrix.
+
+    ``W`` [out, in] (any float dtype), ``H`` [in, in] accumulated Hessian.
+    Handles dead columns, activation-order / GAR permutations, the damp
+    ladder, solve, and un-permutation. Host-level function — each step is a
+    jitted kernel; call per module from the looper.
+    """
+    W = jnp.asarray(W, dtype=jnp.float32)
+    H = jnp.asarray(H, dtype=jnp.float32)
+    out_f, in_f = W.shape
+    g = in_f if group_size in (-1, None) else group_size
+
+    W, H, _dead = _preprocess_dead(W, H)
+
+    perm = None
+    if act_group_aware and g < in_f:
+        from gptqmodel_tpu.quantization.gar import compute_gar_perm
+
+        perm = np.asarray(compute_gar_perm(np.asarray(jnp.diag(H)), g))
+    elif desc_act:
+        perm = np.asarray(jnp.argsort(-jnp.diag(H)))
+
+    if perm is not None:
+        W = W[:, perm]
+        H = H[perm][:, perm]
+
+    U, damp = hessian_inverse(H, damp_percent, damp_auto_increment)
+    res = gptq_solve_core(
+        W, U, bits=bits, group_size=group_size, sym=sym, mse=mse,
+        blocksize=blocksize,
+    )
+
+    Q = np.asarray(res["Q"])
+    Wq = np.asarray(res["Wq"])
+    losses = np.asarray(res["losses"])
+
+    g_idx = np.arange(in_f, dtype=np.int32) // g
+    if perm is not None:
+        invperm = np.argsort(perm)
+        Q = Q[:, invperm]
+        Wq = Wq[:, invperm]
+        g_idx = g_idx[invperm]
+
+    avg_loss = float(losses.sum()) / max(nsamples, 1)
+    return GPTQResult(
+        Q=Q,
+        Wq=Wq,
+        scales=np.asarray(res["scales"]),
+        zeros=np.asarray(res["zeros"]),
+        g_idx=g_idx,
+        perm=None if perm is None else np.asarray(perm),
+        avg_loss=avg_loss,
+        damp=damp,
+        nsamples=nsamples,
+    )
