@@ -1,0 +1,185 @@
+"""GPTQ packed-weight formats — bit-exact v1/v2 interchange.
+
+Implements the on-disk layout of the reference GPTQ checkpoints
+(spec derived from gptqmodel/nn_modules/qlinear/__init__.py:947
+``dequantize_weight`` and ``pack_block`` :1036):
+
+- ``qweight``: int32 ``[in_features/pack_factor, out_features]``; word at row
+  ``r`` packs codes for input rows ``r*pf + j`` at bit offset ``bits*j``
+  (little-endian within the word), ``pf = 32 // bits``.
+- ``qzeros``: int32 ``[n_groups, out_features/pack_factor]``; word at col ``c``
+  packs the integer zero-points for output cols ``c*pf + j`` at offset
+  ``bits*j``. **v1 stores (zero - 1) mod 2^bits** (the historic GPTQ quirk);
+  v2 stores true zeros. v1 is the interchange format, v2 the runtime format.
+- ``scales``: float16 ``[n_groups, out_features]``.
+- ``g_idx``: int32 ``[in_features]`` mapping input row -> group index.
+- 3-bit packs 32 values into 3 words with cross-word stitching: values 10 and
+  21 straddle word boundaries (spec: qlinear/__init__.py:985-1000).
+
+Dequant semantics (all formats): ``w[i, o] = scales[g_idx[i], o] *
+(codes[i, o] - zeros[g_idx[i], o])`` giving the weight **transposed** relative
+to the usual [out, in] — i.e. ``y = x @ w``.
+
+Host-side packing is vectorized numpy (the TPU analog of the reference's
+threaded C++ ``pack_block`` CPU packer); device-side unpacking has jnp twins
+used by the XLA reference kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+PACK_DTYPE_BITS = 32
+
+# 3-bit layout tables: (word, shift) of the *low* bit of each of the 32 values
+# in a pack unit. Values 10 and 21 straddle words (see module docstring).
+_B3_LOW = [(0, 3 * k) for k in range(10)] + [(0, 30)]  # v0..v10-low
+_B3_LOW += [(1, 1 + 3 * k) for k in range(10)] + [(1, 31)]  # v11..v21-low
+_B3_LOW += [(2, 2 + 3 * k) for k in range(10)]  # v22..v31
+
+
+def pack_factor(bits: int) -> int:
+    if bits == 3:
+        return 32  # per 3-word unit
+    return PACK_DTYPE_BITS // bits
+
+
+# --------------------------------------------------------------------------
+# numpy pack (host)
+# --------------------------------------------------------------------------
+
+
+def _pack_axis0_np(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Pack uint codes along axis 0. [n, m] -> [n*bits/32, m] int32."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    n, m = codes.shape
+    if bits in (2, 4, 8):
+        pf = 32 // bits
+        assert n % pf == 0, f"rows {n} not divisible by pack_factor {pf}"
+        c = codes.reshape(n // pf, pf, m)
+        shifts = (np.arange(pf, dtype=np.uint32) * bits)[None, :, None]
+        out = np.bitwise_or.reduce(c << shifts, axis=1)
+        return out.astype(np.uint32).view(np.int32)
+    if bits == 3:
+        assert n % 32 == 0, f"rows {n} not divisible by 32 (3-bit unit)"
+        v = codes.reshape(n // 32, 32, m)
+        words = np.zeros((n // 32, 3, m), dtype=np.uint64)
+        for k, (w, s) in enumerate(_B3_LOW):
+            if k == 10:
+                words[:, 0] |= (v[:, 10].astype(np.uint64) & 0x3) << 30
+                words[:, 1] |= v[:, 10].astype(np.uint64) >> 2
+            elif k == 21:
+                words[:, 1] |= (v[:, 21].astype(np.uint64) & 0x1) << 31
+                words[:, 2] |= v[:, 21].astype(np.uint64) >> 1
+            else:
+                words[:, w] |= v[:, k].astype(np.uint64) << s
+        return (
+            (words & 0xFFFFFFFF)
+            .astype(np.uint32)
+            .view(np.int32)
+            .reshape(n * 3 // 32, m)
+        )
+    raise NotImplementedError(f"bits={bits}")
+
+
+def _unpack_axis0_np(packed: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse of _pack_axis0_np. [p, m] int32 -> [n, m] int32 codes."""
+    u = packed.view(np.uint32) if packed.dtype == np.int32 else packed
+    p, m = u.shape
+    if bits in (2, 4, 8):
+        pf = 32 // bits
+        shifts = (np.arange(pf, dtype=np.uint32) * bits)[None, :, None]
+        vals = (u[:, None, :] >> shifts) & ((1 << bits) - 1)
+        return vals.reshape(p * pf, m).astype(np.int32)
+    if bits == 3:
+        assert p % 3 == 0
+        w = u.reshape(p // 3, 3, m).astype(np.uint64)
+        out = np.empty((p // 3, 32, m), dtype=np.uint64)
+        for k, (wi, s) in enumerate(_B3_LOW):
+            if k == 10:
+                out[:, 10] = ((w[:, 0] >> 30) & 0x3) | ((w[:, 1] & 0x1) << 2)
+            elif k == 21:
+                out[:, 21] = ((w[:, 1] >> 31) & 0x1) | ((w[:, 2] & 0x3) << 1)
+            else:
+                out[:, k] = (w[:, wi] >> s) & 0x7
+        return out.reshape(p * 32 // 3, m).astype(np.int32)
+    raise NotImplementedError(f"bits={bits}")
+
+
+def pack_qweight(codes_in_out: np.ndarray, bits: int) -> np.ndarray:
+    """Pack integer codes [in, out] -> qweight int32 [in/pf, out]."""
+    return _pack_axis0_np(codes_in_out, bits)
+
+
+def unpack_qweight(qweight: np.ndarray, bits: int) -> np.ndarray:
+    """qweight int32 [in/pf, out] -> codes int32 [in, out]."""
+    return _unpack_axis0_np(qweight, bits)
+
+
+def pack_qzeros(zeros_g_out: np.ndarray, bits: int, v1: bool = False) -> np.ndarray:
+    """Pack integer zero-points [groups, out] -> qzeros int32 [groups, out/pf].
+
+    ``v1=True`` stores (zero - 1) mod 2^bits (GPTQ v1 on-disk quirk).
+    """
+    z = np.asarray(zeros_g_out, dtype=np.int64)
+    if v1:
+        z = (z - 1) & ((1 << bits) - 1)
+    return _pack_axis0_np(z.T.astype(np.uint32), bits).T.copy()
+
+
+def unpack_qzeros(qzeros: np.ndarray, bits: int, v1: bool = False) -> np.ndarray:
+    """qzeros int32 [groups, out/pf] -> zeros int32 [groups, out]."""
+    z = _unpack_axis0_np(np.ascontiguousarray(qzeros.T), bits).T
+    if v1:
+        z = (z + 1) & ((1 << bits) - 1)
+    return z.astype(np.int32)
+
+
+def convert_qzeros_v1_to_v2(qzeros: np.ndarray, bits: int) -> np.ndarray:
+    """Packed-domain v1 -> v2 (adds 1 to each field, wrapping in-field).
+
+    Mirrors reference convert_gptq_v1_to_v2_format (utils/model.py:750) which
+    operates on the packed words directly.
+    """
+    return pack_qzeros(unpack_qzeros(qzeros, bits, v1=True), bits, v1=False)
+
+
+def convert_qzeros_v2_to_v1(qzeros: np.ndarray, bits: int) -> np.ndarray:
+    return pack_qzeros(unpack_qzeros(qzeros, bits, v1=False), bits, v1=True)
+
+
+# --------------------------------------------------------------------------
+# jnp unpack (device, jittable) — used by the XLA reference kernel
+# --------------------------------------------------------------------------
+
+
+def unpack_qweight_jnp(qweight: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """qweight int32 [in/pf, out] -> codes int32 [in, out] (jittable)."""
+    u = qweight.astype(jnp.uint32)
+    p, m = u.shape
+    if bits in (2, 4, 8):
+        pf = 32 // bits
+        shifts = (jnp.arange(pf, dtype=jnp.uint32) * bits)[None, :, None]
+        vals = (u[:, None, :] >> shifts) & jnp.uint32((1 << bits) - 1)
+        return vals.reshape(p * pf, m).astype(jnp.int32)
+    if bits == 3:
+        w = u.reshape(p // 3, 3, m)
+        cols = []
+        for k, (wi, s) in enumerate(_B3_LOW):
+            if k == 10:
+                v = ((w[:, 0] >> 30) & 0x3) | ((w[:, 1] & 0x1) << 2)
+            elif k == 21:
+                v = ((w[:, 1] >> 31) & 0x1) | ((w[:, 2] & 0x3) << 1)
+            else:
+                v = (w[:, wi] >> s) & 0x7
+            cols.append(v)
+        return jnp.stack(cols, axis=1).reshape(p * 32 // 3, m).astype(jnp.int32)
+    raise NotImplementedError(f"bits={bits}")
+
+
+def unpack_qzeros_jnp(qzeros: jnp.ndarray, bits: int, v1: bool = False) -> jnp.ndarray:
+    z = unpack_qweight_jnp(qzeros.T, bits).T
+    if v1:
+        z = (z + 1) & ((1 << bits) - 1)
+    return z.astype(jnp.int32)

@@ -1,0 +1,132 @@
+"""Quantized-linear parameter pytrees + XLA reference forward.
+
+TPU-native re-design of the reference kernel layer
+(gptqmodel/nn_modules/qlinear/): instead of ~36 nn.Module kernel classes we
+keep **data** (a params pytree) separate from **compute** (functions picked
+from a small registry, see ``registry.py``). The XLA path here is the
+executable reference semantics — the analog of the reference's TorchLinear
+(torch.py:302) that every fast kernel is validated against.
+
+Dequant semantics match the v1/v2 interchange spec in ``pack.py``:
+``w[i, o] = scales[g_idx[i], o] * (codes[i, o] - zeros[g_idx[i], o])`` and
+``y = x @ w + b``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.ops import pack as packing
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1"],
+)
+@dataclasses.dataclass
+class QuantLinear:
+    """Packed quantized linear layer as a plain pytree.
+
+    Data leaves are jnp/np arrays in the GPTQ interchange layout; metadata is
+    static so jit specializes per (bits, group, shape) — the TPU analog of the
+    reference's per-kernel class attributes (SUPPORTS_BITS etc.).
+
+    ``g_idx`` is None when groups are contiguous (no desc_act import), letting
+    kernels use the fast group-blocked path. ``v1`` marks qzeros still in
+    v1 (-1 offset) form; runtime params should be converted to v2 at load.
+    """
+
+    qweight: jnp.ndarray  # int32 [in/pf, out]
+    qzeros: jnp.ndarray  # int32 [groups, out/pf]
+    scales: jnp.ndarray  # f16/f32/bf16 [groups, out]
+    g_idx: jnp.ndarray | None  # int32 [in] or None (contiguous groups)
+    bias: jnp.ndarray | None
+    bits: int = 4
+    group_size: int = 128
+    in_features: int = 0
+    out_features: int = 0
+    sym: bool = True
+    v1: bool = False
+
+    @property
+    def n_groups(self) -> int:
+        return self.scales.shape[0]
+
+
+def make_quant_linear(
+    *,
+    Q: np.ndarray,  # int codes [out, in] (solver output order)
+    scales: np.ndarray,  # [groups, out]
+    zeros: np.ndarray,  # [groups, out] integer zero points (v2 semantics)
+    g_idx: np.ndarray | None,  # [in] or None
+    bias: np.ndarray | None,
+    bits: int,
+    group_size: int,
+    sym: bool = True,
+    v1: bool = False,
+    scales_dtype=np.float16,
+) -> QuantLinear:
+    """Pack solver output into a QuantLinear (host-side, numpy)."""
+    out_f, in_f = Q.shape
+    g = in_f if group_size in (-1, None) else group_size
+    qweight = packing.pack_qweight(np.ascontiguousarray(Q.T), bits)
+    qzeros = packing.pack_qzeros(np.asarray(zeros), bits, v1=v1)
+    contiguous = np.arange(in_f) // g
+    if g_idx is not None and np.array_equal(np.asarray(g_idx), contiguous):
+        g_idx = None  # fast path: no indirection needed
+    return QuantLinear(
+        qweight=qweight,
+        qzeros=qzeros,
+        scales=np.asarray(scales, dtype=scales_dtype),
+        g_idx=None if g_idx is None else np.asarray(g_idx, dtype=np.int32),
+        bias=None if bias is None else np.asarray(bias),
+        bits=bits,
+        group_size=group_size,
+        in_features=in_f,
+        out_features=out_f,
+        sym=sym,
+        v1=v1,
+    )
+
+
+# --------------------------------------------------------------------------
+# XLA reference compute path
+# --------------------------------------------------------------------------
+
+
+def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
+    """Unpack + dequantize to dense ``w [in, out]`` (y = x @ w).
+
+    Executable reference semantics (analog of reference
+    qlinear/__init__.py:947 dequantize_weight).
+    """
+    codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
+    zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
+    scales = p.scales.astype(dtype)
+    if p.g_idx is not None:
+        s = scales[p.g_idx]  # [in, out]
+        z = zeros[p.g_idx]
+        return s * (codes - z).astype(dtype)
+    g = p.in_features if p.group_size in (-1, None) else p.group_size
+    in_f, out_f = codes.shape
+    c = (codes - jnp.repeat(zeros, g, axis=0)).astype(dtype)
+    return c * jnp.repeat(scales, g, axis=0)
+
+
+def qlinear_forward_xla(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
+    """Reference forward: dequantize -> matmul. Works on any backend.
+
+    Matmul runs in the activation dtype (bf16 on TPU feeds the MXU); dequant
+    itself is exact in fp32 before the cast.
+    """
+    w = dequantize_weight(p, dtype=jnp.float32).astype(x.dtype)
+    y = jnp.matmul(x, w)
+    if p.bias is not None:
+        y = y + p.bias.astype(y.dtype)
+    return y
