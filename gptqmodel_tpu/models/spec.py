@@ -1,0 +1,140 @@
+"""ModelSpec: static architecture description derived from an HF config.
+
+TPU-native replacement for the reference's per-arch ``BaseQModel`` subclasses
+plus HF torch modeling code (SURVEY §2.2): the spec captures everything the
+functional JAX forward needs (shapes, norm/act variants, RoPE, MoE routing),
+while ``module_tree`` (same DSL as the reference) drives quantization
+grouping. One spec type covers the llama lineage — per-arch differences are
+data, not classes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    model_type: str
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    hidden_act: str = "silu"
+    qk_norm: bool = False  # qwen3-style per-head RMSNorm on q/k
+    attention_bias: bool = False  # qwen2-style qkv bias
+    mlp_bias: bool = False
+    rope_scaling: Optional[dict] = None  # llama3-style {factor, low/high_freq...}
+    # MoE (0 experts == dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+    # gemma-style tweaks
+    embedding_multiplier: float = 1.0
+    logit_softcap: float = 0.0
+    attn_softcap: float = 0.0
+    rms_norm_offset: bool = False  # gemma: (1 + w) * normed
+    post_norms: bool = False  # gemma2: pre+post attention/ffn norms
+    query_pre_attn_scalar: float = 0.0  # gemma2 attention scale override
+    sliding_window: int = 0
+    layer_types: tuple = ()  # per-layer attn type, e.g. gemma3/gpt-oss
+
+
+_LLAMA_FAMILY = {
+    "llama",
+    "mistral",
+    "qwen2",
+    "qwen3",
+    "qwen3_moe",
+    "mixtral",
+    "gemma",
+    "gemma2",
+    "phi3",
+    "granite",
+    "internlm2",
+    "starcoder2",
+    "smollm3",
+}
+
+
+def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
+    """Build a ModelSpec from a parsed HF ``config.json`` dict."""
+    mt = cfg.get("model_type", "llama")
+    hidden = cfg["hidden_size"]
+    heads = cfg["num_attention_heads"]
+    head_dim = cfg.get("head_dim") or hidden // heads
+
+    common = dict(
+        model_type=mt,
+        vocab_size=cfg["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=cfg.get("intermediate_size", 4 * hidden),
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=cfg.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
+        attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
+        mlp_bias=cfg.get("mlp_bias", False),
+        rope_scaling=cfg.get("rope_scaling"),
+        sliding_window=cfg.get("sliding_window") or 0,
+        layer_types=tuple(cfg.get("layer_types") or ()),
+    )
+
+    if mt == "qwen3" or mt == "qwen3_moe":
+        common["qk_norm"] = True
+    if mt == "qwen2":
+        common["attention_bias"] = True  # qwen2 has qkv bias w/o config flag
+
+    if mt == "qwen3_moe":
+        common.update(
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+        )
+    if mt == "mixtral":
+        common.update(
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=True,
+        )
+    if mt in ("gemma", "gemma2"):
+        common.update(
+            embedding_multiplier=float(hidden) ** 0.5,
+            rms_norm_offset=True,
+        )
+    if mt == "gemma2":
+        common.update(
+            post_norms=True,
+            logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
+            attn_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar", 0.0) or 0.0,
+        )
+
+    if mt not in _LLAMA_FAMILY:
+        # Unregistered arch: fall back to llama-shaped interpretation (the
+        # reference's auto module-tree detection analog; may still work for
+        # llama-likes with exotic model_type strings).
+        pass
+    return ModelSpec(**common)
+
+
+def load_hf_config(model_dir: str | Path) -> dict:
+    return json.loads((Path(model_dir) / "config.json").read_text())

@@ -1,0 +1,395 @@
+"""Functional JAX transformer forward for the llama lineage (+ MoE).
+
+TPU-native replacement for the reference's reliance on HF torch modeling
+code: the quantization looper and the inference engine both run THIS forward.
+Design (SURVEY §7):
+
+- params are plain nested dicts mirroring HF tensor names (loader maps
+  safetensors 1:1); a linear is either ``{"weight": [out,in], "bias"?}`` or a
+  packed ``ops.qlinear.QuantLinear`` — ``apply_linear`` dispatches.
+- activation capture is functional: pass ``tap_paths`` and the forward
+  returns the exact module inputs (replaces HookedLinear + StopForward,
+  reference nn_modules/hooked_linear.py).
+- MoE expert inputs are captured as row-masked token matrices: unrouted rows
+  are zeroed, so Hessian accumulation ``xᵀx`` over them is exact while shapes
+  stay static for XLA (replaces the reference's routed pre-hooks,
+  stage_subset.py:773).
+- no data-dependent control flow; KV-cache update is a dynamic_update_slice
+  so prefill/decode jit once per shape.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.models.spec import ModelSpec
+from gptqmodel_tpu.ops.qlinear import QuantLinear, qlinear_forward_xla
+
+Params = dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+
+def get_by_path(tree: Params, path: str):
+    node = tree
+    for part in path.split("."):
+        node = node[int(part)] if part.isdigit() and not isinstance(node, dict) else node[part]
+    return node
+
+
+def set_by_path(tree: Params, path: str, value):
+    parts = path.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node[int(part)] if part.isdigit() and not isinstance(node, dict) else node[part]
+    last = parts[-1]
+    if last.isdigit() and not isinstance(node, dict):
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense HF-layout ({"weight": [out,in]}) or packed QuantLinear."""
+    if isinstance(p, QuantLinear):
+        return qlinear_forward_xla(p, x)
+    w = p["weight"]
+    y = x @ w.T.astype(x.dtype)
+    b = p.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, offset: bool = False):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    scale = (1.0 + w.astype(jnp.float32)) if offset else w.astype(jnp.float32)
+    return (normed * scale).astype(x.dtype)
+
+
+def _rope_inv_freq(spec: ModelSpec) -> np.ndarray:
+    dim = spec.head_dim
+    inv = 1.0 / spec.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+    rs = spec.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        lo = rs.get("low_freq_factor", 1.0)
+        hi = rs.get("high_freq_factor", 4.0)
+        orig = rs.get("original_max_position_embeddings", 8192)
+        wavelen = 2 * np.pi / inv
+        low_wl, high_wl = orig / lo, orig / hi
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        scaled = np.where(
+            wavelen > low_wl,
+            inv / factor,
+            np.where(
+                wavelen < high_wl,
+                inv,
+                (1 - smooth) / factor * inv + smooth * inv,
+            ),
+        )
+        inv = scaled
+    return inv.astype(np.float32)
+
+
+def rope_cos_sin(spec: ModelSpec, positions: jnp.ndarray):
+    """positions [*, T] int32 -> (cos, sin) [*, T, head_dim] f32."""
+    inv = jnp.asarray(_rope_inv_freq(spec))
+    freqs = positions.astype(jnp.float32)[..., None] * inv[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k [B, H, T, D]; cos/sin [B, T, D] (HF rotate-half convention)."""
+    c = cos[:, None, :, :].astype(q.dtype)
+    s = sin[:, None, :, :].astype(q.dtype)
+    return q * c + _rotate_half(q) * s, k * c + _rotate_half(k) * s
+
+
+def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window: int = 0):
+    """Additive causal mask [1, 1, q_len, kv_len]; offset so the query block
+    aligns to the END of the kv span (prefill: q_len == kv_len)."""
+    qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)
+    ki = jnp.arange(kv_len)[None, :]
+    ok = ki <= qi
+    if window > 0:
+        ok &= ki > qi - window
+    neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
+    return jnp.where(ok, jnp.asarray(0.0, dtype), neg)[None, None]
+
+
+# --------------------------------------------------------------------------
+# attention
+# --------------------------------------------------------------------------
+
+
+def _tap(taps, tap_paths, path, x, mask=None):
+    if taps is not None and path in tap_paths:
+        taps[path] = x if mask is None else (x, mask)
+
+
+def attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    cos,
+    sin,
+    attn_bias,  # additive [*, *, T, KV] or None
+    cache: Optional[dict] = None,  # {"k","v": [B, Hkv, L, D], "pos": int32}
+    prefix: str = "self_attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    B, T, _ = h.shape
+    nh, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    _tap(taps, tap_paths, f"{prefix}.q_proj", h)
+    _tap(taps, tap_paths, f"{prefix}.k_proj", h)
+    _tap(taps, tap_paths, f"{prefix}.v_proj", h)
+    q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
+    k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
+    v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
+
+    if spec.qk_norm:  # qwen3: per-head RMSNorm before RoPE
+        q = rms_norm(q, ap["q_norm"]["weight"], spec.rms_norm_eps)
+        k = rms_norm(k, ap["k_norm"]["weight"], spec.rms_norm_eps)
+
+    q = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache is not None:
+        pos = cache["pos"]
+        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0))
+        cache = {"k": k, "v": v, "pos": pos + T}
+
+    rep = nh // k.shape[1]
+    if rep > 1:
+        k_full = jnp.repeat(k, rep, axis=1)
+        v_full = jnp.repeat(v, rep, axis=1)
+    else:
+        k_full, v_full = k, v
+
+    scale = (
+        spec.query_pre_attn_scalar**-0.5 if spec.query_pre_attn_scalar else hd**-0.5
+    )
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_full, preferred_element_type=jnp.float32
+    ) * scale
+    if spec.attn_softcap:
+        logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+
+    _tap(taps, tap_paths, f"{prefix}.o_proj", out)
+    return apply_linear(ap["o_proj"], out), cache
+
+
+# --------------------------------------------------------------------------
+# MLP (dense + MoE)
+# --------------------------------------------------------------------------
+
+
+def _act(name: str):
+    return {
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+        "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+    }[name]
+
+
+def gated_mlp(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,
+    prefix: str = "mlp",
+    taps=None,
+    tap_paths=frozenset(),
+    row_mask=None,
+):
+    _tap(taps, tap_paths, f"{prefix}.gate_proj", h, row_mask)
+    _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
+    g = apply_linear(mp["gate_proj"], h)
+    u = apply_linear(mp["up_proj"], h)
+    inner = _act(spec.hidden_act)(g) * u
+    _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
+    return apply_linear(mp["down_proj"], inner)
+
+
+def moe_mlp(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    prefix: str = "mlp",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Top-k routed experts (qwen3_moe/mixtral layout).
+
+    Dense formulation: every expert runs on all tokens with routing weights
+    (zero for unrouted) — static shapes, exact outputs. Expert taps carry
+    (row-masked tokens, routing mask) so Hessians only see routed tokens.
+    Efficient ragged/gmm dispatch is an inference-path optimization
+    (ops/pallas); quantization calibration wants full coverage telemetry
+    anyway (reference stage_subset.py:948 coverage policy).
+    """
+    B, T, D = h.shape
+    x = h.reshape(B * T, D)
+    router_name = "gate" if "gate" in mp else "router"
+    logits = apply_linear(mp[router_name], x).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
+    if spec.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # routing weight per (token, expert): [N, E]
+    E = spec.num_experts
+    w_full = jnp.zeros((B * T, E), dtype=jnp.float32)
+    w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(
+        top_w, top_i, w_full
+    )
+
+    out = jnp.zeros_like(x)
+    experts = mp["experts"]
+    for e in range(E):
+        we = w_full[:, e]  # [N]
+        routed = (we > 0).astype(x.dtype)
+        xe = x * routed[:, None] if taps is not None else x
+        if taps is not None:
+            ep = f"{prefix}.experts.{e}"
+            y = gated_mlp(
+                spec, experts[e], xe, prefix=ep, taps=taps,
+                tap_paths=tap_paths, row_mask=routed,
+            )
+        else:
+            y = gated_mlp(spec, experts[e], x)
+        out = out + y * we[:, None].astype(x.dtype)
+    return out.reshape(B, T, D)
+
+
+# --------------------------------------------------------------------------
+# decoder layer / full model
+# --------------------------------------------------------------------------
+
+
+def decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    normed = rms_norm(
+        h, lp["input_layernorm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
+    )
+    attn_out, cache = attention(
+        spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
+        taps=taps, tap_paths=tap_paths,
+    )
+    if spec.post_norms:  # gemma2 post-attention norm before residual
+        attn_out = rms_norm(
+            attn_out, lp["post_attention_layernorm"]["weight"],
+            spec.rms_norm_eps, spec.rms_norm_offset,
+        )
+        h = h + attn_out
+        normed2 = rms_norm(
+            h, lp["pre_feedforward_layernorm"]["weight"],
+            spec.rms_norm_eps, spec.rms_norm_offset,
+        )
+    else:
+        h = h + attn_out
+        normed2 = rms_norm(
+            h, lp["post_attention_layernorm"]["weight"],
+            spec.rms_norm_eps, spec.rms_norm_offset,
+        )
+
+    if spec.num_experts > 0 and "experts" in lp["mlp"]:
+        mlp_out = moe_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
+    else:
+        mlp_out = gated_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
+
+    if spec.post_norms:
+        mlp_out = rms_norm(
+            mlp_out, lp["post_feedforward_layernorm"]["weight"],
+            spec.rms_norm_eps, spec.rms_norm_offset,
+        )
+    return h + mlp_out, cache
+
+
+def embed(spec: ModelSpec, params: Params, input_ids: jnp.ndarray, dtype=jnp.float32):
+    emb = params["model"]["embed_tokens"]["weight"]
+    h = emb[input_ids].astype(dtype)
+    if spec.embedding_multiplier != 1.0:
+        h = h * jnp.asarray(spec.embedding_multiplier, dtype)
+    return h
+
+
+def model_hidden(
+    spec: ModelSpec,
+    params: Params,
+    input_ids: jnp.ndarray,  # [B, T]
+    positions: Optional[jnp.ndarray] = None,
+    attn_bias="causal",
+    caches: Optional[list] = None,
+    dtype=jnp.float32,
+):
+    """Full decoder stack -> final-norm hidden states [B, T, hidden]."""
+    B, T = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cos, sin = rope_cos_sin(spec, positions)
+    if isinstance(attn_bias, str) and attn_bias == "causal":
+        kv_len = caches[0]["k"].shape[2] if caches else T
+        attn_bias = make_causal_mask(T, kv_len, window=0)
+    h = embed(spec, params, input_ids, dtype)
+    new_caches = [] if caches is not None else None
+    for i, lp in enumerate(params["model"]["layers"]):
+        cache_i = caches[i] if caches is not None else None
+        h, cache_i = decoder_layer(spec, lp, h, cos, sin, attn_bias, cache_i)
+        if new_caches is not None:
+            new_caches.append(cache_i)
+    h = rms_norm(
+        h, params["model"]["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
+    )
+    return h, new_caches
+
+
+def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
+    if spec.tie_word_embeddings or "lm_head" not in params:
+        w = params["model"]["embed_tokens"]["weight"]
+        logits = hidden @ w.T.astype(hidden.dtype)
+    else:
+        logits = apply_linear(params["lm_head"], hidden)
+    if spec.logit_softcap:
+        logits = jnp.tanh(logits / spec.logit_softcap) * spec.logit_softcap
+    return logits
+
+
+def forward_logits(spec: ModelSpec, params: Params, input_ids, dtype=jnp.float32):
+    h, _ = model_hidden(spec, params, input_ids, dtype=dtype)
+    return lm_logits(spec, params, h)

@@ -1,0 +1,136 @@
+"""Quantized-checkpoint writer.
+
+TPU-native analog of the reference ModelWriter (gptqmodel/models/writer.py:
+``save_quantized`` :558): flattens the params pytree back to HF tensor names,
+shards safetensors by size, writes ``quantize_config.json`` + embeds
+``quantization_config`` into config.json (with meta fingerprint), emits
+quant_log.csv, and copies tokenizer/processor files verbatim.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+from safetensors.numpy import save_file
+
+from gptqmodel_tpu.ops import pack as packing
+from gptqmodel_tpu.ops.qlinear import QuantLinear
+from gptqmodel_tpu.quantization.config import FORMAT, QuantizeConfig
+
+DEFAULT_MAX_SHARD = 4 * 1024**3  # bytes, matches HF default "4GB"
+
+_TOKENIZER_FILES = (
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "tokenizer.model",
+    "special_tokens_map.json",
+    "vocab.json",
+    "merges.txt",
+    "generation_config.json",
+    "preprocessor_config.json",
+    "chat_template.jinja",
+)
+
+
+def flatten_params(tree, prefix: str = "", out: dict | None = None) -> dict:
+    """Nested pytree -> flat {hf_tensor_name: np.ndarray}.
+
+    QuantLinear leaves expand into qweight/qzeros/scales[/g_idx][/bias];
+    v2 runtime zeros are converted to the v1 interchange form on disk when
+    the quantlinear isn't already v1 (reference v2->v1 export,
+    utils/model.py:900).
+    """
+    if out is None:
+        out = {}
+    if isinstance(tree, QuantLinear):
+        qzeros = np.asarray(tree.qzeros)
+        if not tree.v1:
+            qzeros = packing.convert_qzeros_v2_to_v1(qzeros, tree.bits)
+        out[f"{prefix}.qweight"] = np.asarray(tree.qweight)
+        out[f"{prefix}.qzeros"] = qzeros
+        out[f"{prefix}.scales"] = np.asarray(tree.scales)
+        g = tree.group_size if tree.group_size > 0 else tree.in_features
+        g_idx = (
+            np.asarray(tree.g_idx)
+            if tree.g_idx is not None
+            else (np.arange(tree.in_features, dtype=np.int32) // g)
+        )
+        out[f"{prefix}.g_idx"] = g_idx
+        if tree.bias is not None:
+            out[f"{prefix}.bias"] = np.asarray(tree.bias)
+        return out
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flatten_params(v, f"{prefix}.{k}" if prefix else k, out)
+        return out
+    if isinstance(tree, list):
+        for i, v in enumerate(tree):
+            flatten_params(v, f"{prefix}.{i}", out)
+        return out
+    out[prefix] = np.asarray(tree)
+    return out
+
+
+def save_quantized(
+    save_dir: str | Path,
+    params: dict,
+    qcfg: QuantizeConfig,
+    hf_config: dict,
+    source_dir: str | Path | None = None,
+    quant_log: list[dict] | None = None,
+    max_shard_size: int = DEFAULT_MAX_SHARD,
+):
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    flat = flatten_params(params)
+    _write_shards(save_dir, flat, max_shard_size)
+
+    qcfg_export = QuantizeConfig.from_dict(qcfg.to_dict())
+    qcfg_export.format = FORMAT.GPTQ  # v1 is the on-disk interchange format
+    qcfg_export.save_pretrained(save_dir)
+
+    hf_config = dict(hf_config)
+    hf_config["quantization_config"] = qcfg_export.to_dict()
+    (save_dir / "config.json").write_text(json.dumps(hf_config, indent=2))
+
+    if quant_log:
+        with open(save_dir / "quant_log.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(quant_log[0].keys()))
+            w.writeheader()
+            w.writerows(quant_log)
+
+    if source_dir is not None:
+        src = Path(source_dir)
+        for fname in _TOKENIZER_FILES:
+            if (src / fname).exists():
+                shutil.copy2(src / fname, save_dir / fname)
+
+
+def _write_shards(save_dir: Path, flat: dict, max_shard_size: int):
+    sizes = {k: v.nbytes for k, v in flat.items()}
+    total = sum(sizes.values())
+    if total <= max_shard_size:
+        save_file(flat, save_dir / "model.safetensors", metadata={"format": "pt"})
+        return
+    shards: list[dict] = [{}]
+    acc = 0
+    for name in flat:
+        if acc + sizes[name] > max_shard_size and shards[-1]:
+            shards.append({})
+            acc = 0
+        shards[-1][name] = flat[name]
+        acc += sizes[name]
+    n = len(shards)
+    weight_map = {}
+    for i, shard in enumerate(shards, 1):
+        fname = f"model-{i:05d}-of-{n:05d}.safetensors"
+        save_file(shard, save_dir / fname, metadata={"format": "pt"})
+        for name in shard:
+            weight_map[name] = fname
+    index = {"metadata": {"total_size": total}, "weight_map": weight_map}
+    (save_dir / "model.safetensors.index.json").write_text(json.dumps(index, indent=2))

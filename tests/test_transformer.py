@@ -1,0 +1,166 @@
+"""JAX forward parity vs HF torch modeling code on tiny random models.
+
+This is the executable-reference anchor for the model layer (the analog of
+the reference validating fast kernels against TorchLinear, SURVEY §4): our
+functional forward must reproduce transformers' logits on the same random
+checkpoint before any quantization claims mean anything.
+"""
+
+import json
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _tiny_llama_dir(tmp, model_type="llama", **over):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    base = dict(
+        model_type=model_type,
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    base.update(over)
+    cfg = AutoConfig.for_model(**base)
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+    d = Path(tmp) / model_type
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def _jax_logits(model_dir):
+    from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
+    from gptqmodel_tpu.models.spec import load_hf_config, spec_from_hf_config
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    spec = spec_from_hf_config(load_hf_config(model_dir))
+    params = build_params_tree(CheckpointReader(model_dir))
+    ids = np.arange(24).reshape(2, 12) % spec.vocab_size
+    logits = forward_logits(spec, params, jnp.asarray(ids), dtype=jnp.float32)
+    return spec, params, ids, np.asarray(logits)
+
+
+def _torch_logits(model, ids):
+    import torch
+
+    with torch.no_grad():
+        out = model(torch.tensor(ids)).logits
+    return out.numpy()
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        ("llama", {}),
+        ("qwen3", {"head_dim": 16}),
+        ("mistral", {"sliding_window": None}),
+    ],
+)
+def test_forward_parity_dense(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+def test_forward_parity_qwen3_moe():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp,
+            "qwen3_moe",
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            decoder_sparse_step=1,
+            norm_topk_prob=True,
+            head_dim=16,
+            mlp_only_layers=[],
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_loader_roundtrip_through_writer():
+    """dense load -> save via writer -> reload -> identical logits."""
+    from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
+    from gptqmodel_tpu.models.spec import load_hf_config, spec_from_hf_config
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from gptqmodel_tpu.models.writer import save_quantized
+    from gptqmodel_tpu.quantization.config import QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "llama")
+        spec = spec_from_hf_config(load_hf_config(d))
+        params = build_params_tree(CheckpointReader(d))
+        out_dir = Path(tmp) / "resaved"
+        save_quantized(
+            out_dir, params, QuantizeConfig(), json.loads((d / "config.json").read_text())
+        )
+        qcfg2 = QuantizeConfig.from_pretrained(out_dir)
+        assert qcfg2.bits == 4
+        params2 = build_params_tree(CheckpointReader(out_dir), qcfg2)
+        ids = jnp.asarray(np.arange(12).reshape(1, 12))
+        a = forward_logits(spec, params, ids)
+        b = forward_logits(spec, params2, ids)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_module_tree_parse():
+    from gptqmodel_tpu.models.module_tree import parse_module_tree
+
+    tree = [
+        "model",
+        "layers",
+        "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    ]
+    plan = parse_module_tree(tree)
+    assert plan.layers_path == "model.layers"
+    assert plan.capture_paths == ["input_layernorm", "post_attention_layernorm"]
+    assert plan.build_subsets() == [
+        ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+         "mlp.gate_proj", "mlp.up_proj"],
+        ["self_attn.o_proj", "mlp.down_proj"],
+    ]
+
+
+def test_module_tree_moe_expansion():
+    from gptqmodel_tpu.models.module_tree import parse_module_tree
+
+    tree = [
+        "model", "layers", "#",
+        {
+            "self_attn": ("q_proj:0", "o_proj:1"),
+            "mlp:moe:?": {
+                "gate": ("gate:!",),
+                "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            },
+        },
+    ]
+    plan = parse_module_tree(tree)
+    assert plan.has_moe
+    subsets = plan.build_subsets(num_experts=2)
+    assert "mlp.experts.0.gate_proj" in subsets[0]
+    assert "mlp.experts.1.up_proj" in subsets[0]
+    assert "mlp.experts.1.down_proj" in subsets[1]
+    assert "mlp.gate" in plan.capture_paths
