@@ -1,0 +1,182 @@
+"""KV-cache inference engine: jitted prefill + decode steps.
+
+TPU-native replacement for the reference's delegation to HF
+``GenerationMixin.generate`` (gptqmodel/models/base.py:1464): two compiled
+programs — a prefill over the full prompt and a single-token decode step —
+with a static-size KV cache updated via dynamic_update_slice, so shapes never
+change and XLA compiles each exactly once per (batch, maxlen).
+
+Ragged batches (continuous batching) use the standard decoupling:
+- **physical** cache slots are uniform across the batch (one write pointer),
+- **logical** positions are per-sequence and drive RoPE,
+- attention sees a per-slot ``key_valid [B, max_len]`` mask instead of a
+  positional causal mask, so pad slots and future slots are never attended.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.models.spec import ModelSpec
+from gptqmodel_tpu.models.transformer import (
+    decoder_layer,
+    embed,
+    lm_logits,
+    rms_norm,
+    rope_cos_sin,
+)
+
+_NEG = float(np.finfo(np.float32).min)
+
+
+def init_kv_cache(spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Per-layer {"k","v"} [B, Hkv, max_len, D]; physical write pointer is
+    threaded separately (uniform across the batch)."""
+    shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
+    return [
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "pos": jnp.int32(0)}
+        for _ in range(spec.num_layers)
+    ]
+
+
+def _stack_forward(spec, params, h, cos, sin, bias, caches):
+    new_caches = []
+    for i, lp in enumerate(params["model"]["layers"]):
+        h, c = decoder_layer(spec, lp, h, cos, sin, bias, caches[i])
+        new_caches.append(c)
+    h = rms_norm(
+        h, params["model"]["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
+    )
+    return h, new_caches
+
+
+def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
+    """(params, ids [B,T], prompt_lens [B], caches) ->
+    (last-token logits [B,V], caches, key_valid [B, max_len]).
+
+    Prompts are right-padded; K/V land in physical slots [0, T); pad slots
+    are written but excluded from ``key_valid`` forever.
+    """
+
+    @jax.jit
+    def prefill(params, ids, prompt_lens, caches):
+        B, T = ids.shape
+        max_len = caches[0]["k"].shape[2]
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+        cos, sin = rope_cos_sin(spec, positions)
+        key_valid = jnp.arange(max_len)[None, :] < prompt_lens[:, None]
+        qi = jnp.arange(T)[:, None]
+        ki = jnp.arange(max_len)[None, :]
+        ok = (ki <= qi)[None, :, :] & key_valid[:, None, :]
+        bias = jnp.where(ok, 0.0, _NEG)[:, None]  # [B, 1, T, max_len]
+        h = embed(spec, params, ids, dtype)
+        h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
+        last = jnp.take_along_axis(h, (prompt_lens - 1)[:, None, None], axis=1)
+        logits = lm_logits(spec, params, last)[:, 0]
+        return logits, caches, key_valid
+
+    return prefill
+
+
+def make_decode_fn(spec: ModelSpec, dtype=jnp.bfloat16):
+    """(params, token [B], logical_pos [B], write_slot scalar, key_valid,
+    caches) -> (logits [B,V], caches, key_valid).
+
+    ``logical_pos`` drives RoPE per sequence; all sequences write K/V at the
+    same physical ``write_slot`` (marked valid before attention so the token
+    attends to itself).
+    """
+
+    @jax.jit
+    def decode(params, token, logical_pos, write_slot, key_valid, caches):
+        key_valid = key_valid.at[:, write_slot].set(True)
+        cos, sin = rope_cos_sin(spec, logical_pos[:, None])
+        bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
+        h = embed(spec, params, token[:, None], dtype)
+        caches = [dict(c, pos=write_slot) for c in caches]
+        h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
+        logits = lm_logits(spec, params, h)[:, 0]
+        return logits, caches, key_valid
+
+    return decode
+
+
+def greedy_generate(
+    spec: ModelSpec,
+    params,
+    input_ids: np.ndarray,  # [B, T] right-padded
+    prompt_lens: np.ndarray | None = None,  # [B]
+    max_new_tokens: int = 32,
+    eos_token_id: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    max_len: Optional[int] = None,
+) -> np.ndarray:
+    """Greedy decode. Returns generated tokens [B, max_new_tokens]."""
+    B, T = input_ids.shape
+    if prompt_lens is None:
+        prompt_lens = np.full((B,), T, dtype=np.int32)
+    max_len = max_len or (T + max_new_tokens)
+    caches = init_kv_cache(spec, B, max_len, dtype)
+    prefill = make_prefill_fn(spec, dtype)
+    decode = make_decode_fn(spec, dtype)
+
+    lens = jnp.asarray(prompt_lens, jnp.int32)
+    logits, caches, key_valid = prefill(params, jnp.asarray(input_ids), lens, caches)
+    token = jnp.argmax(logits, axis=-1)
+    out = [np.asarray(token)]
+    logical_pos = lens
+    done = np.zeros(B, dtype=bool)
+    for step in range(max_new_tokens - 1):
+        logits, caches, key_valid = decode(
+            params, token, logical_pos, jnp.int32(T + step), key_valid, caches
+        )
+        token = jnp.argmax(logits, axis=-1)
+        logical_pos = logical_pos + 1
+        t_np = np.asarray(token)
+        out.append(t_np)
+        if eos_token_id is not None:
+            done |= t_np == eos_token_id
+            if done.all():
+                break
+    return np.stack(out, axis=1)
+
+
+def perplexity(
+    spec: ModelSpec,
+    params,
+    input_ids: np.ndarray,  # [N, T]
+    row_mask: Optional[np.ndarray] = None,  # [N, T]
+    batch_size: int = 4,
+    dtype=jnp.float32,
+) -> float:
+    """Causal-LM perplexity over token rows (WikiText-2-style harness).
+
+    Analog of the reference's eval wrapper (tests/eval.py); the BASELINE ppl
+    delta metric runs through this.
+    """
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    @jax.jit
+    def nll(ids, m):
+        logits = forward_logits(spec, params, ids, dtype=dtype)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = ids[:, 1:]
+        ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        mm = m[:, 1:]
+        return -(ll * mm).sum(), mm.sum()
+
+    if row_mask is None:
+        row_mask = np.ones_like(input_ids, dtype=np.float32)
+    total, count = 0.0, 0.0
+    N = input_ids.shape[0]
+    for i in range(0, N, batch_size):
+        ids = jnp.asarray(input_ids[i : i + batch_size])
+        m = jnp.asarray(row_mask[i : i + batch_size], jnp.float32)
+        s, c = nll(ids, m)
+        total += float(s)
+        count += float(c)
+    return float(np.exp(total / max(count, 1.0)))

@@ -1,0 +1,368 @@
+"""Layer-by-layer GPTQ quantization loop — TPU-native orchestration.
+
+Re-designs the reference looper stack (module_looper.py / stage_layer.py /
+stage_subset.py / forward_executor.py, SURVEY §2.3/§3.2) functionally:
+
+- No hooks: the functional forward returns the exact inputs of the modules
+  being quantized (``tap_paths``); XLA dead-code-eliminates everything past
+  the taps, which is what StopForward/masked-hook machinery achieved.
+- No thread pool: per-batch Hessian accumulation is one jitted step reused
+  across every layer (static shapes, compiled once per subset topology);
+  data parallelism is a mesh axis over the batch dim (see parallel/), not
+  worker threads.
+- Shared-input batching: q/k/v (and gate/up) provably share their input in
+  our forward, so they share ONE Hessian and ONE blocked solve over the
+  concatenated output dim — the reference solves per-module with equal
+  Hessians (gptq_processor.py:252).
+- true_sequential: subsets are captured with all earlier subsets already
+  quantized (weights replaced by their dequantized solve output), then the
+  fully-quantized layer is replayed once to produce the next layer's inputs
+  (reference stage_layer.py:161 replay semantics).
+- Layer streaming: one decoder layer's weights are resident at a time
+  (loader.layer_filter), the offload_to_disk / turtle equivalent.
+- Failsafe: modules whose input group saw fewer than ``fallback_min_samples``
+  real rows (dead MoE experts) fall back to RTN, recorded in the quant log
+  (reference utils/fallback.py, stage_subset.py:948 coverage policy).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.looper.calibration import CalibrationBatches
+from gptqmodel_tpu.models.definitions import get_model_def, input_group_key
+from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
+from gptqmodel_tpu.models.module_tree import parse_module_tree
+from gptqmodel_tpu.models.spec import ModelSpec, load_hf_config, spec_from_hf_config
+from gptqmodel_tpu.models.transformer import (
+    decoder_layer,
+    embed,
+    get_by_path,
+    lm_logits,
+    make_causal_mask,
+    rms_norm,
+    rope_cos_sin,
+    set_by_path,
+)
+from gptqmodel_tpu.ops.qlinear import make_quant_linear
+from gptqmodel_tpu.quantization.config import METHOD, QuantizeConfig
+from gptqmodel_tpu.quantization.gptq import gptq_quantize
+from gptqmodel_tpu.quantization.rtn import rtn_quantize
+
+log = logging.getLogger("gptqmodel_tpu")
+
+
+@dataclass
+class QuantResult:
+    params: dict
+    quant_log: list[dict]
+    spec: ModelSpec
+    hf_config: dict
+    source_dir: str | None = None
+    durations: dict = field(default_factory=dict)
+
+
+def quantize_model(
+    model_dir: str | Path,
+    qcfg: QuantizeConfig,
+    calibration: CalibrationBatches,
+    activation_dtype=jnp.float32,
+) -> QuantResult:
+    t_start = time.perf_counter()
+    model_dir = Path(model_dir)
+    hf_cfg = load_hf_config(model_dir)
+    spec = spec_from_hf_config(hf_cfg)
+    mdef = get_model_def(spec.model_type)
+    reader = CheckpointReader(model_dir)
+
+    base = build_params_tree(reader, skip_layers=True)
+    plan = parse_module_tree(list(mdef.module_tree))
+    n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
+    subsets = plan.build_subsets(n_experts)
+
+    ids_all = calibration.input_ids  # [nb, B, T]
+    mask_all = calibration.row_mask
+    nb, B, T = ids_all.shape
+
+    # ---- stage: input capture (embeddings only; layers never run here) ----
+    embed_fn = jax.jit(lambda ids: embed(spec, base, ids, dtype=activation_dtype))
+    hidden = [np.asarray(embed_fn(jnp.asarray(ids_all[b]))) for b in range(nb)]
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cos, sin = rope_cos_sin(spec, positions)
+    attn_bias = make_causal_mask(T, T)
+
+    # ---- jitted per-subset steps, compiled once, reused across layers -----
+    step_cache: dict[Any, Any] = {}
+
+    def hessian_step_fn(tap_reps: tuple[str, ...]):
+        if tap_reps in step_cache:
+            return step_cache[tap_reps]
+
+        def step(lp, h, row_mask, Gs, ns):
+            taps: dict = {}
+            decoder_layer(
+                spec, lp, h, cos, sin, attn_bias,
+                taps=taps, tap_paths=frozenset(tap_reps),
+            )
+            flat_mask = row_mask.reshape(-1)
+            newG, newn = {}, {}
+            for key in tap_reps:
+                t_ = taps[key]
+                if isinstance(t_, tuple):  # MoE expert: (x, routing_mask)
+                    x, routed = t_
+                    m = routed.reshape(-1) * flat_mask
+                else:
+                    x, m = t_, flat_mask
+                xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32) * m[:, None]
+                newG[key] = Gs[key] + jnp.matmul(xf.T, xf, precision="highest")
+                newn[key] = ns[key] + jnp.sum(m)
+            return newG, newn
+
+        fn = jax.jit(step)
+        step_cache[tap_reps] = fn
+        return fn
+
+    replay_key = "__replay__"
+
+    def replay_fn():
+        if replay_key in step_cache:
+            return step_cache[replay_key]
+        fn = jax.jit(
+            lambda lp, h: decoder_layer(spec, lp, h, cos, sin, attn_bias)[0]
+        )
+        step_cache[replay_key] = fn
+        return fn
+
+    # ---- the layer loop ----------------------------------------------------
+    quant_log: list[dict] = []
+    out_layers: list[dict] = []
+    durations = {"forward": 0.0, "solve": 0.0, "pack": 0.0}
+
+    for li in range(spec.num_layers):
+        t_layer = time.perf_counter()
+        lp = build_params_tree(reader, layer_filter=li)
+        lp = jax.tree.map(jnp.asarray, lp)
+        qlayer_mods: dict[str, Any] = {}
+
+        for subset in subsets:
+            groups = _build_groups(subset, li, qcfg, plan)
+            if not groups:
+                continue
+            tap_reps = tuple(sorted({g.tap for g in groups}))
+            step = hessian_step_fn(tap_reps)
+
+            t0 = time.perf_counter()
+            in_feats = {
+                g.tap: int(get_by_path(lp, g.members[0])["weight"].shape[1])
+                for g in groups
+            }
+            Gs = {k: jnp.zeros((v, v), jnp.float32) for k, v in in_feats.items()}
+            ns = {k: jnp.zeros((), jnp.float32) for k in in_feats}
+            for b in range(nb):
+                Gs, ns = step(
+                    lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), Gs, ns
+                )
+            jax.block_until_ready(list(Gs.values()))
+            durations["forward"] += time.perf_counter() - t0
+
+            for grp in groups:
+                _quantize_group(
+                    grp, lp, Gs[grp.tap], float(ns[grp.tap]), li, qcfg,
+                    qlayer_mods, quant_log, durations,
+                )
+
+        # replay with fully-quantized layer -> next layer inputs
+        t0 = time.perf_counter()
+        rfn = replay_fn()
+        for b in range(nb):
+            hidden[b] = np.asarray(rfn(lp, jnp.asarray(hidden[b])))
+        durations["forward"] += time.perf_counter() - t0
+
+        # assemble output layer: QuantLinear leaves replace dense modules
+        layer_out = jax.tree.map(np.asarray, lp)
+        for path, qmod in qlayer_mods.items():
+            set_by_path(layer_out, path, qmod)
+        out_layers.append(layer_out)
+        log.info(
+            "layer %d/%d quantized in %.2fs",
+            li + 1, spec.num_layers, time.perf_counter() - t_layer,
+        )
+
+    # ---- optional lm_head quantization -------------------------------------
+    if qcfg.lm_head and not spec.tie_word_embeddings and "lm_head" in base:
+        _quantize_lm_head(
+            spec, base, hidden, mask_all, qcfg, quant_log, durations
+        )
+
+    params = dict(base)
+    params.setdefault("model", {})["layers"] = out_layers
+    # merge non-layer model params (embed/norm) captured in base["model"]
+    for k, v in base.get("model", {}).items():
+        params["model"][k] = v
+
+    durations["total"] = time.perf_counter() - t_start
+    return QuantResult(
+        params=params,
+        quant_log=quant_log,
+        spec=spec,
+        hf_config=hf_cfg,
+        source_dir=str(model_dir),
+        durations=durations,
+    )
+
+
+# --------------------------------------------------------------------------
+# internals
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Group:
+    tap: str  # representative tap path (module whose input is recorded)
+    members: list[str]  # module paths sharing that input
+    cfgs: list[QuantizeConfig]  # per-member effective configs
+
+
+def _build_groups(
+    subset: list[str], layer_idx: int, qcfg: QuantizeConfig, plan
+) -> list[_Group]:
+    """Group subset modules by provably-shared input; resolve dynamic cfg."""
+    by_key: dict[str, _Group] = {}
+    for path in subset:
+        full = f"model.layers.{layer_idx}.{path}"
+        mcfg = qcfg.for_module(full)
+        if mcfg is None:  # '-:' dynamic exclusion
+            continue
+        key = input_group_key(path)
+        grp = by_key.get(key)
+        if grp is None:
+            grp = _Group(tap=path, members=[], cfgs=[])
+            by_key[key] = grp
+        grp.tap = min(grp.tap, path)
+        grp.members.append(path)
+        grp.cfgs.append(mcfg)
+    return list(by_key.values())
+
+
+def _quantize_group(
+    grp: _Group,
+    lp: dict,
+    G: jnp.ndarray,
+    n_rows: float,
+    layer_idx: int,
+    qcfg: QuantizeConfig,
+    qlayer_mods: dict,
+    quant_log: list,
+    durations: dict,
+):
+    """Solve all members of an input group (batched when configs match)."""
+    same_cfg = all(c == grp.cfgs[0] for c in grp.cfgs[1:])
+    H = (2.0 / max(n_rows, 1.0)) * G
+
+    if same_cfg and len(grp.members) > 1:
+        batches = [(grp.members, grp.cfgs[0])]
+    else:
+        batches = [([m], c) for m, c in zip(grp.members, grp.cfgs)]
+
+    for members, cfg in batches:
+        t0 = time.perf_counter()
+        Ws = [np.asarray(get_by_path(lp, m)["weight"], dtype=np.float32) for m in members]
+        out_sizes = [w.shape[0] for w in Ws]
+        W_cat = np.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0]
+
+        fallback = n_rows < max(qcfg.fallback_min_samples, 1)
+        if cfg.mock_quantization or cfg.method == METHOD.RTN or fallback:
+            res = rtn_quantize(
+                W_cat, bits=cfg.bits, group_size=cfg.group_size,
+                sym=cfg.sym, mse=cfg.mse > 0,
+            )
+        else:
+            res = gptq_quantize(
+                W_cat, H,
+                bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+                desc_act=cfg.desc_act, act_group_aware=cfg.act_group_aware,
+                mse=cfg.mse > 0, damp_percent=cfg.damp_percent,
+                damp_auto_increment=cfg.damp_auto_increment,
+                nsamples=int(n_rows),
+            )
+        solve_t = time.perf_counter() - t0
+        durations["solve"] += solve_t
+
+        t0 = time.perf_counter()
+        row0 = 0
+        for m, out_f in zip(members, out_sizes):
+            sl = slice(row0, row0 + out_f)
+            row0 += out_f
+            dense = get_by_path(lp, m)
+            bias = dense.get("bias")
+            qmod = make_quant_linear(
+                Q=res.Q[sl], scales=res.scales[:, sl], zeros=res.zeros[:, sl],
+                g_idx=res.g_idx, bias=None if bias is None else np.asarray(bias),
+                bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+            )
+            qlayer_mods[m] = qmod
+            # true_sequential: subsequent subsets/replay see quantized weights
+            dense["weight"] = jnp.asarray(res.Wq[sl], dtype=dense["weight"].dtype)
+            quant_log.append({
+                "layer": layer_idx,
+                "module": m,
+                "loss": round(res.avg_loss, 8),
+                "samples": int(n_rows),
+                "damp": res.damp,
+                "bits": cfg.bits,
+                "group_size": cfg.group_size,
+                "fallback": bool(
+                    fallback or cfg.mock_quantization or cfg.method == METHOD.RTN
+                ),
+                "time_s": round(solve_t / len(members), 4),
+            })
+        durations["pack"] += time.perf_counter() - t0
+
+
+def _quantize_lm_head(spec, base, hidden, mask_all, qcfg, quant_log, durations):
+    head = base["lm_head"]
+    in_f = head["weight"].shape[1]
+    norm_w = base["model"]["norm"]["weight"]
+
+    @jax.jit
+    def head_G_step(h, row_mask, G, n):
+        x = rms_norm(h, norm_w, spec.rms_norm_eps, spec.rms_norm_offset)
+        xf = x.reshape(-1, in_f).astype(jnp.float32) * row_mask.reshape(-1)[:, None]
+        return G + jnp.matmul(xf.T, xf, precision="highest"), n + jnp.sum(row_mask)
+
+    G = jnp.zeros((in_f, in_f), jnp.float32)
+    n = jnp.zeros((), jnp.float32)
+    for b in range(len(hidden)):
+        G, n = head_G_step(jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), G, n)
+    n_rows = float(n)
+    mcfg = qcfg.for_module("lm_head") or qcfg
+
+    t0 = time.perf_counter()
+    W = np.asarray(head["weight"], dtype=np.float32)
+    res = gptq_quantize(
+        W, (2.0 / max(n_rows, 1.0)) * G,
+        bits=mcfg.bits, group_size=mcfg.group_size, sym=mcfg.sym,
+        desc_act=mcfg.desc_act, act_group_aware=mcfg.act_group_aware,
+        mse=mcfg.mse > 0, damp_percent=mcfg.damp_percent,
+        damp_auto_increment=mcfg.damp_auto_increment, nsamples=int(n_rows),
+    )
+    durations["solve"] += time.perf_counter() - t0
+    bias = head.get("bias")
+    base["lm_head"] = make_quant_linear(
+        Q=res.Q, scales=res.scales, zeros=res.zeros, g_idx=res.g_idx,
+        bias=None if bias is None else np.asarray(bias),
+        bits=mcfg.bits, group_size=mcfg.group_size, sym=mcfg.sym,
+    )
+    quant_log.append({
+        "layer": -1, "module": "lm_head", "loss": round(res.avg_loss, 8),
+        "samples": int(n_rows), "damp": res.damp, "bits": mcfg.bits,
+        "group_size": mcfg.group_size, "fallback": False, "time_s": 0.0,
+    })

@@ -1,0 +1,210 @@
+"""GPTQModel facade — the user API.
+
+TPU-native analog of the reference facade (gptqmodel/models/auto.py:510
+``GPTQModel.load``): one entry point that sniffs the checkpoint for a
+``quantize_config.json`` / ``quantization_config`` and routes to the
+quantize path (``from_pretrained``) or the inference path
+(``from_quantized``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
+from gptqmodel_tpu.models.spec import ModelSpec, load_hf_config, spec_from_hf_config
+from gptqmodel_tpu.quantization.config import QUANT_CONFIG_FILENAME, QuantizeConfig
+
+log = logging.getLogger("gptqmodel_tpu")
+
+
+class GPTQModel:
+    @classmethod
+    def load(
+        cls,
+        model_dir: str | Path,
+        quantize_config: Optional[QuantizeConfig | dict] = None,
+        **kwargs,
+    ) -> "BaseQModel":
+        model_dir = Path(model_dir)
+        is_quantized = (model_dir / QUANT_CONFIG_FILENAME).exists()
+        if not is_quantized:
+            cfg = json.loads((model_dir / "config.json").read_text())
+            is_quantized = "quantization_config" in cfg
+        if is_quantized:
+            return cls.from_quantized(model_dir, **kwargs)
+        return cls.from_pretrained(model_dir, quantize_config, **kwargs)
+
+    @classmethod
+    def from_pretrained(
+        cls, model_dir, quantize_config=None, **kwargs
+    ) -> "BaseQModel":
+        if isinstance(quantize_config, dict):
+            quantize_config = QuantizeConfig.from_dict(quantize_config)
+        return BaseQModel(
+            model_dir=Path(model_dir),
+            qcfg=quantize_config or QuantizeConfig(),
+            quantized=False,
+            **kwargs,
+        )
+
+    @classmethod
+    def from_quantized(cls, model_dir, **kwargs) -> "BaseQModel":
+        model_dir = Path(model_dir)
+        qcfg = QuantizeConfig.from_pretrained(model_dir)
+        m = BaseQModel(model_dir=model_dir, qcfg=qcfg, quantized=True, **kwargs)
+        m._load_params()
+        return m
+
+
+class BaseQModel:
+    """Holds (spec, params pytree, config) + quantize/save/generate.
+
+    Analog of reference BaseQModel (gptqmodel/models/base.py:288) without the
+    nn.Module machinery: params are data, compute fns live in
+    transformer.py / inference/engine.py.
+    """
+
+    def __init__(
+        self,
+        model_dir: Path,
+        qcfg: QuantizeConfig,
+        quantized: bool,
+        trust_remote_code: bool = False,
+    ):
+        self.model_dir = Path(model_dir)
+        self.qcfg = qcfg
+        self.quantized = quantized
+        self.hf_config = load_hf_config(self.model_dir)
+        self.spec: ModelSpec = spec_from_hf_config(self.hf_config)
+        self.params: Optional[dict] = None
+        self.quant_log: list[dict] = []
+        self._tokenizer = None
+
+    # ------------------------------------------------------------- loading
+    def _load_params(self):
+        reader = CheckpointReader(self.model_dir)
+        self.params = build_params_tree(
+            reader, self.qcfg if self.quantized else None
+        )
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(str(self.model_dir))
+        return self._tokenizer
+
+    # ------------------------------------------------------------ quantize
+    def quantize(
+        self,
+        calibration,
+        batch_size: int = 4,
+        tokenizer=None,
+        calibration_concat_size: Optional[int] = None,
+        calibration_sort: Optional[str] = "desc",
+        max_length: int = 2048,
+        activation_dtype=jnp.float32,
+    ) -> list[dict]:
+        """Quantize the model with calibration data; returns the quant log."""
+        if self.quantized:
+            raise RuntimeError("model is already quantized")
+        from gptqmodel_tpu.looper.calibration import (
+            CalibrationBatches,
+            prepare_calibration,
+        )
+        from gptqmodel_tpu.looper.quantize_loop import quantize_model
+
+        if not isinstance(calibration, CalibrationBatches):
+            calibration = prepare_calibration(
+                calibration,
+                tokenizer=tokenizer or (self.tokenizer if _has_tokenizer(self.model_dir) else None),
+                batch_size=batch_size,
+                max_length=max_length,
+                concat_size=calibration_concat_size,
+                sort=calibration_sort,
+            )
+        result = quantize_model(
+            self.model_dir, self.qcfg, calibration, activation_dtype=activation_dtype
+        )
+        self.params = result.params
+        self.quant_log = result.quant_log
+        self.quantized = True
+        log.info(
+            "quantized %d modules in %.1fs (forward %.1fs solve %.1fs pack %.1fs)",
+            len(result.quant_log), result.durations.get("total", 0.0),
+            result.durations.get("forward", 0.0),
+            result.durations.get("solve", 0.0),
+            result.durations.get("pack", 0.0),
+        )
+        return self.quant_log
+
+    # ---------------------------------------------------------------- save
+    def save(self, save_dir: str | Path, max_shard_size: Optional[int] = None):
+        from gptqmodel_tpu.models.writer import DEFAULT_MAX_SHARD, save_quantized
+
+        if not self.quantized or self.params is None:
+            raise RuntimeError("nothing to save: model not quantized/loaded")
+        save_quantized(
+            save_dir,
+            self.params,
+            self.qcfg,
+            self.hf_config,
+            source_dir=self.model_dir,
+            quant_log=self.quant_log,
+            max_shard_size=max_shard_size or DEFAULT_MAX_SHARD,
+        )
+
+    # ------------------------------------------------------------ generate
+    def generate(
+        self,
+        prompts,
+        max_new_tokens: int = 32,
+        dtype=jnp.bfloat16,
+    ):
+        """Greedy generation. ``prompts``: str | list[str] | int array."""
+        from gptqmodel_tpu.inference.engine import greedy_generate
+
+        if self.params is None:
+            self._load_params()
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if isinstance(prompts, (list, tuple)) and prompts and isinstance(prompts[0], str):
+            tok = self.tokenizer
+            enc = [tok(p)["input_ids"] for p in prompts]
+            T = max(len(e) for e in enc)
+            ids = np.zeros((len(enc), T), dtype=np.int32)
+            lens = np.zeros((len(enc),), dtype=np.int32)
+            for i, e in enumerate(enc):
+                ids[i, : len(e)] = e
+                lens[i] = len(e)
+        else:
+            ids = np.asarray(prompts, dtype=np.int32)
+            lens = np.full((ids.shape[0],), ids.shape[1], dtype=np.int32)
+        out = greedy_generate(
+            self.spec, self.params, ids, lens,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=self.hf_config.get("eos_token_id"),
+            dtype=dtype,
+        )
+        return out
+
+    def perplexity(self, input_ids, row_mask=None, dtype=jnp.float32) -> float:
+        from gptqmodel_tpu.inference.engine import perplexity
+
+        if self.params is None:
+            self._load_params()
+        return perplexity(self.spec, self.params, input_ids, row_mask, dtype=dtype)
+
+
+def _has_tokenizer(model_dir: Path) -> bool:
+    return (model_dir / "tokenizer.json").exists() or (
+        model_dir / "tokenizer_config.json"
+    ).exists()

@@ -1,0 +1,142 @@
+"""Per-architecture model definitions (module trees + metadata).
+
+TPU-native analog of the reference's 130 definition classes
+(gptqmodel/models/definitions/): each arch is a small ModelDef record —
+module tree in the shared DSL, lm_head/pre-head-norm names, expert-count
+config field — not a class hierarchy. The functional forward in
+``transformer.py`` is selected by ``ModelSpec`` flags, so most llama-lineage
+archs share one entry shape. Unknown model_types fall back to the llama tree
+(the reference's auto module-tree detection analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    module_tree: tuple
+    lm_head: str = "lm_head"
+    pre_lm_head_norm: str = "model.norm"
+    dynamic_expert_index: str | None = None  # HF config field w/ expert count
+    require_dtype: str | None = None
+
+
+_LLAMA_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
+_QWEN3_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_norm:!", "k_norm:!", "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
+_QWEN3_MOE_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_norm:!", "k_norm:!", "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp:moe:?": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+        },
+    },
+)
+
+_GEMMA2_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "pre_feedforward_layernorm": ("pre_feedforward_layernorm:!",),
+        "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
+_MIXTRAL_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "block_sparse_moe": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("w1:0", "w3:0", "w2:1")},
+        },
+    },
+)
+
+REGISTRY: dict[str, ModelDef] = {
+    "llama": ModelDef(_LLAMA_TREE),
+    "mistral": ModelDef(_LLAMA_TREE),
+    "qwen2": ModelDef(_LLAMA_TREE),
+    "granite": ModelDef(_LLAMA_TREE),
+    "smollm3": ModelDef(_LLAMA_TREE),
+    "starcoder2": ModelDef(_LLAMA_TREE),
+    "internlm2": ModelDef(_LLAMA_TREE),
+    "phi3": ModelDef(_LLAMA_TREE),
+    "qwen3": ModelDef(_QWEN3_TREE),
+    "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
+    "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
+    "gemma": ModelDef(_LLAMA_TREE),
+    "gemma2": ModelDef(_GEMMA2_TREE),
+}
+
+
+def get_model_def(model_type: str) -> ModelDef:
+    if model_type in REGISTRY:
+        return REGISTRY[model_type]
+    # unknown arch: llama-shaped fallback (auto-detection analog)
+    return ModelDef(_LLAMA_TREE)
+
+
+# Modules whose inputs are provably identical in our functional forward
+# (transformer.py): q/k/v see the same normed hidden; gate/up the same.
+# Lets the looper share one Hessian and one batched solve per input group
+# (the reference computes per-module Hessians that are equal anyway).
+SHARED_INPUT_LEAVES = {
+    "q_proj": "qkv",
+    "k_proj": "qkv",
+    "v_proj": "qkv",
+    "gate_proj": "gate_up",
+    "up_proj": "gate_up",
+    "w1": "gate_up",
+    "w3": "gate_up",
+}
+
+
+def input_group_key(path: str) -> str:
+    """Canonical input-group key for a module path within a layer."""
+    parent, _, leaf = path.rpartition(".")
+    shared = SHARED_INPUT_LEAVES.get(leaf)
+    return f"{parent}::{shared}" if shared else path
+
+
+def tap_representative(paths: list[str]) -> str:
+    """One member path per input group — the tap the forward must record."""
+    return sorted(paths)[0]

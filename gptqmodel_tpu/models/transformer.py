@@ -342,7 +342,7 @@ def decoder_layer(
 
 
 def embed(spec: ModelSpec, params: Params, input_ids: jnp.ndarray, dtype=jnp.float32):
-    emb = params["model"]["embed_tokens"]["weight"]
+    emb = jnp.asarray(params["model"]["embed_tokens"]["weight"])
     h = emb[input_ids].astype(dtype)
     if spec.embedding_multiplier != 1.0:
         h = h * jnp.asarray(spec.embedding_multiplier, dtype)

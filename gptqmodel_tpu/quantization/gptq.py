@@ -272,11 +272,13 @@ def gptq_solve_core(
 
 def _solve_padded(W, Hinv_u, orig_in, **kw):
     res = gptq_solve_core(W, Hinv_u, **kw)
+    g = kw["group_size"]
+    n_groups = 1 if g in (-1, None) else -(-orig_in // g)  # ceil, pad groups cut
     return {
         "Q": res["Q"][:, :orig_in],
         "Wq": res["Wq"][:, :orig_in],
-        "scales": res["scales"],
-        "zeros": res["zeros"],
+        "scales": res["scales"][:n_groups],
+        "zeros": res["zeros"][:n_groups],
         "losses": res["losses"][:, :orig_in],
     }
 
