@@ -1,0 +1,174 @@
+"""Benchmark: Llama-3-8B GPTQ-4bit decode tokens/s/chip vs INT4 roofline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the INT4 weight-streaming roofline
+achieved (BASELINE.json target: >= 0.90 of roofline per chip).
+
+Decode is weight-bound: every generated token must stream the packed weights
+(bits/8 bytes per param) through HBM once, so
+roofline tok/s = HBM_BW / packed_model_bytes. TPU v5e: ~819 GB/s.
+
+Weights are synthetic (zero-egress environment — no real checkpoints) and
+built directly on device; decode throughput is independent of weight values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v4": 1228.0, "v6e": 1640.0}
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_quant_params_on_device(spec, bits=4, group_size=128):
+    """Packed-llama params allocated device-side (no host transfer)."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    pf = 32 // bits
+
+    def ql(out_f, in_f):
+        G = in_f // group_size
+        return QuantLinear(
+            qweight=jnp.zeros((in_f // pf, out_f), jnp.int32),
+            qzeros=jnp.zeros((G, out_f // pf), jnp.int32),
+            scales=jnp.full((G, out_f), 0.01, jnp.bfloat16),
+            g_idx=None,
+            bias=None,
+            zbias=jnp.zeros((G, out_f), jnp.float32),
+            bits=bits, group_size=group_size,
+            in_features=in_f, out_features=out_f, sym=True,
+        )
+
+    h = spec.hidden_size
+    q = spec.num_heads * spec.head_dim
+    kv = spec.num_kv_heads * spec.head_dim
+    import jax.numpy as jnp
+
+    layers = []
+    for _ in range(spec.num_layers):
+        layers.append({
+            "input_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
+            "post_attention_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
+            "self_attn": {
+                "q_proj": ql(q, h), "k_proj": ql(kv, h),
+                "v_proj": ql(kv, h), "o_proj": ql(h, q),
+            },
+            "mlp": {
+                "gate_proj": ql(spec.intermediate_size, h),
+                "up_proj": ql(spec.intermediate_size, h),
+                "down_proj": ql(h, spec.intermediate_size),
+            },
+        })
+    return {
+        "model": {
+            "embed_tokens": {
+                "weight": jnp.zeros((spec.vocab_size, h), jnp.bfloat16)
+            },
+            "layers": layers,
+            "norm": {"weight": jnp.ones(h, jnp.bfloat16)},
+        },
+        "lm_head": ql(spec.vocab_size, h),
+    }
+
+
+def packed_model_bytes(spec, bits=4, group_size=128) -> int:
+    h = spec.hidden_size
+    q = spec.num_heads * spec.head_dim
+    kv = spec.num_kv_heads * spec.head_dim
+    per_layer_params = h * q + 2 * h * kv + q * h + 3 * h * spec.intermediate_size
+    total = per_layer_params * spec.num_layers + spec.vocab_size * h  # + lm_head
+    code_bytes = total * bits // 8
+    scale_bytes = (total // group_size) * 2  # bf16 scales (zbias extra, cached)
+    return code_bytes + scale_bytes
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu", "gpu")
+    _log(f"backend={backend} devices={jax.devices()}")
+
+    from gptqmodel_tpu.inference.engine import (
+        init_kv_cache,
+        make_decode_fn,
+        make_prefill_fn,
+    )
+    from gptqmodel_tpu.utils.testing import llama8b_spec, tiny_spec
+
+    if on_tpu:
+        spec = llama8b_spec(layers=int(os.environ.get("BENCH_LAYERS", "32")))
+        B = int(os.environ.get("BENCH_BATCH", "8"))
+        T, steps, max_len = 128, 32, 256
+    else:  # CI sanity run
+        spec = tiny_spec(hidden=256, layers=2, heads=8, kv_heads=4, inter=512, vocab=512)
+        B, T, steps, max_len = 2, 16, 8, 64
+
+    bits, g = 4, 128
+    t0 = time.time()
+    params = build_quant_params_on_device(spec, bits, g)
+    _log(f"params built on device in {time.time()-t0:.1f}s "
+         f"({packed_model_bytes(spec, bits, g)/1e9:.2f} GB packed)")
+
+    prefill = make_prefill_fn(spec, jnp.bfloat16)
+    decode = make_decode_fn(spec, jnp.bfloat16)
+    caches = init_kv_cache(spec, B, max_len, jnp.bfloat16)
+
+    ids = jnp.asarray(np.ones((B, T), np.int32))
+    lens = jnp.full((B,), T, jnp.int32)
+    t0 = time.time()
+    logits, caches, key_valid = prefill(params, ids, lens, caches)
+    logits.block_until_ready()
+    _log(f"prefill compiled+ran in {time.time()-t0:.1f}s")
+
+    token = jnp.argmax(logits, axis=-1)
+    pos = lens
+    # warm decode (compile)
+    t0 = time.time()
+    l2, c2, kv2 = decode(params, token, pos, jnp.int32(T), key_valid, caches)
+    l2.block_until_ready()
+    _log(f"decode step compiled in {time.time()-t0:.1f}s")
+
+    # timed decode loop
+    t0 = time.time()
+    cur_caches, cur_valid, cur_pos = caches, key_valid, pos
+    for s in range(steps):
+        logits, cur_caches, cur_valid = decode(
+            params, token, cur_pos, jnp.int32(T + s), cur_valid, cur_caches
+        )
+        cur_pos = cur_pos + 1
+    logits.block_until_ready()
+    dt = time.time() - t0
+    step_time = dt / steps
+    toks_per_s = B / step_time
+
+    bw = HBM_GBPS.get(os.environ.get("BENCH_TPU_GEN", "v5e"), 819.0)
+    roofline_steps = bw * 1e9 / packed_model_bytes(spec, bits, g)
+    vs = (1.0 / step_time) / roofline_steps  # fraction of roofline step rate
+
+    _log(
+        f"decode: {step_time*1e3:.2f} ms/step, {toks_per_s:.1f} tok/s (B={B}), "
+        f"roofline {roofline_steps:.1f} steps/s -> {vs*100:.1f}% of roofline"
+    )
+    print(json.dumps({
+        "metric": f"llama3-8b-gptq4 decode tok/s/chip (B={B}, {spec.num_layers}L)"
+        if on_tpu else "tiny-llama decode tok/s (cpu sanity)",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

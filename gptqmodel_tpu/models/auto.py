@@ -93,6 +93,10 @@ class BaseQModel:
         self.params = build_params_tree(
             reader, self.qcfg if self.quantized else None
         )
+        if self.quantized:
+            from gptqmodel_tpu.ops.registry import post_init_params
+
+            self.params = post_init_params(self.params)
 
     @property
     def tokenizer(self):

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptqmodel_tpu.models.spec import ModelSpec
-from gptqmodel_tpu.ops.qlinear import QuantLinear, qlinear_forward_xla
+from gptqmodel_tpu.ops.qlinear import QuantLinear
 
 Params = dict[str, Any]
 
@@ -59,7 +59,9 @@ def set_by_path(tree: Params, path: str, value):
 def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     """Dense HF-layout ({"weight": [out,in]}) or packed QuantLinear."""
     if isinstance(p, QuantLinear):
-        return qlinear_forward_xla(p, x)
+        from gptqmodel_tpu.ops.registry import qlinear_forward
+
+        return qlinear_forward(p, x)
     w = p["weight"]
     y = x @ w.T.astype(x.dtype)
     b = p.get("bias")

@@ -26,7 +26,7 @@ from gptqmodel_tpu.ops import pack as packing
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias"],
+    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zbias"],
     meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1"],
 )
 @dataclasses.dataclass
@@ -47,6 +47,9 @@ class QuantLinear:
     scales: jnp.ndarray  # f16/f32/bf16 [groups, out]
     g_idx: jnp.ndarray | None  # int32 [in] or None (contiguous groups)
     bias: jnp.ndarray | None
+    # runtime-only (post_init_params): scales*zeros for the fused kernel;
+    # never serialized (writer skips it)
+    zbias: jnp.ndarray | None = None
     bits: int = 4
     group_size: int = 128
     in_features: int = 0

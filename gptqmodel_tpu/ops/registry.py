@@ -1,0 +1,116 @@
+"""Kernel registry: capability contracts + auto-selection.
+
+TPU-native version of the reference's importer (gptqmodel/utils/importer.py:
+``select_quant_linear`` :495, ``build_kernel_support_maps`` :182): each
+kernel declares what it supports; AUTO picks the highest-priority kernel
+whose contract matches the module. Two kernels replace the reference's ~36
+classes because XLA + one Pallas family cover every (bits, group, device)
+cell that needed a bespoke CUDA kernel there:
+
+| kernel   | priority | bits    | groups     | g_idx | platform |
+|----------|----------|---------|------------|-------|----------|
+| pallas   | 100      | 2,4,8   | contiguous | no    | tpu      |
+| xla      | 10       | 2,3,4,8 | any        | yes   | all      |
+
+``post_init_params`` prepares runtime arrays (zbias = scale*zero) the Pallas
+kernel consumes — the analog of reference ``gptqmodel_post_init`` buffer prep
+(utils/model.py:1281, marlin repack at marlin.py:246).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.ops import pack as packing
+from gptqmodel_tpu.ops import pallas_qmatmul
+from gptqmodel_tpu.ops.qlinear import QuantLinear, qlinear_forward_xla
+
+log = logging.getLogger("gptqmodel_tpu")
+
+# module-level backend override: "auto" | "xla" | "pallas" | "pallas_interpret"
+_BACKEND = "auto"
+
+
+def set_backend(name: str):
+    global _BACKEND
+    assert name in ("auto", "xla", "pallas", "pallas_interpret"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def select_kernel(p: QuantLinear) -> str:
+    """Resolve the compute kernel for a packed module under the current
+    backend setting. AUTO: pallas on TPU when the contract matches."""
+    if _BACKEND == "xla":
+        return "xla"
+    eligible = p.zbias is not None and pallas_qmatmul.supports(
+        p.bits, p.group_size, p.in_features, p.out_features, p.g_idx is None
+    )
+    if _BACKEND in ("pallas", "pallas_interpret"):
+        if not eligible:
+            raise ValueError(
+                f"pallas kernel does not support this module: bits={p.bits} "
+                f"group={p.group_size} g_idx={'set' if p.g_idx is not None else 'none'} "
+                f"shape=({p.in_features},{p.out_features}) "
+                f"zbias={'ready' if p.zbias is not None else 'missing — run post_init_params'}"
+            )
+        return _BACKEND
+    return "pallas" if (eligible and _on_tpu()) else "xla"
+
+
+def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
+    kernel = select_kernel(p)
+    if kernel == "xla":
+        return qlinear_forward_xla(p, x)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = pallas_qmatmul.qmatmul(
+        x2, p.qweight, p.scales, p.zbias,
+        bits=p.bits, group_size=p.group_size,
+        interpret=(kernel == "pallas_interpret"),
+    )
+    y = y.reshape(*lead, p.out_features)
+    if p.bias is not None:
+        y = y + p.bias.astype(y.dtype)
+    return y
+
+
+def post_init_module(p: QuantLinear) -> QuantLinear:
+    """Precompute runtime arrays for the fast kernel (zbias = scale * zero)."""
+    if p.zbias is not None:
+        return p
+    zeros = packing.unpack_qzeros(np.asarray(p.qzeros), p.bits, v1=p.v1)
+    scales = np.asarray(p.scales, dtype=np.float32)
+    zbias = (scales * zeros).astype(np.float32)
+    return QuantLinear(
+        qweight=p.qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
+        bias=p.bias, zbias=jnp.asarray(zbias),
+        bits=p.bits, group_size=p.group_size, in_features=p.in_features,
+        out_features=p.out_features, sym=p.sym, v1=p.v1,
+    )
+
+
+def post_init_params(tree):
+    """Walk a params pytree, preparing every QuantLinear for fast inference.
+    Analog of reference gptqmodel_post_init (utils/model.py:1281)."""
+    if isinstance(tree, QuantLinear):
+        return post_init_module(tree)
+    if isinstance(tree, dict):
+        return {k: post_init_params(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [post_init_params(v) for v in tree]
+    return tree

@@ -1,0 +1,156 @@
+"""Sharding rules: params pytree -> PartitionSpec tree.
+
+The reference's multi-GPU story is thread-level data parallelism + explicit
+`.to(device)` moves (threadx.py, forward_executor.py); the TPU-native story
+is declarative: annotate every tensor with a PartitionSpec over a named mesh
+and let GSPMD place collectives on ICI (SURVEY §2.7 "TPU-native equivalent").
+
+Axes:
+- ``data``  : calibration / serving batch dim (DP). Hessian accumulation
+  over this axis is a psum (replaces materialize_global_hessian).
+- ``model`` : tensor parallelism. Column-parallel (q/k/v/gate/up, lm_head)
+  shard out-features; row-parallel (o/down) shard in-features; the matching
+  all-reduce after row-parallel matmuls is inserted by GSPMD.
+
+QuantLinear packed tensors shard consistently with their dense layout:
+column-parallel shards the lane (out) axis of qweight/scales/qzeros/zbias;
+row-parallel shards the packed-row (in/pf) axis and the group axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+# module leaf name -> parallel style
+COL_PARALLEL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "w1", "w3"}
+ROW_PARALLEL = {"o_proj", "down_proj", "w2"}
+
+
+def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    n = int(np.prod(sizes))
+    assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:n]).reshape(sizes), names)
+
+
+def _dense_spec(leaf_name: str, tensor_key: str, model_axis: str):
+    if leaf_name in COL_PARALLEL or leaf_name == "lm_head":
+        if tensor_key == "weight":  # [out, in]
+            return P(model_axis, None)
+        if tensor_key == "bias":
+            return P(model_axis)
+    if leaf_name in ROW_PARALLEL:
+        if tensor_key == "weight":
+            return P(None, model_axis)
+        if tensor_key == "bias":
+            return P()  # replicated; GSPMD psums the partial matmul outputs
+    if leaf_name == "embed_tokens" and tensor_key == "weight":
+        return P(model_axis, None)  # vocab-sharded
+    return P()
+
+
+def _quant_spec(leaf_name: str, model_axis: str) -> QuantLinear:
+    """PartitionSpecs for each QuantLinear field, as a QuantLinear of specs."""
+    col = leaf_name in COL_PARALLEL or leaf_name == "lm_head"
+    if col:
+        return dict(
+            qweight=P(None, model_axis),
+            qzeros=P(None, model_axis),
+            scales=P(None, model_axis),
+            g_idx=P(),
+            bias=P(model_axis),
+            zbias=P(None, model_axis),
+        )
+    if leaf_name in ROW_PARALLEL:
+        return dict(
+            qweight=P(model_axis, None),
+            qzeros=P(model_axis, None),
+            scales=P(model_axis, None),
+            g_idx=P(model_axis),
+            bias=P(),
+            zbias=P(model_axis, None),
+        )
+    return dict(
+        qweight=P(), qzeros=P(), scales=P(), g_idx=P(), bias=P(), zbias=P()
+    )
+
+
+def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
+    """Mirror the params pytree with PartitionSpecs (QuantLinear-aware)."""
+    if isinstance(tree, QuantLinear):
+        spec = _quant_spec(_leaf_name, model_axis)
+        return QuantLinear(
+            qweight=spec["qweight"],
+            qzeros=spec["qzeros"],
+            scales=spec["scales"],
+            g_idx=None if tree.g_idx is None else spec["g_idx"],
+            bias=None if tree.bias is None else spec["bias"],
+            zbias=None if tree.zbias is None else spec["zbias"],
+            bits=tree.bits, group_size=tree.group_size,
+            in_features=tree.in_features, out_features=tree.out_features,
+            sym=tree.sym, v1=tree.v1,
+        )
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, (dict, list, QuantLinear)):
+                out[k] = param_pspecs(v, model_axis, _leaf_name=k)
+            else:  # tensor leaf: k is "weight"/"bias", module name is parent
+                out[k] = _dense_spec(_leaf_name, k, model_axis)
+        return out
+    if isinstance(tree, list):
+        return [param_pspecs(v, model_axis, _leaf_name=_leaf_name) for v in tree]
+    return P()
+
+
+def _shardable(spec: P, shape) -> bool:
+    """Check divisibility of sharded dims; fall back to replication if not."""
+    for dim, axes in zip(shape, spec):
+        if axes is None:
+            continue
+        # axis sizes resolved at device_put; checked there
+    return True
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """device_put every leaf with its NamedSharding (replicates what the
+    spec can't shard evenly)."""
+    specs = param_pspecs(params, model_axis)
+
+    def put(leaf, spec):
+        if leaf is None:
+            return None
+        shape = np.shape(leaf)
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        ok = True
+        for dim, ax in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+            if ax is not None and dim % axis_sizes[ax] != 0:
+                ok = False
+        s = spec if ok else P()
+        return jax.device_put(leaf, NamedSharding(mesh, s))
+
+    return _tree_zip_map(put, params, specs)
+
+
+def _tree_zip_map(fn, tree, specs):
+    if isinstance(tree, QuantLinear):
+        kw = {}
+        for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zbias"):
+            kw[f] = fn(getattr(tree, f), getattr(specs, f))
+        return QuantLinear(
+            **kw, bits=tree.bits, group_size=tree.group_size,
+            in_features=tree.in_features, out_features=tree.out_features,
+            sym=tree.sym, v1=tree.v1,
+        )
+    if isinstance(tree, dict):
+        return {k: _tree_zip_map(fn, v, specs[k]) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_tree_zip_map(fn, v, s) for v, s in zip(tree, specs)]
+    return fn(tree, specs)

@@ -1,0 +1,122 @@
+"""Pallas fused dequant-matmul vs the XLA reference path.
+
+Model: reference kernel tests (tests/kernels/test_gptq.py) — every fast
+kernel validates against the executable reference semantics across
+bits × group_size sweeps. On CPU these run the kernel in interpreter mode;
+the same code compiles for TPU (exercised by bench.py / __graft_entry__.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptqmodel_tpu.ops import registry
+from gptqmodel_tpu.ops.qlinear import dequantize_weight, make_quant_linear, qlinear_forward_xla
+
+
+def _random_module(bits, group_size, in_f, out_f, seed=0, sym=False):
+    rng = np.random.default_rng(seed)
+    g = in_f if group_size == -1 else group_size
+    G = in_f // g
+    codes = rng.integers(0, 2**bits, size=(out_f, in_f), dtype=np.int64)
+    scales = rng.uniform(0.005, 0.05, size=(G, out_f)).astype(np.float16)
+    zeros = rng.integers(0, 2**bits, size=(G, out_f), dtype=np.int64)
+    p = make_quant_linear(
+        Q=codes, scales=scales, zeros=zeros, g_idx=None, bias=None,
+        bits=bits, group_size=group_size, sym=sym,
+    )
+    return registry.post_init_module(p)
+
+
+@pytest.mark.parametrize(
+    "bits,group_size,in_f,out_f",
+    [
+        (4, 128, 256, 256),
+        (4, 64, 256, 128),
+        (4, -1, 256, 128),
+        (8, 128, 256, 128),
+        (2, 128, 256, 128),
+        (4, 128, 512, 384),
+    ],
+)
+def test_pallas_matches_xla(bits, group_size, in_f, out_f):
+    p = _random_module(bits, group_size, in_f, out_f)
+    rng = np.random.default_rng(1)
+    for M in (1, 7, 16):
+        x = jnp.asarray(rng.standard_normal((M, in_f)), dtype=jnp.float32)
+        ref = np.asarray(qlinear_forward_xla(p, x))
+        registry.set_backend("pallas_interpret")
+        try:
+            got = np.asarray(registry.qlinear_forward(p, x))
+        finally:
+            registry.set_backend("auto")
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_pallas_bf16_activation():
+    p = _random_module(4, 128, 256, 256)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 256)), dtype=jnp.bfloat16)
+    ref = np.asarray(qlinear_forward_xla(p, x), dtype=np.float32)
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), dtype=np.float32)
+    finally:
+        registry.set_backend("auto")
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel  # bf16 matmul noise only
+
+
+def test_capability_contract_and_selection():
+    from gptqmodel_tpu.ops import pallas_qmatmul
+
+    # 3-bit, desc_act imports, and misaligned shapes fall back to XLA
+    assert not pallas_qmatmul.supports(3, 128, 256, 256, True)
+    assert not pallas_qmatmul.supports(4, 128, 256, 256, False)  # g_idx set
+    assert not pallas_qmatmul.supports(4, 128, 256, 100, True)  # out % 128
+    assert pallas_qmatmul.supports(4, 128, 256, 256, True)
+
+    p3 = _random_module(3, 32, 96, 128) if False else None  # 3-bit unsupported by pallas
+    p = _random_module(4, 128, 256, 256)
+    assert registry.select_kernel(p) in ("xla", "pallas")  # auto, CPU -> xla
+    registry.set_backend("xla")
+    try:
+        assert registry.select_kernel(p) == "xla"
+    finally:
+        registry.set_backend("auto")
+
+    # forcing pallas on an incompatible module raises with a clear message
+    bad = _random_module(4, 128, 256, 256)
+    bad = registry.post_init_module(bad)
+    object.__setattr__  # (dataclass not frozen; mutate g_idx directly)
+    bad.g_idx = np.arange(256, dtype=np.int32)[::-1].copy()
+    registry.set_backend("pallas")
+    try:
+        with pytest.raises(ValueError, match="does not support"):
+            registry.select_kernel(bad)
+    finally:
+        registry.set_backend("auto")
+
+
+def test_zbias_not_serialized():
+    from gptqmodel_tpu.models.writer import flatten_params
+
+    p = _random_module(4, 128, 256, 128)
+    flat = flatten_params({"m": p})
+    assert set(flat) == {"m.qweight", "m.qzeros", "m.scales", "m.g_idx"}
+
+
+def test_post_init_zbias_semantics():
+    """zbias must equal scales*zeros so codes*s - zbias == s*(codes - zeros)."""
+    p = _random_module(4, 64, 128, 128, sym=False)
+    w_ref = np.asarray(dequantize_weight(p))
+    codes_s = None
+    from gptqmodel_tpu.ops.pack import unpack_qweight, unpack_qzeros
+
+    codes = unpack_qweight(np.asarray(p.qweight), 4).astype(np.float32)
+    scales = np.asarray(p.scales, np.float32)
+    zb = np.asarray(p.zbias)
+    G = scales.shape[0]
+    w2 = codes * np.repeat(scales, 64, 0) - np.repeat(zb, 64, 0)
+    np.testing.assert_allclose(w2, w_ref, atol=1e-5)
