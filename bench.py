@@ -134,23 +134,39 @@ def main():
 
     token = jnp.argmax(logits, axis=-1)
     pos = lens
-    # warm decode (compile)
-    t0 = time.time()
-    l2, c2, kv2 = decode(params, token, pos, jnp.int32(T), key_valid, caches)
-    l2.block_until_ready()
-    _log(f"decode step compiled in {time.time()-t0:.1f}s")
 
-    # timed decode loop
+    # in-graph decode loop: the tunnel's per-dispatch latency would otherwise
+    # dominate; a scan measures pure device time like a local host loop would
+    import jax
+
+    def make_loop(n):
+        @jax.jit
+        def loop(params, token, pos, key_valid, caches):
+            def body(carry, s):
+                token, pos, key_valid, caches = carry
+                logits, caches, key_valid = decode(
+                    params, token, pos, T + s, key_valid, caches
+                )
+                token = jnp.argmax(logits, axis=-1)
+                return (token, pos + 1, key_valid, caches), token[0]
+            (token, pos, key_valid, caches), toks = jax.lax.scan(
+                body, (token, pos, key_valid, caches), jnp.arange(n)
+            )
+            return toks.sum()
+        return loop
+
+    warm, timed = make_loop(2), make_loop(2 + steps)
     t0 = time.time()
-    cur_caches, cur_valid, cur_pos = caches, key_valid, pos
-    for s in range(steps):
-        logits, cur_caches, cur_valid = decode(
-            params, token, cur_pos, jnp.int32(T + s), cur_valid, cur_caches
-        )
-        cur_pos = cur_pos + 1
-    logits.block_until_ready()
-    dt = time.time() - t0
-    step_time = dt / steps
+    float(warm(params, token, pos, key_valid, caches))
+    float(timed(params, token, pos, key_valid, caches))
+    _log(f"decode loops compiled+warm in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    float(warm(params, token, pos, key_valid, caches))
+    t_warm = time.time() - t0
+    t0 = time.time()
+    float(timed(params, token, pos, key_valid, caches))
+    t_timed = time.time() - t0
+    step_time = (t_timed - t_warm) / steps  # differential: drops dispatch+I/O
     toks_per_s = B / step_time
 
     bw = HBM_GBPS.get(os.environ.get("BENCH_TPU_GEN", "v5e"), 819.0)

@@ -6,13 +6,20 @@ VMEM, unpacked and dequantized in-register, and fed straight to the MXU —
 HBM traffic is the packed bytes (bits/8 per weight), which is the roofline
 that matters for decode.
 
-Design:
-- operates directly on the GPTQ interchange ``qweight int32 [K/pf, N]``
-  layout (no repack pass needed, unlike marlin's tile-interleave);
-- ``K_tile == group_size`` (or a multiple) so each K-step sees whole groups;
-  dequant is a fused multiply-subtract ``w = codes * scale - zbias`` with
-  ``zbias = scale * zero`` precomputed once at load (post-init analog,
-  reference utils/model.py:1281);
+Key layout trick (plane-major unpack): the GPTQ interchange word at row r,
+bit-field j holds logical K-row ``r*pf + j``. Interleaving the pf shifted
+"planes" back to logical row order is a large sublane shuffle over the whole
+[kt, nt] block — the dominant cost of a naive kernel. Instead we keep the
+unpacked block in plane-major order (a free concat along sublanes) and
+permute the K-dim of the *activations* to match (a [M, K] reshape-transpose,
+~N/ M× less data, fused into the caller's graph outside the kernel). Group
+structure survives: in plane-major order, row ``p*R + r`` belongs to group
+``r // (R/groups_per_tile)`` independent of the plane, so per-group scales
+broadcast with a reshape — no gathers.
+
+- ``K_tile`` covers >= 8 whole groups (Mosaic sublane rule) or all of K;
+- dequant is ``codes * scale - zbias`` with ``zbias = scale*zero``
+  precomputed at load (post-init analog, reference utils/model.py:1281);
 - grid (N, M, K) with K innermost accumulating into a VMEM f32 scratch;
 - contiguous groups required (GAR composes its perms away; desc_act imports
   fall back to the XLA reference path — SURVEY §7 "hard parts").
@@ -34,23 +41,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _unpack_block(qw, bits: int, kt: int, nt: int):
-    """[kt/pf, nt] int32 words -> [kt, nt] int32 codes (logical row order).
-
-    Word row r, bit-field j holds logical row ``r*pf + j``; stacking the
-    shifted nibble planes on a new minor axis then reshaping restores
-    logical order as a sublane interleave.
-    """
-    pf = 32 // bits
-    u = qw.astype(jnp.uint32)
-    mask = jnp.uint32((1 << bits) - 1)
-    planes = [
-        ((u >> jnp.uint32(bits * j)) & mask).astype(jnp.int32) for j in range(pf)
-    ]
-    return jnp.stack(planes, axis=1).reshape(kt, nt)
-
-
-def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, groups_per_kt):
+def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, gpk):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -58,18 +49,52 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = _unpack_block(qw_ref[:], bits, kt, nt)  # [kt, nt] int32
-    s = s_ref[:]  # [groups_per_kt, nt] f32
-    zb = zb_ref[:]  # [groups_per_kt, nt] f32
-    g_rows = kt // groups_per_kt
-    w = codes.reshape(groups_per_kt, g_rows, nt).astype(jnp.float32)
-    w = w * s[:, None, :] - zb[:, None, :]
-    w = w.reshape(kt, nt).astype(x_ref.dtype)
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    pf = 32 // bits
+    R = kt // pf
+    u = qw_ref[:].astype(jnp.uint32)  # [R, nt]
+    mask = jnp.uint32((1 << bits) - 1)
+    # plane-major unpack: concat along sublanes (no interleave)
+    w = jnp.concatenate(
+        [
+            ((u >> jnp.uint32(bits * j)) & mask).astype(jnp.int32).astype(jnp.bfloat16)
+            for j in range(pf)
+        ],
+        axis=0,
+    )  # [kt, nt], row p*R + r = logical row r*pf + p (within this K-tile)
+    # group of plane-major row = r // (R/gpk): broadcast scales by reshape
+    rpg = R // gpk
+    w = w.reshape(pf, gpk, rpg, nt)
+    w = w * s_ref[:].astype(jnp.bfloat16)[None, :, None, :] - zb_ref[:].astype(
+        jnp.bfloat16
+    )[None, :, None, :]
+    w = w.reshape(kt, nt)
+    # x arrives pre-permuted to the same plane-major K order
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
 
     @pl.when(k == nk - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _plane_permute_x(x: jnp.ndarray, kt: int, pf: int) -> jnp.ndarray:
+    """Permute the K axis of x to the kernel's per-tile plane-major order:
+    xp[m, k_tile, p, r] = x[m, k_tile*kt + r*pf + p]."""
+    M, K = x.shape
+    R = kt // pf
+    return x.reshape(M, K // kt, R, pf).transpose(0, 1, 3, 2).reshape(M, K)
+
+
+def _pick_block_k(K: int, g: int, requested: int) -> int:
+    """K-tile covering whole groups with an 8-divisible (or full) group dim."""
+    if requested and requested % g == 0 and K % requested == 0 and (
+        (requested // g) % 8 == 0 or requested == K
+    ):
+        return requested
+    if K % (8 * g) == 0 and K // g >= 8:
+        return 8 * g
+    return K
 
 
 @functools.partial(
@@ -85,7 +110,7 @@ def qmatmul(
     bits: int,
     group_size: int,
     block_m: int = 0,
-    block_n: int = 256,
+    block_n: int = 512,
     block_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -98,18 +123,15 @@ def qmatmul(
     assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
     assert G * g == K, (G, g, K)
 
-    bk = block_k or min(max(g, 256), K)
-    if bk % g or K % bk:  # block must cover whole groups and tile K exactly
-        bk = g
+    bk = _pick_block_k(K, g, block_k)
     bm = block_m or (8 if M <= 8 else (128 if M >= 128 else _round_up(M, 8)))
     bn = min(block_n, N)
     gpk = bk // g
 
+    xp = _plane_permute_x(x, bk, pf)
     grid = (_cdiv(N, bn), _cdiv(M, bm), _cdiv(K, bk))
 
-    kernel = functools.partial(
-        _qmm_kernel, bits=bits, kt=bk, nt=bn, groups_per_kt=gpk
-    )
+    kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -137,7 +159,7 @@ def qmatmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qweight, scales.astype(jnp.float32), zbias.astype(jnp.float32))
+    )(xp, qweight, scales.astype(jnp.float32), zbias.astype(jnp.float32))
     return out
 
 
