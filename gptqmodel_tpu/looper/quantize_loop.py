@@ -106,14 +106,14 @@ def quantize_model(
         if tap_reps in step_cache:
             return step_cache[tap_reps]
 
-        def step(lp, h, row_mask, Gs, ns):
+        def step(lp, h, row_mask, Gs, ns, As):
             taps: dict = {}
             decoder_layer(
                 spec, lp, h, cos, sin, attn_bias,
                 taps=taps, tap_paths=frozenset(tap_reps),
             )
             flat_mask = row_mask.reshape(-1)
-            newG, newn = {}, {}
+            newG, newn, newA = {}, {}, {}
             for key in tap_reps:
                 t_ = taps[key]
                 if isinstance(t_, tuple):  # MoE expert: (x, routing_mask)
@@ -124,7 +124,9 @@ def quantize_model(
                 xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32) * m[:, None]
                 newG[key] = Gs[key] + jnp.matmul(xf.T, xf, precision="highest")
                 newn[key] = ns[key] + jnp.sum(m)
-            return newG, newn
+                # channel |x| sums ride along (AWQ scale formula)
+                newA[key] = As[key] + jnp.sum(jnp.abs(xf), axis=0)
+            return newG, newn, newA
 
         fn = jax.jit(step)
         step_cache[tap_reps] = fn
@@ -146,13 +148,22 @@ def quantize_model(
     out_layers: list[dict] = []
     durations = {"forward": 0.0, "solve": 0.0, "pack": 0.0}
 
+    # AWQ: inputs are captured from the fp layer for ALL modules at once and
+    # scale folds apply to fp weights before any packing (autoawq semantics;
+    # reference awq_processor collects per-layer input_feat the same way) —
+    # so the subset structure merges into one capture pass.
+    awq_mode = qcfg.method == METHOD.AWQ and not qcfg.mock_quantization
+    subset_plan = (
+        [[m for s in subsets for m in s]] if awq_mode else subsets
+    )
+
     for li in range(spec.num_layers):
         t_layer = time.perf_counter()
         lp = build_params_tree(reader, layer_filter=li)
         lp = jax.tree.map(jnp.asarray, lp)
         qlayer_mods: dict[str, Any] = {}
 
-        for subset in subsets:
+        for subset in subset_plan:
             groups = _build_groups(subset, li, qcfg, plan)
             if not groups:
                 continue
@@ -166,18 +177,35 @@ def quantize_model(
             }
             Gs = {k: jnp.zeros((v, v), jnp.float32) for k, v in in_feats.items()}
             ns = {k: jnp.zeros((), jnp.float32) for k in in_feats}
+            As = {k: jnp.zeros((v,), jnp.float32) for k, v in in_feats.items()}
             for b in range(nb):
-                Gs, ns = step(
-                    lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), Gs, ns
+                Gs, ns, As = step(
+                    lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), Gs, ns, As
                 )
             jax.block_until_ready(list(Gs.values()))
             durations["forward"] += time.perf_counter() - t0
 
-            for grp in groups:
-                _quantize_group(
-                    grp, lp, Gs[grp.tap], float(ns[grp.tap]), li, qcfg,
-                    qlayer_mods, quant_log, durations,
-                )
+            if awq_mode:
+                # phase B: scale search + fold on fp weights, all groups
+                folds = {}
+                for grp in groups:
+                    folds[grp.tap] = _awq_search_and_fold(
+                        grp, lp, Gs[grp.tap], As[grp.tap], float(ns[grp.tap]),
+                        spec, durations,
+                    )
+                # phase C: clip + RTN quantize + pack, folded weights
+                for grp in groups:
+                    _awq_quantize_group(
+                        grp, lp, Gs[grp.tap], folds[grp.tap],
+                        float(ns[grp.tap]), li, qlayer_mods, quant_log,
+                        durations,
+                    )
+            else:
+                for grp in groups:
+                    _quantize_group(
+                        grp, lp, Gs[grp.tap], float(ns[grp.tap]), li, qcfg,
+                        qlayer_mods, quant_log, durations,
+                    )
 
         # replay with fully-quantized layer -> next layer inputs
         t0 = time.perf_counter()
@@ -325,6 +353,145 @@ def _quantize_group(
                 "time_s": round(solve_t / len(members), 4),
             })
         durations["pack"] += time.perf_counter() - t0
+
+
+def _awq_fold_target(grp: _Group, lp: dict, spec) -> tuple[str, str] | None:
+    """(kind, path) the group's channel scales fold into, or None.
+
+    Standard AWQ fold map (llama lineage): qkv <- input_layernorm,
+    gate/up <- post_attention_layernorm (pre_feedforward for gemma2-style),
+    o_proj <- v_proj rows (only without GQA), down_proj <- up_proj rows.
+    MoE expert gate/up share their input with every other expert, so no
+    per-expert fold exists — clip-only (s=1)."""
+    tap = grp.tap
+    parent, _, leaf = tap.rpartition(".")
+    if leaf in ("q_proj", "k_proj", "v_proj"):
+        return ("norm", "input_layernorm")
+    if leaf in ("gate_proj", "up_proj", "w1", "w3"):
+        if "experts" in parent:
+            return None
+        if spec.post_norms:
+            return ("norm", "pre_feedforward_layernorm")
+        return ("norm", "post_attention_layernorm")
+    if leaf == "o_proj":
+        if spec.num_heads != spec.num_kv_heads:
+            return None  # GQA: o input channels repeat v channels
+        return ("linear", f"{parent}.v_proj")
+    if leaf in ("down_proj", "w2"):
+        up = "up_proj" if leaf == "down_proj" else "w3"
+        return ("linear", f"{parent}.{up}")
+    return None
+
+
+def _awq_search_and_fold(
+    grp: _Group,
+    lp: dict,
+    G: jnp.ndarray,
+    A: jnp.ndarray,
+    n_rows: float,
+    spec,
+    durations: dict,
+) -> jnp.ndarray:
+    """Phase B: search the group's channel scale, apply the fold to the fp
+    weights of the producing norm/linear. Returns s [in]."""
+    from gptqmodel_tpu.looper.awq import (
+        fold_scale_into_linear_rows,
+        fold_scale_into_norm,
+        search_scale,
+    )
+
+    cfg = grp.cfgs[0]
+    in_f = int(get_by_path(lp, grp.members[0])["weight"].shape[1])
+    fold = _awq_fold_target(grp, lp, spec)
+    if fold is None or n_rows < 1:
+        return jnp.ones((in_f,), jnp.float32)
+
+    t0 = time.perf_counter()
+    Ws = [np.asarray(get_by_path(lp, m)["weight"], np.float32) for m in grp.members]
+    W_cat = jnp.asarray(np.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0])
+    xmean = A / jnp.maximum(n_rows, 1.0)
+    s, _ = search_scale(
+        W_cat, G, xmean, bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym
+    )
+    s = jnp.where(jnp.isfinite(s), s, 1.0)
+
+    kind, path = fold
+    target = get_by_path(lp, path)
+    if kind == "norm":
+        target["weight"] = fold_scale_into_norm(target["weight"], s)
+    else:
+        w2, b2 = fold_scale_into_linear_rows(target["weight"], target.get("bias"), s)
+        target["weight"] = w2
+        if b2 is not None:
+            target["bias"] = b2
+    durations["solve"] += time.perf_counter() - t0
+    return s
+
+
+def _awq_quantize_group(
+    grp: _Group,
+    lp: dict,
+    G: jnp.ndarray,
+    s: jnp.ndarray,
+    n_rows: float,
+    layer_idx: int,
+    qlayer_mods: dict,
+    quant_log: list,
+    durations: dict,
+):
+    """Phase C: clip search + RTN quantize the (folded) scaled weights."""
+    from gptqmodel_tpu.looper.awq import scaled_hessian, search_clip
+
+    cfg = grp.cfgs[0]
+    t0 = time.perf_counter()
+    Ws = [np.asarray(get_by_path(lp, m)["weight"], np.float32) for m in grp.members]
+    out_sizes = [w.shape[0] for w in Ws]
+    W_cat = jnp.asarray(np.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0])
+
+    Wsc = W_cat * s[None, :]
+    G_sc = scaled_hessian(G, s)
+    W_clip = search_clip(
+        Wsc, G_sc, bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym
+    )
+    res = rtn_quantize(
+        np.asarray(W_clip), bits=cfg.bits, group_size=cfg.group_size,
+        sym=cfg.sym, mse=cfg.mse > 0,
+    )
+    delta = jnp.asarray(res.Wq) - Wsc
+    final_loss = float(
+        jnp.einsum("oi,ij,oj->", delta, G_sc, delta, precision="highest")
+    ) / max(n_rows, 1.0)
+    solve_t = time.perf_counter() - t0
+    durations["solve"] += solve_t
+
+    t0 = time.perf_counter()
+    row0 = 0
+    for m, out_f in zip(grp.members, out_sizes):
+        sl = slice(row0, row0 + out_f)
+        row0 += out_f
+        dense = get_by_path(lp, m)
+        bias = dense.get("bias")
+        qmod = make_quant_linear(
+            Q=res.Q[sl], scales=res.scales[:, sl], zeros=res.zeros[:, sl],
+            g_idx=None, bias=None if bias is None else np.asarray(bias),
+            bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+        )
+        qlayer_mods[m] = qmod
+        # replay path: dense weight = dequantized scaled weight; the input
+        # arriving from the folded producer is already divided by s
+        dense["weight"] = jnp.asarray(res.Wq[sl], dtype=jnp.float32)
+        quant_log.append({
+            "layer": layer_idx,
+            "module": m,
+            "loss": round(final_loss, 8),
+            "samples": int(n_rows),
+            "damp": 0.0,
+            "bits": cfg.bits,
+            "group_size": cfg.group_size,
+            "fallback": False,
+            "time_s": round(solve_t / len(grp.members), 4),
+        })
+    durations["pack"] += time.perf_counter() - t0
 
 
 def _quantize_lm_head(spec, base, hidden, mask_all, qcfg, quant_log, durations):

@@ -79,8 +79,9 @@ class QuantizeConfig:
             raise ValueError(f"unsupported bits: {self.bits}")
         if self.group_size not in (-1,) and self.group_size <= 0:
             raise ValueError(f"invalid group_size: {self.group_size}")
-        if self.method == METHOD.AWQ and self.format == FORMAT.GPTQ:
-            self.format = FORMAT.AWQ_GEMM
+        # NOTE: AWQ-method checkpoints are saved in the GPTQ pack layout
+        # (scales folded into the producing modules); FORMAT.AWQ_GEMM is for
+        # importing external AWQ-format checkpoints.
 
     # ---------------------------------------------------------------- dynamic
     def dynamic_get(self, module_name: str, key: str | None = None, default=None):
