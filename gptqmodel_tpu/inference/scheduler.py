@@ -1,0 +1,292 @@
+"""Continuous batching engine: slot-based scheduler over jitted step fns.
+
+The reference delegates serving to vLLM/SGLang (gptqmodel/utils/vllm.py:139);
+here continuous batching is first-class (SURVEY §7 step 5 — new design work):
+
+- A fixed pool of B slots shares one static KV cache [B, Hkv, L, D] per
+  layer; each slot has its own logical/physical position (per-row scatter
+  writes in ``attention``), so sequences join and leave mid-flight without
+  reshaping anything — only TWO compiled programs run steady-state:
+  ``prefill_slot`` (per prompt-length bucket) and ``decode_all``.
+- Prompts are padded up to power-of-two buckets to bound compile count.
+- Sampling (greedy / temperature / top-k / top-p) runs on host over [B, V]
+  logits — B is small; device-side sampling is a later optimization.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.models.spec import ModelSpec
+from gptqmodel_tpu.models.transformer import (
+    decoder_layer,
+    embed,
+    lm_logits,
+    rms_norm,
+    rope_cos_sin,
+)
+
+_NEG = float(np.finfo(np.float32).min)
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt_ids: np.ndarray  # [T]
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    eos_token_id: Optional[int] = None
+    stream_cb: Optional[Callable[[int], None]] = None
+    # filled during processing
+    output_ids: list = field(default_factory=list)
+    done: bool = False
+    finish_reason: str = ""
+    _event: threading.Event = field(default_factory=threading.Event)
+
+    def wait(self, timeout=None) -> "Request":
+        self._event.wait(timeout)
+        return self
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params: Any,
+        max_slots: int = 8,
+        max_len: int = 2048,
+        dtype=jnp.bfloat16,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.spec = spec
+        self.params = params
+        self.B = max_slots
+        self.L = max_len
+        self.dtype = dtype
+        self.eos_token_id = eos_token_id
+        self.rng = np.random.default_rng(seed)
+
+        kv_shape = (self.B, spec.num_kv_heads, max_len, spec.head_dim)
+        self.caches = [
+            {"k": jnp.zeros(kv_shape, dtype), "v": jnp.zeros(kv_shape, dtype)}
+            for _ in range(spec.num_layers)
+        ]
+        self.key_valid = jnp.zeros((self.B, max_len), bool)
+        self.pos = np.zeros(self.B, np.int32)  # next write/query position
+        self.slots: list[Optional[Request]] = [None] * self.B
+        self.last_token = np.zeros(self.B, np.int32)
+
+        self._queue: list[Request] = []
+        self._lock = threading.Lock()
+        self._next_id = 0
+        self._prefill_cache: dict[int, Any] = {}
+        self._decode_fn = self._make_decode()
+
+    # ------------------------------------------------------------- jit fns
+    def _make_prefill(self, T: int):
+        spec, L, dtype = self.spec, self.L, self.dtype
+
+        @jax.jit
+        def prefill(params, caches, key_valid, ids, true_len, slot):
+            # mini-cache view for the slot
+            mini = []
+            for c in caches:
+                H, D = c["k"].shape[1], c["k"].shape[3]
+                mini.append({
+                    "k": jax.lax.dynamic_slice(c["k"], (slot, 0, 0, 0), (1, H, L, D)),
+                    "v": jax.lax.dynamic_slice(c["v"], (slot, 0, 0, 0), (1, H, L, D)),
+                    "pos": jnp.int32(0),
+                })
+            positions = jnp.arange(T)[None, :]
+            cos, sin = rope_cos_sin(spec, positions)
+            qi = jnp.arange(T)[:, None]
+            ki = jnp.arange(L)[None, :]
+            bias = jnp.where((ki <= qi) & (ki < true_len), 0.0, _NEG)[None, None]
+            h = embed(spec, params, ids, dtype)
+            for i, lp in enumerate(params["model"]["layers"]):
+                h, mini[i] = decoder_layer(spec, lp, h, cos, sin, bias, mini[i])
+            h = rms_norm(
+                h, params["model"]["norm"]["weight"], spec.rms_norm_eps,
+                spec.rms_norm_offset,
+            )
+            last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
+            logits = lm_logits(spec, params, last)[0, 0]
+            for i, c in enumerate(caches):
+                c["k"] = jax.lax.dynamic_update_slice(c["k"], mini[i]["k"], (slot, 0, 0, 0))
+                c["v"] = jax.lax.dynamic_update_slice(c["v"], mini[i]["v"], (slot, 0, 0, 0))
+            row = jnp.arange(L) < true_len
+            key_valid = jax.lax.dynamic_update_slice(
+                key_valid, row[None, :], (slot, 0)
+            )
+            return logits, caches, key_valid
+
+        return prefill
+
+    def _make_decode(self):
+        spec, dtype = self.spec, self.dtype
+
+        @jax.jit
+        def decode(params, caches, key_valid, token, pos):
+            B = token.shape[0]
+            key_valid = key_valid.at[jnp.arange(B), pos].set(True)
+            cos, sin = rope_cos_sin(spec, pos[:, None])
+            bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
+            h = embed(spec, params, token[:, None], dtype)
+            new_caches = []
+            for i, lp in enumerate(params["model"]["layers"]):
+                c = dict(caches[i], pos=pos)
+                h, c = decoder_layer(spec, lp, h, cos, sin, bias, c)
+                new_caches.append({"k": c["k"], "v": c["v"]})
+            h = rms_norm(
+                h, params["model"]["norm"]["weight"], spec.rms_norm_eps,
+                spec.rms_norm_offset,
+            )
+            logits = lm_logits(spec, params, h)[:, 0]
+            return logits, new_caches, key_valid
+
+        return decode
+
+    # ------------------------------------------------------------ user API
+    def submit(
+        self,
+        prompt_ids,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        stream_cb=None,
+    ) -> Request:
+        with self._lock:
+            req = Request(
+                request_id=self._next_id,
+                prompt_ids=np.asarray(prompt_ids, np.int32).reshape(-1),
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                eos_token_id=self.eos_token_id,
+                stream_cb=stream_cb,
+            )
+            self._next_id += 1
+            self._queue.append(req)
+            return req
+
+    def has_work(self) -> bool:
+        return bool(self._queue) or any(s is not None for s in self.slots)
+
+    def step(self) -> list[Request]:
+        """One scheduler iteration: admit one pending request, then decode
+        all active slots. Returns requests finished this step."""
+        self._admit()
+        return self._decode_step()
+
+    def run_until_idle(self) -> None:
+        while self.has_work():
+            self.step()
+
+    def generate(self, prompt_ids, **kw) -> list[int]:
+        req = self.submit(prompt_ids, **kw)
+        while not req.done:
+            self.step()
+        return req.output_ids
+
+    # ------------------------------------------------------------ internals
+    def _admit(self):
+        with self._lock:
+            if not self._queue:
+                return
+            free = [i for i, s in enumerate(self.slots) if s is None]
+            if not free:
+                return
+            req = self._queue.pop(0)
+        slot = free[0]
+        T_true = len(req.prompt_ids)
+        if T_true + req.max_new_tokens > self.L:
+            req.done = True
+            req.finish_reason = "length_exceeded"
+            req._event.set()
+            return
+        Tb = _bucket(T_true)
+        if Tb > self.L:
+            Tb = self.L
+        ids = np.zeros((1, Tb), np.int32)
+        ids[0, :T_true] = req.prompt_ids
+        if Tb not in self._prefill_cache:
+            self._prefill_cache[Tb] = self._make_prefill(Tb)
+        logits, self.caches, self.key_valid = self._prefill_cache[Tb](
+            self.params, self.caches, self.key_valid, jnp.asarray(ids),
+            jnp.int32(T_true), jnp.int32(slot),
+        )
+        tok = self._sample_one(np.asarray(logits, np.float32), req)
+        self._emit(req, tok)
+        self.slots[slot] = req
+        self.pos[slot] = T_true
+        self.last_token[slot] = tok
+
+    def _decode_step(self) -> list[Request]:
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        logits, self.caches, self.key_valid = self._decode_fn(
+            self.params, self.caches, self.key_valid,
+            jnp.asarray(self.last_token), jnp.asarray(self.pos),
+        )
+        logits = np.asarray(logits, np.float32)
+        finished = []
+        for i in active:
+            req = self.slots[i]
+            tok = self._sample_one(logits[i], req)
+            self._emit(req, tok)
+            self.pos[i] += 1
+            self.last_token[i] = tok
+            eos = req.eos_token_id is not None and tok == req.eos_token_id
+            if eos or len(req.output_ids) >= req.max_new_tokens:
+                req.done = True
+                req.finish_reason = "stop" if eos else "length"
+                req._event.set()
+                finished.append(req)
+                self.slots[i] = None
+                self.key_valid = self.key_valid.at[i].set(False)
+        return finished
+
+    def _emit(self, req: Request, tok: int):
+        req.output_ids.append(int(tok))
+        if req.stream_cb:
+            req.stream_cb(int(tok))
+
+    def _sample_one(self, logits: np.ndarray, req: Request) -> int:
+        if req.temperature <= 0.0:
+            return int(np.argmax(logits))
+        l = logits / req.temperature
+        if req.top_k > 0:
+            kth = np.partition(l, -req.top_k)[-req.top_k]
+            l = np.where(l < kth, -np.inf, l)
+        p = np.exp(l - l.max())
+        p /= p.sum()
+        if req.top_p < 1.0:
+            order = np.argsort(-p)
+            cum = np.cumsum(p[order])
+            cut = cum <= req.top_p
+            cut[0] = True
+            keep = order[cut]
+            mask = np.zeros_like(p)
+            mask[keep] = p[keep]
+            p = mask / mask.sum()
+        return int(self.rng.choice(len(p), p=p))

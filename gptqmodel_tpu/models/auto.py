@@ -207,6 +207,38 @@ class BaseQModel:
             self._load_params()
         return perplexity(self.spec, self.params, input_ids, row_mask, dtype=dtype)
 
+    # --------------------------------------------------------------- serve
+    def engine(self, max_slots: int = 8, max_len: int = 2048, dtype=jnp.bfloat16):
+        """Continuous-batching engine over this model (analog of reference
+        base.py:1798 serve stack)."""
+        from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+        if self.params is None:
+            self._load_params()
+        return ContinuousBatchingEngine(
+            self.spec, self.params, max_slots=max_slots, max_len=max_len,
+            dtype=dtype, eos_token_id=self.hf_config.get("eos_token_id"),
+        )
+
+    def serve(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_slots: int = 8,
+        max_len: int = 2048,
+        block: bool = True,
+        dtype=jnp.bfloat16,
+    ):
+        """Start an OpenAI-compatible server (reference base.py:1798)."""
+        from gptqmodel_tpu.inference.server import OpenAiServer
+
+        srv = OpenAiServer(
+            self.engine(max_slots=max_slots, max_len=max_len, dtype=dtype),
+            self.tokenizer,
+        )
+        srv.start(host=host, port=port, block=block)
+        return srv
+
 
 def _has_tokenizer(model_dir: Path) -> bool:
     return (model_dir / "tokenizer.json").exists() or (

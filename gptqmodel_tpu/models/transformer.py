@@ -178,9 +178,23 @@ def attention(
 
     if cache is not None:
         pos = cache["pos"]
-        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0))
-        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0))
-        cache = {"k": k, "v": v, "pos": pos + T}
+        if jnp.ndim(pos) == 0:  # uniform write pointer
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
+            )
+            cache = {"k": k, "v": v, "pos": pos + T}
+        else:  # per-slot write positions (continuous batching), T == 1
+            bidx = jnp.arange(B)
+            k = cache["k"].at[bidx, :, pos, :].set(
+                k[:, :, 0, :].astype(cache["k"].dtype)
+            )
+            v = cache["v"].at[bidx, :, pos, :].set(
+                v[:, :, 0, :].astype(cache["v"].dtype)
+            )
+            cache = {"k": k, "v": v, "pos": pos + 1}
 
     rep = nh // k.shape[1]
     if rep > 1:

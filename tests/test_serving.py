@@ -1,0 +1,151 @@
+"""Continuous batching + OpenAI server tests.
+
+Models reference test_openai_server.py and the inference-correctness anchors:
+the slot scheduler must produce exactly the same greedy tokens as the
+full-forward oracle, under staggered admission (sequences joining mid-decode).
+"""
+
+import json
+import socket
+import tempfile
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptqmodel_tpu.utils.testing import random_dense_params, tiny_spec
+
+
+def _oracle_greedy(spec, params, prompt, steps):
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    seq = list(prompt)
+    out = []
+    for _ in range(steps):
+        logits = np.asarray(
+            forward_logits(spec, params, jnp.asarray([seq], dtype=jnp.int32))
+        )
+        nxt = int(np.argmax(logits[0, -1]))
+        out.append(nxt)
+        seq.append(nxt)
+    return out
+
+
+def test_scheduler_matches_oracle_staggered():
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128, vocab=128)
+    params = random_dense_params(spec, seed=3)
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=96, dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(0)
+    p1 = rng.integers(1, 120, size=9).tolist()
+    p2 = rng.integers(1, 120, size=17).tolist()
+    p3 = rng.integers(1, 120, size=5).tolist()
+
+    # staggered: submit p1, run 2 steps, submit p2+p3 (p3 queues: 2 slots)
+    r1 = eng.submit(p1, max_new_tokens=6)
+    eng.step()
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=5)
+    r3 = eng.submit(p3, max_new_tokens=4)
+    eng.run_until_idle()
+
+    assert r1.output_ids == _oracle_greedy(spec, params, p1, 6)
+    assert r2.output_ids == _oracle_greedy(spec, params, p2, 5)
+    assert r3.output_ids == _oracle_greedy(spec, params, p3, 4)
+    assert r1.done and r2.done and r3.done
+
+
+def test_scheduler_sampling_reproducible():
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=64, layers=1, heads=4, kv_heads=2, inter=128, vocab=64)
+    params = random_dense_params(spec, seed=1)
+    outs = []
+    for _ in range(2):
+        eng = ContinuousBatchingEngine(
+            spec, params, max_slots=1, max_len=64, dtype=jnp.float32, seed=42
+        )
+        outs.append(eng.generate([5, 6, 7], max_new_tokens=8, temperature=0.8, top_k=10))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 8
+
+
+class _FakeTokenizer:
+    def __call__(self, text):
+        return {"input_ids": [ord(c) % 120 + 1 for c in text][:32]}
+
+    def decode(self, ids, **kw):
+        return " ".join(map(str, ids))
+
+    def apply_chat_template(self, msgs, **kw):
+        joined = " ".join(m.get("content", "") for m in msgs)
+        return self(joined)["input_ids"]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_openai_server_endpoints():
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+    from gptqmodel_tpu.inference.server import OpenAiServer
+
+    spec = tiny_spec(hidden=64, layers=1, heads=4, kv_heads=2, inter=128, vocab=128)
+    params = random_dense_params(spec, seed=2)
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=128, dtype=jnp.float32
+    )
+    srv = OpenAiServer(eng, _FakeTokenizer())
+    port = _free_port()
+    srv.start(port=port, block=False)
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        out = post("/v1/completions", {"prompt": "hello world", "max_tokens": 4})
+        assert out["object"] == "text_completion"
+        assert out["usage"]["completion_tokens"] == 4
+        assert out["choices"][0]["text"]
+
+        out = post(
+            "/v1/chat/completions",
+            {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 3},
+        )
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["message"]["role"] == "assistant"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=30
+        ) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"]
+
+        # concurrent clients share the decode batch
+        results = {}
+        def worker(i):
+            results[i] = post(
+                "/v1/completions", {"prompt": f"req {i}", "max_tokens": 3}
+            )
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join(timeout=120) for t in ts]
+        assert len(results) == 4
+    finally:
+        srv.shutdown()
