@@ -44,7 +44,7 @@ def build_quant_params_on_device(spec, bits=4, group_size=128):
             scales=jnp.full((G, out_f), 0.01, jnp.bfloat16),
             g_idx=None,
             bias=None,
-            zbias=jnp.zeros((G, out_f), jnp.float32),
+            zvals=jnp.zeros((G, out_f), jnp.float32),
             bits=bits, group_size=group_size,
             in_features=in_f, out_features=out_f, sym=True,
         )
@@ -88,7 +88,7 @@ def packed_model_bytes(spec, bits=4, group_size=128) -> int:
     per_layer_params = h * q + 2 * h * kv + q * h + 3 * h * spec.intermediate_size
     total = per_layer_params * spec.num_layers + spec.vocab_size * h  # + lm_head
     code_bytes = total * bits // 8
-    scale_bytes = (total // group_size) * 2  # bf16 scales (zbias extra, cached)
+    scale_bytes = (total // group_size) * 2  # bf16 scales (zvals extra, cached)
     return code_bytes + scale_bytes
 
 

@@ -325,6 +325,9 @@ def _quantize_group(
         durations["solve"] += solve_t
 
         t0 = time.perf_counter()
+        eora_rank = 0
+        if qcfg.adapter and qcfg.adapter.get("name", "eora") == "eora":
+            eora_rank = int(qcfg.adapter.get("rank", 64))
         row0 = 0
         for m, out_f in zip(members, out_sizes):
             sl = slice(row0, row0 + out_f)
@@ -336,9 +339,20 @@ def _quantize_group(
                 g_idx=res.g_idx, bias=None if bias is None else np.asarray(bias),
                 bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
             )
+            replay_w = res.Wq[sl]
+            if eora_rank > 0:
+                # EoRA from the same Hessian statistic (see quantization/eora.py)
+                from gptqmodel_tpu.quantization.eora import compute_eora
+
+                delta = np.asarray(W_cat[sl]) - res.Wq[sl]
+                A, B = compute_eora(delta, H * (max(n_rows, 1.0) / 2.0), eora_rank)
+                qmod.lora_A = jnp.asarray(A, dtype=jnp.float32)
+                qmod.lora_B = jnp.asarray(B, dtype=jnp.float32)
+                # replay matches inference: quantized weight + low-rank term
+                replay_w = res.Wq[sl] + (A @ B).T
             qlayer_mods[m] = qmod
             # true_sequential: subsequent subsets/replay see quantized weights
-            dense["weight"] = jnp.asarray(res.Wq[sl], dtype=dense["weight"].dtype)
+            dense["weight"] = jnp.asarray(replay_w, dtype=dense["weight"].dtype)
             quant_log.append({
                 "layer": layer_idx,
                 "module": m,

@@ -94,9 +94,29 @@ class BaseQModel:
             reader, self.qcfg if self.quantized else None
         )
         if self.quantized:
+            self._attach_adapters()
             from gptqmodel_tpu.ops.registry import post_init_params
 
             self.params = post_init_params(self.params)
+
+    def _attach_adapters(self, adapter_dir: Optional[Path] = None):
+        """Load an EoRA/LoRA sidecar (eora/adapter_model.safetensors) onto
+        the packed modules (reference AdapterCache / Lora load,
+        adapter/adapter.py:175)."""
+        import jax.numpy as jnp
+        from safetensors.numpy import load_file
+
+        from gptqmodel_tpu.models.transformer import get_by_path
+
+        d = Path(adapter_dir) if adapter_dir else self.model_dir / "eora"
+        f = d / "adapter_model.safetensors"
+        if not f.exists():
+            return
+        tensors = load_file(f)
+        for name, arr in tensors.items():
+            mod_path, leaf = name.rsplit(".", 1)
+            qmod = get_by_path(self.params, mod_path)
+            setattr(qmod, leaf, jnp.asarray(arr))
 
     @property
     def tokenizer(self):

@@ -75,6 +75,24 @@ def flatten_params(tree, prefix: str = "", out: dict | None = None) -> dict:
     return out
 
 
+def collect_adapters(tree, prefix: str = "", out: dict | None = None) -> dict:
+    """Gather lora_A/lora_B leaves as ``{module}.lora_A`` tensors."""
+    if out is None:
+        out = {}
+    if isinstance(tree, QuantLinear):
+        if tree.lora_A is not None:
+            out[f"{prefix}.lora_A"] = np.asarray(tree.lora_A)
+            out[f"{prefix}.lora_B"] = np.asarray(tree.lora_B)
+        return out
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            collect_adapters(v, f"{prefix}.{k}" if prefix else k, out)
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            collect_adapters(v, f"{prefix}.{i}", out)
+    return out
+
+
 def save_quantized(
     save_dir: str | Path,
     params: dict,
@@ -89,6 +107,17 @@ def save_quantized(
 
     flat = flatten_params(params)
     _write_shards(save_dir, flat, max_shard_size)
+
+    adapters = collect_adapters(params)
+    if adapters:
+        # HF-adapter-style sidecar (reference eora_processor saves lora_A/B
+        # safetensors the same way)
+        eora_dir = save_dir / "eora"
+        eora_dir.mkdir(exist_ok=True)
+        save_file(adapters, eora_dir / "adapter_model.safetensors")
+        (eora_dir / "adapter_config.json").write_text(
+            json.dumps({"adapter": qcfg.adapter or {"name": "eora"}})
+        )
 
     qcfg_export = QuantizeConfig.from_dict(qcfg.to_dict())
     qcfg_export.format = FORMAT.GPTQ  # v1 is the on-disk interchange format

@@ -18,8 +18,9 @@ structure survives: in plane-major order, row ``p*R + r`` belongs to group
 broadcast with a reshape — no gathers.
 
 - ``K_tile`` covers >= 8 whole groups (Mosaic sublane rule) or all of K;
-- dequant is ``codes * scale - zbias`` with ``zbias = scale*zero``
-  precomputed at load (post-init analog, reference utils/model.py:1281);
+- dequant is ``(codes - zvals) * scale`` with ``zvals`` the float zero
+  points prepared at load (post-init analog, reference utils/model.py:1281);
+  the subtraction happens in the exact bf16 integer domain;
 - grid (N, M, K) with K innermost accumulating into a VMEM f32 scratch;
 - contiguous groups required (GAR composes its perms away; desc_act imports
   fall back to the XLA reference path — SURVEY §7 "hard parts").
@@ -41,7 +42,22 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# bf16 magic: 0x4300 | n == bf16(128 + n) exactly for n in [0, 15] (7-bit
+# mantissa, exponent 2^7 => ulp 1). The +128 offset folds into zvals.
+_MAGIC_BF16 = {
+    4: (0x000F000F, 0x43004300),
+    2: (0x00030003, 0x43004300),
+}
+_MAGIC_OFFSET = 128.0
+
+
 def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, gpk):
+    """Fused dequant-matmul block. For 2/4-bit, dequant is marlin-style magic
+    arithmetic: each ``(u >> bits*a) & 0x000F000F | 0x43004300`` builds TWO
+    bf16 codes (+128) per int32 word in 3 integer ops and one bitcast — no
+    int->float converts. The sublane-halving bitcast emits rows ``2r+h``
+    (h = lo/hi half = logical planes a and a+pf/2), a fixed K-permutation
+    absorbed by ``_plane_permute_x`` on the activations."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -52,37 +68,58 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
     pf = 32 // bits
     R = kt // pf
     u = qw_ref[:].astype(jnp.uint32)  # [R, nt]
-    mask = jnp.uint32((1 << bits) - 1)
-    # plane-major unpack: concat along sublanes (no interleave)
-    w = jnp.concatenate(
-        [
-            ((u >> jnp.uint32(bits * j)) & mask).astype(jnp.int32).astype(jnp.bfloat16)
-            for j in range(pf)
-        ],
-        axis=0,
-    )  # [kt, nt], row p*R + r = logical row r*pf + p (within this K-tile)
-    # group of plane-major row = r // (R/gpk): broadcast scales by reshape
-    rpg = R // gpk
-    w = w.reshape(pf, gpk, rpg, nt)
-    w = w * s_ref[:].astype(jnp.bfloat16)[None, :, None, :] - zb_ref[:].astype(
-        jnp.bfloat16
-    )[None, :, None, :]
-    w = w.reshape(kt, nt)
-    # x arrives pre-permuted to the same plane-major K order
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+    s = s_ref[:].astype(jnp.bfloat16)[:, None, :]  # [gpk, 1, nt]
+    # Subtract the zero in the EXACT bf16 integer domain BEFORE scaling:
+    # (codes+128) and (zeros+128) are exact bf16 integers (<= 256, ulp 1), so
+    # their difference is exact and only the final *scale rounds — the
+    # s-first order would cancel catastrophically ((n+128)s - (z+128)s).
+    x = x_ref[:].astype(jnp.bfloat16)  # pre-permuted to the kernel's K order
+    acc = acc_ref[:]
+    if bits in _MAGIC_BF16:
+        fmask, magic = _MAGIC_BF16[bits]
+        zoff = (zb_ref[:] + _MAGIC_OFFSET).astype(jnp.bfloat16)[:, None, :]
+        rpg = (2 * R) // gpk  # rows per group (uniform, plane-independent)
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+            wa = ((wa.reshape(gpk, rpg, nt) - zoff) * s).reshape(2 * R, nt)
+            # accumulate per part — no concat pass, 2R-contraction dots
+            acc += jnp.dot(
+                x[:, a * 2 * R : (a + 1) * 2 * R], wa,
+                preferred_element_type=jnp.float32,
+            )
+    else:  # 8-bit: shift/and/convert planes (codes <= 255 still bf16-exact)
+        mask = jnp.uint32((1 << bits) - 1)
+        z = zb_ref[:].astype(jnp.bfloat16)[:, None, :]
+        rpg = R // gpk
+        for a in range(pf):
+            wa = ((u >> jnp.uint32(bits * a)) & mask).astype(jnp.int32).astype(
+                jnp.bfloat16
+            )
+            wa = ((wa.reshape(gpk, rpg, nt) - z) * s).reshape(R, nt)
+            acc += jnp.dot(
+                x[:, a * R : (a + 1) * R], wa, preferred_element_type=jnp.float32
+            )
+    acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _plane_permute_x(x: jnp.ndarray, kt: int, pf: int) -> jnp.ndarray:
-    """Permute the K axis of x to the kernel's per-tile plane-major order:
-    xp[m, k_tile, p, r] = x[m, k_tile*kt + r*pf + p]."""
+def _plane_permute_x(x: jnp.ndarray, kt: int, pf: int, bits: int) -> jnp.ndarray:
+    """Permute the K axis of x to match the kernel's per-tile unpack order.
+
+    Magic path (2/4-bit): iteration a emits rows ``2r+h`` = logical
+    ``r*pf + a + (pf/2)*h`` -> order (a, r, h).
+    Convert path (8-bit): plane-major ``(a, r)`` -> logical ``r*pf + a``.
+    """
     M, K = x.shape
     R = kt // pf
+    if bits in _MAGIC_BF16:
+        xp = x.reshape(M, K // kt, R, 2, pf // 2)  # dims (r, h, a)
+        xp = xp.transpose(0, 1, 4, 2, 3)  # -> (a, r, h)
+        return xp.reshape(M, K)
     return x.reshape(M, K // kt, R, pf).transpose(0, 1, 3, 2).reshape(M, K)
 
 
@@ -105,7 +142,7 @@ def qmatmul(
     x: jnp.ndarray,  # [M, K] (bf16/f32)
     qweight: jnp.ndarray,  # [K/pf, N] int32 (GPTQ interchange layout)
     scales: jnp.ndarray,  # [G, N]
-    zbias: jnp.ndarray,  # [G, N] f32 = scales * zeros
+    zvals: jnp.ndarray,  # [G, N] f32 raw zero points
     *,
     bits: int,
     group_size: int,
@@ -128,7 +165,7 @@ def qmatmul(
     bn = min(block_n, N)
     gpk = bk // g
 
-    xp = _plane_permute_x(x, bk, pf)
+    xp = _plane_permute_x(x, bk, pf, bits)
     grid = (_cdiv(N, bn), _cdiv(M, bm), _cdiv(K, bk))
 
     kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
@@ -159,7 +196,7 @@ def qmatmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, qweight, scales.astype(jnp.float32), zbias.astype(jnp.float32))
+    )(xp, qweight, scales.astype(jnp.float32), zvals.astype(jnp.float32))
     return out
 
 

@@ -26,7 +26,7 @@ from gptqmodel_tpu.ops import pack as packing
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zbias"],
+    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
     meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1"],
 )
 @dataclasses.dataclass
@@ -47,9 +47,13 @@ class QuantLinear:
     scales: jnp.ndarray  # f16/f32/bf16 [groups, out]
     g_idx: jnp.ndarray | None  # int32 [in] or None (contiguous groups)
     bias: jnp.ndarray | None
-    # runtime-only (post_init_params): scales*zeros for the fused kernel;
-    # never serialized (writer skips it)
-    zbias: jnp.ndarray | None = None
+    # runtime-only (post_init_params): float zero points for the fused
+    # kernel; never serialized (writer skips it)
+    zvals: jnp.ndarray | None = None
+    # EoRA/LoRA adapter: y += (x @ lora_A) @ lora_B (A [in, r], B [r, out]);
+    # saved as a sidecar in HF-adapter format, not in the base checkpoint
+    lora_A: jnp.ndarray | None = None
+    lora_B: jnp.ndarray | None = None
     bits: int = 4
     group_size: int = 128
     in_features: int = 0
@@ -130,6 +134,8 @@ def qlinear_forward_xla(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     """
     w = dequantize_weight(p, dtype=jnp.float32).astype(x.dtype)
     y = jnp.matmul(x, w)
+    if p.lora_A is not None:  # EoRA/LoRA fused apply (reference adapter.py:148)
+        y = y + (x @ p.lora_A.astype(x.dtype)) @ p.lora_B.astype(x.dtype)
     if p.bias is not None:
         y = y + p.bias.astype(y.dtype)
     return y

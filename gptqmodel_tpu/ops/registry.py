@@ -12,7 +12,7 @@ cell that needed a bespoke CUDA kernel there:
 | pallas   | 100      | 2,4,8   | contiguous | no    | tpu      |
 | xla      | 10       | 2,3,4,8 | any        | yes   | all      |
 
-``post_init_params`` prepares runtime arrays (zbias = scale*zero) the Pallas
+``post_init_params`` prepares runtime arrays (zvals: float zero points) the Pallas
 kernel consumes — the analog of reference ``gptqmodel_post_init`` buffer prep
 (utils/model.py:1281, marlin repack at marlin.py:246).
 """
@@ -57,7 +57,7 @@ def select_kernel(p: QuantLinear) -> str:
     backend setting. AUTO: pallas on TPU when the contract matches."""
     if _BACKEND == "xla":
         return "xla"
-    eligible = p.zbias is not None and pallas_qmatmul.supports(
+    eligible = p.zvals is not None and pallas_qmatmul.supports(
         p.bits, p.group_size, p.in_features, p.out_features, p.g_idx is None
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
@@ -66,39 +66,49 @@ def select_kernel(p: QuantLinear) -> str:
                 f"pallas kernel does not support this module: bits={p.bits} "
                 f"group={p.group_size} g_idx={'set' if p.g_idx is not None else 'none'} "
                 f"shape=({p.in_features},{p.out_features}) "
-                f"zbias={'ready' if p.zbias is not None else 'missing — run post_init_params'}"
+                f"zvals={'ready' if p.zvals is not None else 'missing — run post_init_params'}"
             )
         return _BACKEND
     return "pallas" if (eligible and _on_tpu()) else "xla"
 
 
+# Above this many rows the matmul is compute-bound and the one-off XLA
+# dequant materialization amortizes; the Pallas kernel would re-dequantize
+# per M-block (prefill regime).
+PALLAS_MAX_M = 256
+
+
 def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     kernel = select_kernel(p)
-    if kernel == "xla":
-        return qlinear_forward_xla(p, x)
     lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if kernel == "xla" or (kernel == "pallas" and rows > PALLAS_MAX_M):
+        return qlinear_forward_xla(p, x)
     x2 = x.reshape(-1, x.shape[-1])
     y = pallas_qmatmul.qmatmul(
-        x2, p.qweight, p.scales, p.zbias,
+        x2, p.qweight, p.scales, p.zvals,
         bits=p.bits, group_size=p.group_size,
         interpret=(kernel == "pallas_interpret"),
     )
     y = y.reshape(*lead, p.out_features)
+    if p.lora_A is not None:
+        y = y + ((x @ p.lora_A.astype(x.dtype)) @ p.lora_B.astype(x.dtype))
     if p.bias is not None:
         y = y + p.bias.astype(y.dtype)
     return y
 
 
 def post_init_module(p: QuantLinear) -> QuantLinear:
-    """Precompute runtime arrays for the fast kernel (zbias = scale * zero)."""
-    if p.zbias is not None:
+    """Precompute runtime arrays for the fast kernel (zvals: float zeros)."""
+    if p.zvals is not None:
         return p
     zeros = packing.unpack_qzeros(np.asarray(p.qzeros), p.bits, v1=p.v1)
-    scales = np.asarray(p.scales, dtype=np.float32)
-    zbias = (scales * zeros).astype(np.float32)
+    zvals = zeros.astype(np.float32)
     return QuantLinear(
         qweight=p.qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
-        bias=p.bias, zbias=jnp.asarray(zbias),
+        bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1,
     )

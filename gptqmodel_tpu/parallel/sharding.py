@@ -13,7 +13,7 @@ Axes:
   all-reduce after row-parallel matmuls is inserted by GSPMD.
 
 QuantLinear packed tensors shard consistently with their dense layout:
-column-parallel shards the lane (out) axis of qweight/scales/qzeros/zbias;
+column-parallel shards the lane (out) axis of qweight/scales/qzeros/zvals;
 row-parallel shards the packed-row (in/pf) axis and the group axis.
 """
 
@@ -66,7 +66,7 @@ def _quant_spec(leaf_name: str, model_axis: str) -> QuantLinear:
             scales=P(None, model_axis),
             g_idx=P(),
             bias=P(model_axis),
-            zbias=P(None, model_axis),
+            zvals=P(None, model_axis),
         )
     if leaf_name in ROW_PARALLEL:
         return dict(
@@ -75,10 +75,10 @@ def _quant_spec(leaf_name: str, model_axis: str) -> QuantLinear:
             scales=P(model_axis, None),
             g_idx=P(model_axis),
             bias=P(),
-            zbias=P(model_axis, None),
+            zvals=P(model_axis, None),
         )
     return dict(
-        qweight=P(), qzeros=P(), scales=P(), g_idx=P(), bias=P(), zbias=P()
+        qweight=P(), qzeros=P(), scales=P(), g_idx=P(), bias=P(), zvals=P()
     )
 
 
@@ -92,7 +92,9 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
             scales=spec["scales"],
             g_idx=None if tree.g_idx is None else spec["g_idx"],
             bias=None if tree.bias is None else spec["bias"],
-            zbias=None if tree.zbias is None else spec["zbias"],
+            zvals=None if tree.zvals is None else spec["zvals"],
+            lora_A=None if tree.lora_A is None else P(),
+            lora_B=None if tree.lora_B is None else P(),
             bits=tree.bits, group_size=tree.group_size,
             in_features=tree.in_features, out_features=tree.out_features,
             sym=tree.sym, v1=tree.v1,
@@ -142,8 +144,9 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
 def _tree_zip_map(fn, tree, specs):
     if isinstance(tree, QuantLinear):
         kw = {}
-        for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zbias"):
-            kw[f] = fn(getattr(tree, f), getattr(specs, f))
+        for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zvals",
+                  "lora_A", "lora_B"):
+            kw[f] = fn(getattr(tree, f), getattr(specs, f) if getattr(specs, f) is not None else P())
         return QuantLinear(
             **kw, bits=tree.bits, group_size=tree.group_size,
             in_features=tree.in_features, out_features=tree.out_features,

@@ -67,6 +67,8 @@ class QuantizeConfig:
     pack_dtype: str = "int32"
     # per-module override regexes: {"+:expr" | "expr": {field: value}, "-:expr": None}
     dynamic: Optional[dict[str, Optional[dict[str, Any]]]] = None
+    # adapter generation: {"name": "eora", "rank": N} (reference adapter=Lora(...))
+    adapter: Optional[dict[str, Any]] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     device: Optional[str] = None

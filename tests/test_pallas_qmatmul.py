@@ -127,7 +127,7 @@ def test_capability_contract_and_selection():
         registry.set_backend("auto")
 
 
-def test_zbias_not_serialized():
+def test_zvals_not_serialized():
     from gptqmodel_tpu.models.writer import flatten_params
 
     p = _random_module(4, 128, 256, 128)
@@ -135,16 +135,14 @@ def test_zbias_not_serialized():
     assert set(flat) == {"m.qweight", "m.qzeros", "m.scales", "m.g_idx"}
 
 
-def test_post_init_zbias_semantics():
-    """zbias must equal scales*zeros so codes*s - zbias == s*(codes - zeros)."""
+def test_post_init_zvals_semantics():
+    """zvals are the float zero points: (codes - zvals) * scales == dequant."""
     p = _random_module(4, 64, 128, 128, sym=False)
     w_ref = np.asarray(dequantize_weight(p))
-    codes_s = None
-    from gptqmodel_tpu.ops.pack import unpack_qweight, unpack_qzeros
+    from gptqmodel_tpu.ops.pack import unpack_qweight
 
     codes = unpack_qweight(np.asarray(p.qweight), 4).astype(np.float32)
     scales = np.asarray(p.scales, np.float32)
-    zb = np.asarray(p.zbias)
-    G = scales.shape[0]
-    w2 = codes * np.repeat(scales, 64, 0) - np.repeat(zb, 64, 0)
+    zv = np.asarray(p.zvals)
+    w2 = (codes - np.repeat(zv, 64, 0)) * np.repeat(scales, 64, 0)
     np.testing.assert_allclose(w2, w_ref, atol=1e-5)
