@@ -247,6 +247,73 @@ def quantize_model(
     )
 
 
+def weight_only_quantize(
+    model_dir: str | Path,
+    qcfg: QuantizeConfig,
+) -> QuantResult:
+    """Calibration-free path for RTN / FP8 (reference WeightOnlyLooper,
+    looper/weight_only_looper.py:669): stream layers, quantize every tree
+    module directly, no forwards at all."""
+    from gptqmodel_tpu.ops.fp8 import dequantize_fp8, quantize_fp8
+
+    t_start = time.perf_counter()
+    model_dir = Path(model_dir)
+    hf_cfg = load_hf_config(model_dir)
+    spec = spec_from_hf_config(hf_cfg)
+    mdef = get_model_def(spec.model_type)
+    reader = CheckpointReader(model_dir)
+    base = build_params_tree(reader, skip_layers=True)
+    plan = parse_module_tree(list(mdef.module_tree))
+    n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
+    modules = [m for s in plan.build_subsets(n_experts) for m in s]
+
+    quant_log: list[dict] = []
+    out_layers: list[dict] = []
+    for li in range(spec.num_layers):
+        lp = build_params_tree(reader, layer_filter=li)
+        for m in modules:
+            full = f"model.layers.{li}.{m}"
+            mcfg = qcfg.for_module(full)
+            if mcfg is None:
+                continue
+            t0 = time.perf_counter()
+            dense = get_by_path(lp, m)
+            W = np.asarray(dense["weight"], np.float32)
+            bias = dense.get("bias")
+            if mcfg.method == METHOD.FP8:
+                qmod = quantize_fp8(W)
+                qmod.bias = None if bias is None else np.asarray(bias)
+                loss = float(np.mean((np.asarray(dequantize_fp8(qmod)) - W) ** 2))
+            else:  # RTN
+                res = rtn_quantize(
+                    W, bits=mcfg.bits, group_size=mcfg.group_size,
+                    sym=mcfg.sym, mse=mcfg.mse > 0,
+                )
+                qmod = make_quant_linear(
+                    Q=res.Q, scales=res.scales, zeros=res.zeros, g_idx=None,
+                    bias=None if bias is None else np.asarray(bias),
+                    bits=mcfg.bits, group_size=mcfg.group_size, sym=mcfg.sym,
+                )
+                loss = res.avg_loss
+            set_by_path(lp, m, qmod)
+            quant_log.append({
+                "layer": li, "module": m, "loss": round(loss, 8), "samples": 0,
+                "damp": 0.0, "bits": mcfg.bits, "group_size": mcfg.group_size,
+                "fallback": False,
+                "time_s": round(time.perf_counter() - t0, 4),
+            })
+        out_layers.append(lp)
+        log.info("layer %d/%d weight-only quantized", li + 1, spec.num_layers)
+
+    params = dict(base)
+    params["model"]["layers"] = out_layers
+    return QuantResult(
+        params=params, quant_log=quant_log, spec=spec, hf_config=hf_cfg,
+        source_dir=str(model_dir),
+        durations={"total": time.perf_counter() - t_start},
+    )
+
+
 # --------------------------------------------------------------------------
 # internals
 # --------------------------------------------------------------------------

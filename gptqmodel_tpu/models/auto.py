@@ -63,6 +63,59 @@ class GPTQModel:
         return m
 
 
+def export_dequantized(
+    model_dir: str | Path, save_dir: str | Path, dtype="bfloat16"
+) -> None:
+    """Export a quantized checkpoint back to a dense HF checkpoint
+    (reference GPTQModel.export format='hf', auto.py:704 /
+    utils/model_dequant.py). Every packed module is dequantized to a dense
+    weight in ``dtype``; quantization_config is stripped."""
+    import ml_dtypes
+
+    from gptqmodel_tpu.models.writer import _write_shards, DEFAULT_MAX_SHARD
+    from gptqmodel_tpu.ops.qlinear import QuantLinear, dequantize_weight
+
+    np_dtype = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16,
+                "float32": np.float32}[str(dtype)]
+    m = GPTQModel.from_quantized(model_dir)
+
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, QuantLinear):
+            w = np.asarray(dequantize_weight(tree)).T  # back to [out, in]
+            flat[f"{prefix}.weight"] = np.ascontiguousarray(w.astype(np_dtype))
+            if tree.bias is not None:
+                flat[f"{prefix}.bias"] = np.asarray(tree.bias).astype(np_dtype)
+            return
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                walk(v, f"{prefix}.{i}")
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk(m.params)
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    _write_shards(save_dir, flat, DEFAULT_MAX_SHARD)
+    cfg = dict(m.hf_config)
+    cfg.pop("quantization_config", None)
+    cfg["dtype"] = str(dtype)
+    (save_dir / "config.json").write_text(json.dumps(cfg, indent=2))
+    from gptqmodel_tpu.models.writer import _TOKENIZER_FILES
+    import shutil
+
+    for fname in _TOKENIZER_FILES:
+        if (Path(model_dir) / fname).exists():
+            shutil.copy2(Path(model_dir) / fname, save_dir / fname)
+
+
+GPTQModel.export = staticmethod(export_dequantized)
+
+
 class BaseQModel:
     """Holds (spec, params pytree, config) + quantize/save/generate.
 
@@ -129,7 +182,7 @@ class BaseQModel:
     # ------------------------------------------------------------ quantize
     def quantize(
         self,
-        calibration,
+        calibration=None,
         batch_size: int = 4,
         tokenizer=None,
         calibration_concat_size: Optional[int] = None,
@@ -144,7 +197,23 @@ class BaseQModel:
             CalibrationBatches,
             prepare_calibration,
         )
-        from gptqmodel_tpu.looper.quantize_loop import quantize_model
+        from gptqmodel_tpu.looper.quantize_loop import (
+            quantize_model,
+            weight_only_quantize,
+        )
+        from gptqmodel_tpu.quantization.config import METHOD
+
+        if calibration is None:
+            if self.qcfg.method not in (METHOD.RTN, METHOD.FP8):
+                raise ValueError(
+                    f"{self.qcfg.method} needs calibration data; only RTN/FP8 "
+                    "are calibration-free"
+                )
+            result = weight_only_quantize(self.model_dir, self.qcfg)
+            self.params = result.params
+            self.quant_log = result.quant_log
+            self.quantized = True
+            return self.quant_log
 
         if not isinstance(calibration, CalibrationBatches):
             calibration = prepare_calibration(

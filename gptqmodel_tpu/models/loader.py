@@ -111,6 +111,7 @@ def build_params_tree(
             continue
 
         is_quant = _QUANT_LEAVES.issubset(leaves.keys())
+        is_fp8 = "weight_scale" in leaves and "weight" in leaves
         parts = mod_path.split(".") if mod_path else []
         if is_quant:
             if qcfg is None:
@@ -118,8 +119,19 @@ def build_params_tree(
                     f"{mod_path} holds packed tensors but no QuantizeConfig given"
                 )
             value = _load_quant_linear(reader, leaves, qcfg, mod_path)
-            node_parts, leaf_key = parts[:-1], parts[-1]
-            _insert_module(tree, node_parts, leaf_key, value)
+            _insert_module(tree, parts[:-1], parts[-1], value)
+        elif is_fp8:
+            from gptqmodel_tpu.ops.fp8 import Fp8Linear
+
+            w = reader.get(leaves["weight"])
+            value = Fp8Linear(
+                weight_u8=w.view(np.uint8) if w.dtype != np.uint8 else w,
+                scale=reader.get(leaves["weight_scale"]).astype(np.float32),
+                bias=reader.get(leaves["bias"]) if "bias" in leaves else None,
+                in_features=w.shape[1],
+                out_features=w.shape[0],
+            )
+            _insert_module(tree, parts[:-1], parts[-1], value)
         else:
             for leaf, tensor_name in leaves.items():
                 _insert_module(tree, parts, leaf, reader.get(tensor_name))

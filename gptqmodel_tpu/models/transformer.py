@@ -57,11 +57,15 @@ def set_by_path(tree: Params, path: str, value):
 
 
 def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    """Dense HF-layout ({"weight": [out,in]}) or packed QuantLinear."""
+    """Dense HF-layout ({"weight": [out,in]}), packed QuantLinear, or Fp8Linear."""
     if isinstance(p, QuantLinear):
         from gptqmodel_tpu.ops.registry import qlinear_forward
 
         return qlinear_forward(p, x)
+    from gptqmodel_tpu.ops.fp8 import Fp8Linear, fp8_forward
+
+    if isinstance(p, Fp8Linear):
+        return fp8_forward(p, x)
     w = p["weight"]
     y = x @ w.T.astype(x.dtype)
     b = p.get("bias")

@@ -36,20 +36,30 @@ _TOKENIZER_FILES = (
 )
 
 
-def flatten_params(tree, prefix: str = "", out: dict | None = None) -> dict:
+def flatten_params(tree, prefix: str = "", out: dict | None = None, v1_zeros: bool = True) -> dict:
     """Nested pytree -> flat {hf_tensor_name: np.ndarray}.
 
     QuantLinear leaves expand into qweight/qzeros/scales[/g_idx][/bias];
-    v2 runtime zeros are converted to the v1 interchange form on disk when
-    the quantlinear isn't already v1 (reference v2->v1 export,
-    utils/model.py:900).
+    with ``v1_zeros`` (the default interchange format) runtime v2 zeros are
+    converted to the v1 -1-offset form on disk (reference v2->v1 export,
+    utils/model.py:900); ``v1_zeros=False`` exports FORMAT.GPTQ_V2 verbatim.
     """
     if out is None:
         out = {}
+    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+
+    if isinstance(tree, Fp8Linear):
+        out[f"{prefix}.weight"] = np.asarray(tree.weight_u8)  # e4m3 bits
+        out[f"{prefix}.weight_scale"] = np.asarray(tree.scale)
+        if tree.bias is not None:
+            out[f"{prefix}.bias"] = np.asarray(tree.bias)
+        return out
     if isinstance(tree, QuantLinear):
         qzeros = np.asarray(tree.qzeros)
-        if not tree.v1:
+        if not tree.v1 and v1_zeros:
             qzeros = packing.convert_qzeros_v2_to_v1(qzeros, tree.bits)
+        elif tree.v1 and not v1_zeros:
+            qzeros = packing.convert_qzeros_v1_to_v2(qzeros, tree.bits)
         out[f"{prefix}.qweight"] = np.asarray(tree.qweight)
         out[f"{prefix}.qzeros"] = qzeros
         out[f"{prefix}.scales"] = np.asarray(tree.scales)
@@ -65,11 +75,11 @@ def flatten_params(tree, prefix: str = "", out: dict | None = None) -> dict:
         return out
     if isinstance(tree, dict):
         for k, v in tree.items():
-            flatten_params(v, f"{prefix}.{k}" if prefix else k, out)
+            flatten_params(v, f"{prefix}.{k}" if prefix else k, out, v1_zeros)
         return out
     if isinstance(tree, list):
         for i, v in enumerate(tree):
-            flatten_params(v, f"{prefix}.{i}", out)
+            flatten_params(v, f"{prefix}.{i}", out, v1_zeros)
         return out
     out[prefix] = np.asarray(tree)
     return out
@@ -105,7 +115,8 @@ def save_quantized(
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
 
-    flat = flatten_params(params)
+    export_v1 = qcfg.format != FORMAT.GPTQ_V2
+    flat = flatten_params(params, v1_zeros=export_v1)
     _write_shards(save_dir, flat, max_shard_size)
 
     adapters = collect_adapters(params)
@@ -120,7 +131,8 @@ def save_quantized(
         )
 
     qcfg_export = QuantizeConfig.from_dict(qcfg.to_dict())
-    qcfg_export.format = FORMAT.GPTQ  # v1 is the on-disk interchange format
+    if export_v1:
+        qcfg_export.format = FORMAT.GPTQ  # v1 is the on-disk interchange format
     qcfg_export.save_pretrained(save_dir)
 
     hf_config = dict(hf_config)

@@ -84,6 +84,18 @@ def _quant_spec(leaf_name: str, model_axis: str) -> QuantLinear:
 
 def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
     """Mirror the params pytree with PartitionSpecs (QuantLinear-aware)."""
+    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+
+    if isinstance(tree, Fp8Linear):
+        col = _leaf_name in COL_PARALLEL or _leaf_name == "lm_head"
+        row = _leaf_name in ROW_PARALLEL
+        return Fp8Linear(
+            weight_u8=P(model_axis, None) if col else (P(None, model_axis) if row else P()),
+            scale=P(model_axis) if col else P(),
+            bias=None if tree.bias is None else (P(model_axis) if col else P()),
+            in_features=tree.in_features,
+            out_features=tree.out_features,
+        )
     if isinstance(tree, QuantLinear):
         spec = _quant_spec(_leaf_name, model_axis)
         return QuantLinear(
@@ -142,6 +154,16 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
 
 
 def _tree_zip_map(fn, tree, specs):
+    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+
+    if isinstance(tree, Fp8Linear):
+        return Fp8Linear(
+            weight_u8=fn(tree.weight_u8, specs.weight_u8),
+            scale=fn(tree.scale, specs.scale),
+            bias=fn(tree.bias, specs.bias if specs.bias is not None else P()),
+            in_features=tree.in_features,
+            out_features=tree.out_features,
+        )
     if isinstance(tree, QuantLinear):
         kw = {}
         for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zvals",

@@ -23,6 +23,7 @@ class METHOD(str, Enum):
     GPTQ = "gptq"
     AWQ = "awq"
     RTN = "rtn"
+    FP8 = "fp8"
 
     def __str__(self) -> str:  # serialize as plain string
         return self.value
@@ -77,8 +78,10 @@ class QuantizeConfig:
     def __post_init__(self):
         self.method = METHOD(self.method)
         self.format = FORMAT(self.format)
-        if self.bits not in (2, 3, 4, 8):
+        if self.method != METHOD.FP8 and self.bits not in (2, 3, 4, 8):
             raise ValueError(f"unsupported bits: {self.bits}")
+        if self.method == METHOD.FP8:
+            self.bits = 8  # nominal; e4m3 storage
         if self.group_size not in (-1,) and self.group_size <= 0:
             raise ValueError(f"invalid group_size: {self.group_size}")
         # NOTE: AWQ-method checkpoints are saved in the GPTQ pack layout
