@@ -23,10 +23,11 @@ import numpy as np
 
 from gptqmodel_tpu.models.spec import ModelSpec
 from gptqmodel_tpu.models.transformer import (
-    decoder_layer,
+    any_decoder_layer,
     embed,
+    final_norm,
     lm_logits,
-    rms_norm,
+    model_root,
     rope_cos_sin,
 )
 
@@ -45,13 +46,10 @@ def init_kv_cache(spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16)
 
 def _stack_forward(spec, params, h, cos, sin, bias, caches):
     new_caches = []
-    for i, lp in enumerate(params["model"]["layers"]):
-        h, c = decoder_layer(spec, lp, h, cos, sin, bias, caches[i])
+    for i, lp in enumerate(model_root(spec, params)["layers"]):
+        h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, caches[i])
         new_caches.append(c)
-    h = rms_norm(
-        h, params["model"]["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
-    )
-    return h, new_caches
+    return final_norm(spec, params, h), new_caches
 
 
 def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
@@ -73,7 +71,7 @@ def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
         ki = jnp.arange(max_len)[None, :]
         ok = (ki <= qi)[None, :, :] & key_valid[:, None, :]
         bias = jnp.where(ok, 0.0, _NEG)[:, None]  # [B, 1, T, max_len]
-        h = embed(spec, params, ids, dtype)
+        h = embed(spec, params, ids, dtype, positions)
         h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
         last = jnp.take_along_axis(h, (prompt_lens - 1)[:, None, None], axis=1)
         logits = lm_logits(spec, params, last)[:, 0]
@@ -96,7 +94,7 @@ def make_decode_fn(spec: ModelSpec, dtype=jnp.bfloat16):
         key_valid = key_valid.at[:, write_slot].set(True)
         cos, sin = rope_cos_sin(spec, logical_pos[:, None])
         bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
-        h = embed(spec, params, token[:, None], dtype)
+        h = embed(spec, params, token[:, None], dtype, logical_pos[:, None])
         caches = [dict(c, pos=write_slot) for c in caches]
         h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
         logits = lm_logits(spec, params, h)[:, 0]

@@ -26,10 +26,11 @@ import numpy as np
 
 from gptqmodel_tpu.models.spec import ModelSpec
 from gptqmodel_tpu.models.transformer import (
-    decoder_layer,
+    any_decoder_layer,
     embed,
+    final_norm,
     lm_logits,
-    rms_norm,
+    model_root,
     rope_cos_sin,
 )
 
@@ -119,13 +120,10 @@ class ContinuousBatchingEngine:
             qi = jnp.arange(T)[:, None]
             ki = jnp.arange(L)[None, :]
             bias = jnp.where((ki <= qi) & (ki < true_len), 0.0, _NEG)[None, None]
-            h = embed(spec, params, ids, dtype)
-            for i, lp in enumerate(params["model"]["layers"]):
-                h, mini[i] = decoder_layer(spec, lp, h, cos, sin, bias, mini[i])
-            h = rms_norm(
-                h, params["model"]["norm"]["weight"], spec.rms_norm_eps,
-                spec.rms_norm_offset,
-            )
+            h = embed(spec, params, ids, dtype, positions)
+            for i, lp in enumerate(model_root(spec, params)["layers"]):
+                h, mini[i] = any_decoder_layer(spec, lp, h, cos, sin, bias, mini[i])
+            h = final_norm(spec, params, h)
             last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
             logits = lm_logits(spec, params, last)[0, 0]
             for i, c in enumerate(caches):
@@ -148,16 +146,13 @@ class ContinuousBatchingEngine:
             key_valid = key_valid.at[jnp.arange(B), pos].set(True)
             cos, sin = rope_cos_sin(spec, pos[:, None])
             bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
-            h = embed(spec, params, token[:, None], dtype)
+            h = embed(spec, params, token[:, None], dtype, pos[:, None])
             new_caches = []
-            for i, lp in enumerate(params["model"]["layers"]):
+            for i, lp in enumerate(model_root(spec, params)["layers"]):
                 c = dict(caches[i], pos=pos)
-                h, c = decoder_layer(spec, lp, h, cos, sin, bias, c)
+                h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, c)
                 new_caches.append({"k": c["k"], "v": c["v"]})
-            h = rms_norm(
-                h, params["model"]["norm"]["weight"], spec.rms_norm_eps,
-                spec.rms_norm_offset,
-            )
+            h = final_norm(spec, params, h)
             logits = lm_logits(spec, params, h)[:, 0]
             return logits, new_caches, key_valid
 

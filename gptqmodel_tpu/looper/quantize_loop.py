@@ -43,12 +43,11 @@ from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
 from gptqmodel_tpu.models.module_tree import parse_module_tree
 from gptqmodel_tpu.models.spec import ModelSpec, load_hf_config, spec_from_hf_config
 from gptqmodel_tpu.models.transformer import (
-    decoder_layer,
+    any_decoder_layer,
     embed,
+    final_norm,
     get_by_path,
-    lm_logits,
     make_causal_mask,
-    rms_norm,
     rope_cos_sin,
     set_by_path,
 )
@@ -108,7 +107,7 @@ def quantize_model(
 
         def step(lp, h, row_mask, Gs, ns, As):
             taps: dict = {}
-            decoder_layer(
+            any_decoder_layer(
                 spec, lp, h, cos, sin, attn_bias,
                 taps=taps, tap_paths=frozenset(tap_reps),
             )
@@ -138,7 +137,7 @@ def quantize_model(
         if replay_key in step_cache:
             return step_cache[replay_key]
         fn = jax.jit(
-            lambda lp, h: decoder_layer(spec, lp, h, cos, sin, attn_bias)[0]
+            lambda lp, h: any_decoder_layer(spec, lp, h, cos, sin, attn_bias)[0]
         )
         step_cache[replay_key] = fn
         return fn
@@ -230,11 +229,10 @@ def quantize_model(
             spec, base, hidden, mask_all, qcfg, quant_log, durations
         )
 
+    from gptqmodel_tpu.models.transformer import model_root
+
     params = dict(base)
-    params.setdefault("model", {})["layers"] = out_layers
-    # merge non-layer model params (embed/norm) captured in base["model"]
-    for k, v in base.get("model", {}).items():
-        params["model"][k] = v
+    model_root(spec, params)["layers"] = out_layers
 
     durations["total"] = time.perf_counter() - t_start
     return QuantResult(
@@ -272,7 +270,7 @@ def weight_only_quantize(
     for li in range(spec.num_layers):
         lp = build_params_tree(reader, layer_filter=li)
         for m in modules:
-            full = f"model.layers.{li}.{m}"
+            full = f"{plan.layers_path}.{li}.{m}"
             mcfg = qcfg.for_module(full)
             if mcfg is None:
                 continue
@@ -305,8 +303,10 @@ def weight_only_quantize(
         out_layers.append(lp)
         log.info("layer %d/%d weight-only quantized", li + 1, spec.num_layers)
 
+    from gptqmodel_tpu.models.transformer import model_root as _mr
+
     params = dict(base)
-    params["model"]["layers"] = out_layers
+    _mr(spec, params)["layers"] = out_layers
     return QuantResult(
         params=params, quant_log=quant_log, spec=spec, hf_config=hf_cfg,
         source_dir=str(model_dir),
@@ -332,7 +332,7 @@ def _build_groups(
     """Group subset modules by provably-shared input; resolve dynamic cfg."""
     by_key: dict[str, _Group] = {}
     for path in subset:
-        full = f"model.layers.{layer_idx}.{path}"
+        full = f"{plan.layers_path}.{layer_idx}.{path}"
         mcfg = qcfg.for_module(full)
         if mcfg is None:  # '-:' dynamic exclusion
             continue
@@ -578,11 +578,10 @@ def _awq_quantize_group(
 def _quantize_lm_head(spec, base, hidden, mask_all, qcfg, quant_log, durations):
     head = base["lm_head"]
     in_f = head["weight"].shape[1]
-    norm_w = base["model"]["norm"]["weight"]
 
     @jax.jit
     def head_G_step(h, row_mask, G, n):
-        x = rms_norm(h, norm_w, spec.rms_norm_eps, spec.rms_norm_offset)
+        x = final_norm(spec, base, h)
         xf = x.reshape(-1, in_f).astype(jnp.float32) * row_mask.reshape(-1)[:, None]
         return G + jnp.matmul(xf.T, xf, precision="highest"), n + jnp.sum(row_mask)
 

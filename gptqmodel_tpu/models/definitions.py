@@ -91,6 +91,32 @@ _MIXTRAL_TREE = (
     },
 )
 
+_PHI3_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("qkv_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_up_proj:0", "down_proj:1"),
+    },
+)
+
+_OPT_TREE = (
+    "model",
+    "decoder",
+    "layers",
+    "#",
+    {
+        "self_attn_layer_norm": ("self_attn_layer_norm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1"),
+        "final_layer_norm": ("final_layer_norm:!",),
+        "fc1": ("fc1:0",),
+        "fc2": ("fc2:1",),
+    },
+)
+
 REGISTRY: dict[str, ModelDef] = {
     "llama": ModelDef(_LLAMA_TREE),
     "mistral": ModelDef(_LLAMA_TREE),
@@ -99,7 +125,12 @@ REGISTRY: dict[str, ModelDef] = {
     "smollm3": ModelDef(_LLAMA_TREE),
     "starcoder2": ModelDef(_LLAMA_TREE),
     "internlm2": ModelDef(_LLAMA_TREE),
-    "phi3": ModelDef(_LLAMA_TREE),
+    "phi3": ModelDef(_PHI3_TREE),
+    "phi4": ModelDef(_PHI3_TREE),
+    "opt": ModelDef(
+        _OPT_TREE,
+        pre_lm_head_norm="model.decoder.final_layer_norm",
+    ),
     "qwen3": ModelDef(_QWEN3_TREE),
     "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),

@@ -49,6 +49,10 @@ class ModelSpec:
     query_pre_attn_scalar: float = 0.0  # gemma2 attention scale override
     sliding_window: int = 0
     layer_types: tuple = ()  # per-layer attn type, e.g. gemma3/gpt-oss
+    # forward-family selector: "llama" (RoPE+RMSNorm+gated MLP lineage) or
+    # "opt" (learned positions, LayerNorm+bias, plain MLP)
+    family: str = "llama"
+    do_layer_norm_before: bool = True  # opt pre/post-norm variant
 
 
 _LLAMA_FAMILY = {
@@ -71,6 +75,27 @@ _LLAMA_FAMILY = {
 def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
     """Build a ModelSpec from a parsed HF ``config.json`` dict."""
     mt = cfg.get("model_type", "llama")
+    if mt == "opt":
+        if cfg.get("word_embed_proj_dim", cfg["hidden_size"]) != cfg["hidden_size"]:
+            raise NotImplementedError(
+                "OPT word_embed_proj_dim != hidden_size (project_in/out) not "
+                "supported yet"
+            )
+        return ModelSpec(
+            model_type=mt,
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["ffn_dim"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg["num_attention_heads"],
+            head_dim=cfg["hidden_size"] // cfg["num_attention_heads"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation_function", "relu"),
+            do_layer_norm_before=cfg.get("do_layer_norm_before", True),
+        )
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or hidden // heads

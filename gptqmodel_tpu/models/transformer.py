@@ -74,6 +74,17 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def layer_norm(x: jnp.ndarray, w, b, eps: float):
+    """Mean-subtracting LayerNorm with bias (opt/gpt2 family)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, offset: bool = False):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -164,12 +175,20 @@ def attention(
     B, T, _ = h.shape
     nh, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
 
-    _tap(taps, tap_paths, f"{prefix}.q_proj", h)
-    _tap(taps, tap_paths, f"{prefix}.k_proj", h)
-    _tap(taps, tap_paths, f"{prefix}.v_proj", h)
-    q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
-    k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
-    v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
+    if "qkv_proj" in ap:  # phi3-style fused projection
+        _tap(taps, tap_paths, f"{prefix}.qkv_proj", h)
+        qkv = apply_linear(ap["qkv_proj"], h)
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nkv, hd)
+        v = v.reshape(B, T, nkv, hd)
+    else:
+        _tap(taps, tap_paths, f"{prefix}.q_proj", h)
+        _tap(taps, tap_paths, f"{prefix}.k_proj", h)
+        _tap(taps, tap_paths, f"{prefix}.v_proj", h)
+        q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
+        k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
+        v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
 
     if spec.qk_norm:  # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, ap["q_norm"]["weight"], spec.rms_norm_eps)
@@ -248,10 +267,15 @@ def gated_mlp(
     tap_paths=frozenset(),
     row_mask=None,
 ):
-    _tap(taps, tap_paths, f"{prefix}.gate_proj", h, row_mask)
-    _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
-    g = apply_linear(mp["gate_proj"], h)
-    u = apply_linear(mp["up_proj"], h)
+    if "gate_up_proj" in mp:  # phi3-style fused projection
+        _tap(taps, tap_paths, f"{prefix}.gate_up_proj", h, row_mask)
+        gu = apply_linear(mp["gate_up_proj"], h)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        _tap(taps, tap_paths, f"{prefix}.gate_proj", h, row_mask)
+        _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
+        g = apply_linear(mp["gate_proj"], h)
+        u = apply_linear(mp["up_proj"], h)
     inner = _act(spec.hidden_act)(g) * u
     _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
     return apply_linear(mp["down_proj"], inner)
@@ -361,12 +385,142 @@ def decoder_layer(
     return h + mlp_out, cache
 
 
-def embed(spec: ModelSpec, params: Params, input_ids: jnp.ndarray, dtype=jnp.float32):
-    emb = jnp.asarray(params["model"]["embed_tokens"]["weight"])
+def model_root(spec: ModelSpec, params: Params) -> Params:
+    """The container holding embed_tokens/layers/final norm (opt nests a
+    ``decoder`` level: model.decoder.layers)."""
+    if spec.family == "opt":
+        return params["model"]["decoder"]
+    return params["model"]
+
+
+def embed(
+    spec: ModelSpec,
+    params: Params,
+    input_ids: jnp.ndarray,
+    dtype=jnp.float32,
+    positions: Optional[jnp.ndarray] = None,
+):
+    root = model_root(spec, params)
+    emb = jnp.asarray(root["embed_tokens"]["weight"])
     h = emb[input_ids].astype(dtype)
     if spec.embedding_multiplier != 1.0:
         h = h * jnp.asarray(spec.embedding_multiplier, dtype)
+    if spec.family == "opt":  # learned positions, historical +2 offset
+        if positions is None:
+            B, T = input_ids.shape
+            positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+        pe = jnp.asarray(root["embed_positions"]["weight"])
+        h = h + pe[positions + 2].astype(dtype)
     return h
+
+
+def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    root = model_root(spec, params)
+    if spec.family == "opt":
+        n = root["final_layer_norm"]
+        return layer_norm(h, n["weight"], n.get("bias"), 1e-5)
+    return rms_norm(
+        h, root["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
+    )
+
+
+# --------------------------------------------------------------------------
+# opt family (learned positions, LayerNorm+bias, relu MLP, no RoPE)
+# --------------------------------------------------------------------------
+
+
+def opt_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    prefix: str = "self_attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    B, T, _ = h.shape
+    nh, hd = spec.num_heads, spec.head_dim
+    for name in ("q_proj", "k_proj", "v_proj"):
+        _tap(taps, tap_paths, f"{prefix}.{name}", h)
+    # OPT scales the QUERY by hd^-0.5 before the dot (matches HF exactly)
+    q = (apply_linear(ap["q_proj"], h) * (hd**-0.5)).reshape(B, T, nh, hd)
+    k = apply_linear(ap["k_proj"], h).reshape(B, T, nh, hd)
+    v = apply_linear(ap["v_proj"], h).reshape(B, T, nh, hd)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+
+    if cache is not None:
+        pos = cache["pos"]
+        if jnp.ndim(pos) == 0:
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0))
+            cache = {"k": k, "v": v, "pos": pos + T}
+        else:
+            bidx = jnp.arange(B)
+            k = cache["k"].at[bidx, :, pos, :].set(k[:, :, 0, :].astype(cache["k"].dtype))
+            v = cache["v"].at[bidx, :, pos, :].set(v[:, :, 0, :].astype(cache["v"].dtype))
+            cache = {"k": k, "v": v, "pos": pos + 1}
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    _tap(taps, tap_paths, f"{prefix}.out_proj", out)
+    return apply_linear(ap["out_proj"], out), cache
+
+
+def opt_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    eps = 1e-5
+    residual = h
+    n1 = lp["self_attn_layer_norm"]
+    if spec.do_layer_norm_before:
+        h = layer_norm(h, n1["weight"], n1.get("bias"), eps)
+    attn_out, cache = opt_attention(
+        spec, lp["self_attn"], h, attn_bias, cache, taps=taps, tap_paths=tap_paths
+    )
+    h = residual + attn_out
+    if not spec.do_layer_norm_before:
+        h = layer_norm(h, n1["weight"], n1.get("bias"), eps)
+
+    residual = h
+    n2 = lp["final_layer_norm"]
+    if spec.do_layer_norm_before:
+        h = layer_norm(h, n2["weight"], n2.get("bias"), eps)
+    _tap(taps, tap_paths, "fc1", h)
+    x = _act(spec.hidden_act)(apply_linear(lp["fc1"], h))
+    _tap(taps, tap_paths, "fc2", x)
+    x = apply_linear(lp["fc2"], x)
+    h = residual + x
+    if not spec.do_layer_norm_before:
+        h = layer_norm(h, n2["weight"], n2.get("bias"), eps)
+    return h, cache
+
+
+def any_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Family dispatcher used by the looper and the inference engine."""
+    if spec.family == "opt":
+        return opt_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
+    return decoder_layer(spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths)
 
 
 def model_hidden(
@@ -386,22 +540,20 @@ def model_hidden(
     if isinstance(attn_bias, str) and attn_bias == "causal":
         kv_len = caches[0]["k"].shape[2] if caches else T
         attn_bias = make_causal_mask(T, kv_len, window=0)
-    h = embed(spec, params, input_ids, dtype)
+    h = embed(spec, params, input_ids, dtype, positions)
     new_caches = [] if caches is not None else None
-    for i, lp in enumerate(params["model"]["layers"]):
+    for i, lp in enumerate(model_root(spec, params)["layers"]):
         cache_i = caches[i] if caches is not None else None
-        h, cache_i = decoder_layer(spec, lp, h, cos, sin, attn_bias, cache_i)
+        h, cache_i = any_decoder_layer(spec, lp, h, cos, sin, attn_bias, cache_i)
         if new_caches is not None:
             new_caches.append(cache_i)
-    h = rms_norm(
-        h, params["model"]["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
-    )
+    h = final_norm(spec, params, h)
     return h, new_caches
 
 
 def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
     if spec.tie_word_embeddings or "lm_head" not in params:
-        w = params["model"]["embed_tokens"]["weight"]
+        w = jnp.asarray(model_root(spec, params)["embed_tokens"]["weight"])
         logits = hidden @ w.T.astype(hidden.dtype)
     else:
         logits = apply_linear(params["lm_head"], hidden)

@@ -77,6 +77,72 @@ def test_forward_parity_dense(model_type, over):
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
 
 
+def test_forward_parity_phi3_fused_projections():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "phi3",
+            intermediate_size=96,  # phi3 fuses gate+up: any size works
+            pad_token_id=0,  # phi3 default pad id exceeds tiny vocab
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+def test_forward_parity_opt():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="opt",
+            vocab_size=128,
+            hidden_size=64,
+            ffn_dim=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=128,
+            word_embed_proj_dim=64,
+            do_layer_norm_before=True,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "opt"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "opt"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+def test_opt_quantize_e2e():
+    """OPT end-to-end through its own module tree (model.decoder.layers)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="opt", vocab_size=128, hidden_size=64, ffn_dim=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=128, word_embed_proj_dim=64,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval().save_pretrained(
+            Path(tmp) / "opt", safe_serialization=True
+        )
+        m = GPTQModel.load(Path(tmp) / "opt", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 6  # q/k/v/out_proj/fc1/fc2 per layer
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
 def test_forward_parity_qwen3_moe():
     with tempfile.TemporaryDirectory() as tmp:
         d, tmodel = _tiny_llama_dir(
