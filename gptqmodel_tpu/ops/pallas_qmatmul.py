@@ -68,15 +68,20 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
     pf = 32 // bits
     R = kt // pf
     u = qw_ref[:].astype(jnp.uint32)  # [R, nt]
-    s = s_ref[:].astype(jnp.bfloat16)[:, None, :]  # [gpk, 1, nt]
-    # Subtract the zero in the EXACT bf16 integer domain BEFORE scaling:
-    # (codes+128) and (zeros+128) are exact bf16 integers (<= 256, ulp 1), so
-    # their difference is exact and only the final *scale rounds — the
-    # s-first order would cancel catastrophically ((n+128)s - (z+128)s).
     x = x_ref[:].astype(jnp.bfloat16)  # pre-permuted to the kernel's K order
     acc = acc_ref[:]
+    bm = x.shape[0]
     if bits in _MAGIC_BF16:
+        # Subtract the zero in the EXACT bf16 integer domain BEFORE scaling:
+        # (codes+128) and (zeros+128) are exact bf16 integers (<= 256, ulp
+        # 1), so their difference is exact and only the final *scale rounds —
+        # the s-first order would cancel catastrophically.
+        # NOTE(next round): a group-aligned custom repack would make each
+        # bit-plane part cover whole groups, enabling a per-group partial-dot
+        # formulation with NO per-element scale work (Mosaic rejects the
+        # in-kernel lane-split reshapes the interchange layout would need).
         fmask, magic = _MAGIC_BF16[bits]
+        s = s_ref[:].astype(jnp.bfloat16)[:, None, :]  # [gpk, 1, nt]
         zoff = (zb_ref[:] + _MAGIC_OFFSET).astype(jnp.bfloat16)[:, None, :]
         rpg = (2 * R) // gpk  # rows per group (uniform, plane-independent)
         for a in range(pf // 2):
@@ -90,6 +95,7 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
             )
     else:  # 8-bit: shift/and/convert planes (codes <= 255 still bf16-exact)
         mask = jnp.uint32((1 << bits) - 1)
+        s = s_ref[:].astype(jnp.bfloat16)[:, None, :]
         z = zb_ref[:].astype(jnp.bfloat16)[:, None, :]
         rpg = R // gpk
         for a in range(pf):
@@ -147,7 +153,7 @@ def qmatmul(
     bits: int,
     group_size: int,
     block_m: int = 0,
-    block_n: int = 512,
+    block_n: int = 0,
     block_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -162,7 +168,9 @@ def qmatmul(
 
     bk = _pick_block_k(K, g, block_k)
     bm = block_m or (8 if M <= 8 else (128 if M >= 128 else _round_up(M, 8)))
-    bn = min(block_n, N)
+    # decode (small M): wide N tiles amortize per-block overheads (measured
+    # on v5e: bn=1024 beats 256 by ~20% at M<=8); cap by VMEM appetite
+    bn = min(block_n or (1024 if M <= 16 else 512), N)
     gpk = bk // g
 
     xp = _plane_permute_x(x, bk, pf, bits)
