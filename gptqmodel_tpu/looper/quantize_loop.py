@@ -87,6 +87,19 @@ def quantize_model(
     n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
     subsets = plan.build_subsets(n_experts)
 
+    R = None
+    if qcfg.rotation:
+        from gptqmodel_tpu.quantization.rotation import (
+            check_rotatable,
+            rotate_base,
+            rotation_matrix,
+        )
+
+        check_rotatable(spec)
+        R = rotation_matrix(spec.hidden_size, qcfg.rotation)
+        rotate_base(spec, base, R)
+        log.info("applied %s rotation to hidden stream", qcfg.rotation)
+
     ids_all = calibration.input_ids  # [nb, B, T]
     mask_all = calibration.row_mask
     nb, B, T = ids_all.shape
@@ -159,6 +172,10 @@ def quantize_model(
     for li in range(spec.num_layers):
         t_layer = time.perf_counter()
         lp = build_params_tree(reader, layer_filter=li)
+        if R is not None:
+            from gptqmodel_tpu.quantization.rotation import rotate_layer
+
+            rotate_layer(spec, lp, R)
         lp = jax.tree.map(jnp.asarray, lp)
         qlayer_mods: dict[str, Any] = {}
 

@@ -271,6 +271,14 @@ def gated_mlp(
         _tap(taps, tap_paths, f"{prefix}.gate_up_proj", h, row_mask)
         gu = apply_linear(mp["gate_up_proj"], h)
         g, u = jnp.split(gu, 2, axis=-1)
+    elif "w1" in mp:  # mixtral expert naming: w1=gate, w3=up, w2=down
+        _tap(taps, tap_paths, f"{prefix}.w1", h, row_mask)
+        _tap(taps, tap_paths, f"{prefix}.w3", h, row_mask)
+        g = apply_linear(mp["w1"], h)
+        u = apply_linear(mp["w3"], h)
+        inner = _act(spec.hidden_act)(g) * u
+        _tap(taps, tap_paths, f"{prefix}.w2", inner, row_mask)
+        return apply_linear(mp["w2"], inner)
     else:
         _tap(taps, tap_paths, f"{prefix}.gate_proj", h, row_mask)
         _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
@@ -372,7 +380,12 @@ def decoder_layer(
             spec.rms_norm_eps, spec.rms_norm_offset,
         )
 
-    if spec.num_experts > 0 and "experts" in lp["mlp"]:
+    if "block_sparse_moe" in lp:  # mixtral container naming
+        mlp_out = moe_mlp(
+            spec, lp["block_sparse_moe"], normed2, prefix="block_sparse_moe",
+            taps=taps, tap_paths=tap_paths,
+        )
+    elif spec.num_experts > 0 and "experts" in lp["mlp"]:
         mlp_out = moe_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
     else:
         mlp_out = gated_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)

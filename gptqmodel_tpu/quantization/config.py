@@ -70,6 +70,8 @@ class QuantizeConfig:
     dynamic: Optional[dict[str, Optional[dict[str, Any]]]] = None
     # adapter generation: {"name": "eora", "rank": N} (reference adapter=Lora(...))
     adapter: Optional[dict[str, Any]] = None
+    # QuaRot-style orthogonal rotation pre-quant: "hadamard" | "random" | None
+    rotation: Optional[str] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     device: Optional[str] = None

@@ -161,6 +161,36 @@ def test_forward_parity_qwen3_moe():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
 
 
+def test_forward_parity_mixtral():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "mixtral",
+            num_local_experts=4, num_experts_per_tok=2,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_mixtral_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "mixtral", num_local_experts=2, num_experts_per_tok=1,
+        )
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 4 attn + 2 experts x 3 per layer
+        assert len(rows) == 2 * (4 + 2 * 3), len(rows)
+        mods = {r["module"] for r in rows}
+        assert "block_sparse_moe.experts.0.w1" in mods
+        assert "block_sparse_moe.experts.1.w2" in mods
+
+
 def test_loader_roundtrip_through_writer():
     """dense load -> save via writer -> reload -> identical logits."""
     from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
