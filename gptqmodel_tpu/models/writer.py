@@ -60,7 +60,10 @@ def flatten_params(tree, prefix: str = "", out: dict | None = None, v1_zeros: bo
             qzeros = packing.convert_qzeros_v2_to_v1(qzeros, tree.bits)
         elif tree.v1 and not v1_zeros:
             qzeros = packing.convert_qzeros_v1_to_v2(qzeros, tree.bits)
-        out[f"{prefix}.qweight"] = np.asarray(tree.qweight)
+        qweight = np.asarray(tree.qweight)
+        if tree.rt_layout:  # runtime layout -> interchange layout on disk
+            qweight = packing.unrepack_rt(qweight, tree.bits, tree.rt_block_k)
+        out[f"{prefix}.qweight"] = qweight
         out[f"{prefix}.qzeros"] = qzeros
         out[f"{prefix}.scales"] = np.asarray(tree.scales)
         g = tree.group_size if tree.group_size > 0 else tree.in_features

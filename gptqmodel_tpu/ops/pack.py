@@ -183,3 +183,49 @@ def unpack_qzeros_jnp(qzeros: jnp.ndarray, bits: int, v1: bool = False) -> jnp.n
     if v1:
         z = (z + 1) & ((1 << bits) - 1)
     return z.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# runtime (rt) layout: group-aligned bit-plane parts for the Pallas kernel
+# --------------------------------------------------------------------------
+
+
+def rt_row_permutation(K: int, bits: int, block_k: int) -> np.ndarray:
+    """perm such that ``codes_rt[i] = codes[perm[i]]`` gives the rt layout.
+
+    Within each K-tile of ``block_k`` rows, field j of word r must hold
+    logical row ``a*2R + 2r + h`` where ``a = j % (pf/2)``, ``h = j // (pf/2)``,
+    ``R = block_k/pf`` — so the kernel's paired magic extraction of fields
+    (a, a+pf/2) yields a CONTIGUOUS logical range per part (marlin-repack
+    analog, reference gptq_marlin_repack.cu, done here as a host transform).
+    Returns the inverse mapping ready for fancy-indexing the logical rows
+    into packing order: row index ``t*block_k + r*pf + j`` of the repacked
+    matrix holds logical row ``t*block_k + (j % (pf//2))*2R + 2r + (j // (pf//2))``.
+    """
+    pf = 32 // bits
+    R = block_k // pf
+    perm = np.empty(K, dtype=np.int64)
+    base = np.arange(0, K, block_k)
+    r = np.arange(R)
+    for j in range(pf):
+        a, h = j % (pf // 2), j // (pf // 2)
+        # packing-order position of (word r, field j) within a tile = r*pf + j
+        pos = (base[:, None] + r[None, :] * pf + j).reshape(-1)
+        logical = (base[:, None] + a * 2 * R + 2 * r[None, :] + h).reshape(-1)
+        perm[pos] = logical
+    return perm
+
+
+def repack_rt(qweight: np.ndarray, bits: int, block_k: int) -> np.ndarray:
+    """Interchange qweight [K/pf, N] -> rt-layout packed words (same shape)."""
+    codes = _unpack_axis0_np(np.asarray(qweight), bits)
+    perm = rt_row_permutation(codes.shape[0], bits, block_k)
+    return _pack_axis0_np(codes[perm], bits)
+
+
+def unrepack_rt(qweight_rt: np.ndarray, bits: int, block_k: int) -> np.ndarray:
+    """rt-layout -> interchange layout (for export/dequant)."""
+    codes_rt = _unpack_axis0_np(np.asarray(qweight_rt), bits)
+    perm = rt_row_permutation(codes_rt.shape[0], bits, block_k)
+    inv = np.argsort(perm)
+    return _pack_axis0_np(codes_rt[inv], bits)

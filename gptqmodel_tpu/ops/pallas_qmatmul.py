@@ -113,6 +113,63 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _qmm_rt_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, bits, kt, nt, gpk
+):
+    """Group-aligned rt-layout kernel: per-weight VPU work is ONLY the 3-op
+    magic unpack. Each magic part covers whole groups (the repack guarantees
+    it), so scales multiply per-group PARTIAL DOTS:
+        y' = Σ_g s_g ⊙ (x_g @ (codes_g + 128))
+    The zero-point + magic-offset correction ``X1 @ ((z+128)·s)`` is
+    subtracted OUTSIDE in f32 (wrapper) — both terms are large, so the f32
+    output and f32 subtraction keep the cancellation at ~1e-7 rel."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pf = 32 // bits
+    R = kt // pf
+    g = kt // gpk
+    gpp = (2 * R) // g  # whole groups per magic part
+    fmask, magic = _MAGIC_BF16[bits]
+    u = qw_ref[:].astype(jnp.uint32)
+    x = x_ref[:].astype(jnp.bfloat16)
+    sf = s_ref[:]  # [gpk, nt] f32
+
+    acc = acc_ref[:]
+    for a in range(pf // 2):
+        t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
+        wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+        for gi in range(gpp):
+            g_abs = a * gpp + gi
+            xg = x[:, g_abs * g : (g_abs + 1) * g]  # lane-aligned (g % 128 == 0)
+            P = jnp.dot(
+                xg, wa[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+            )
+            acc += P * sf[g_abs][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def rt_supported(bits: int, group_size: int, K: int) -> bool:
+    """rt layout contract: magic bits, 128-lane-aligned groups, tiles of
+    >= 8 groups (Mosaic sublane rule for the scales block)."""
+    if bits not in _MAGIC_BF16:
+        return False
+    g = group_size if group_size > 0 else K
+    return g % 128 == 0 and K % (8 * g) == 0
+
+
+def rt_block_k_for(K: int, group_size: int) -> int:
+    return 8 * (group_size if group_size > 0 else K)
+
+
 def _plane_permute_x(x: jnp.ndarray, kt: int, pf: int, bits: int) -> jnp.ndarray:
     """Permute the K axis of x to match the kernel's per-tile unpack order.
 
@@ -142,7 +199,7 @@ def _pick_block_k(K: int, g: int, requested: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "block_m", "block_n", "block_k", "interpret"),
+    static_argnames=("bits", "group_size", "block_m", "block_n", "block_k", "rt", "interpret"),
 )
 def qmatmul(
     x: jnp.ndarray,  # [M, K] (bf16/f32)
@@ -155,9 +212,12 @@ def qmatmul(
     block_m: int = 0,
     block_n: int = 0,
     block_k: int = 0,
+    rt: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused dequant-matmul ``y = x @ dequant(qweight)`` for contiguous groups."""
+    """Fused dequant-matmul ``y = x @ dequant(qweight)`` for contiguous
+    groups. ``rt=True`` expects the group-aligned repacked layout
+    (pack.repack_rt with block_k = rt_block_k_for)."""
     M, K = x.shape
     pf = 32 // bits
     N = qweight.shape[1]
@@ -166,28 +226,15 @@ def qmatmul(
     assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
     assert G * g == K, (G, g, K)
 
-    bk = _pick_block_k(K, g, block_k)
+    bk = rt_block_k_for(K, group_size) if rt else _pick_block_k(K, g, block_k)
     bm = block_m or (8 if M <= 8 else (128 if M >= 128 else _round_up(M, 8)))
     # decode (small M): wide N tiles amortize per-block overheads (measured
     # on v5e: bn=1024 beats 256 by ~20% at M<=8); cap by VMEM appetite
     bn = min(block_n or (1024 if M <= 16 else 512), N)
     gpk = bk // g
 
-    xp = _plane_permute_x(x, bk, pf, bits)
     grid = (_cdiv(N, bn), _cdiv(M, bm), _cdiv(K, bk))
-
-    kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda n, m, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bk // pf, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((gpk, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpk, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM),
-        ],
+    common = dict(
         out_specs=pl.BlockSpec(
             (bm, bn), lambda n, m, k: (m, n), memory_space=pltpu.VMEM
         ),
@@ -204,6 +251,44 @@ def qmatmul(
             transcendentals=0,
         ),
         interpret=interpret,
+    )
+    x_spec = pl.BlockSpec((bm, bk), lambda n, m, k: (m, k), memory_space=pltpu.VMEM)
+    qw_spec = pl.BlockSpec(
+        (bk // pf, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM
+    )
+    sz_spec = pl.BlockSpec((gpk, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM)
+
+    if rt:
+        assert rt_supported(bits, group_size, K), (bits, group_size, K)
+        kernel = functools.partial(
+            _qmm_rt_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk
+        )
+        common["out_shape"] = jax.ShapeDtypeStruct((M, N), jnp.float32)
+        y_big = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_spec, qw_spec, sz_spec],
+            **common,
+        )(x, qweight, scales.astype(jnp.float32))
+        # zero-point + magic-offset correction, f32, from the SAME
+        # bf16-rounded x the kernel's dots see (exact cancellation)
+        X1 = jnp.sum(
+            x.astype(jnp.bfloat16).astype(jnp.float32).reshape(M, G, g), axis=-1
+        )  # [M, G]
+        zs = (zvals.astype(jnp.float32) + _MAGIC_OFFSET) * scales.astype(jnp.float32)
+        # highest precision: TPU default would run this f32 matmul in bf16
+        # passes, and the correction is LARGE (the +128 offset) — bf16
+        # rounding here leaks ~1e-3 of the big term into the result
+        corr = jnp.matmul(X1, zs, precision="highest")
+        return (y_big - corr).astype(x.dtype)
+
+    xp = _plane_permute_x(x, bk, pf, bits)
+    kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, qw_spec, sz_spec, sz_spec],
+        **common,
     )(xp, qweight, scales.astype(jnp.float32), zvals.astype(jnp.float32))
     return out
 

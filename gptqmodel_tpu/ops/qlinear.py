@@ -27,7 +27,7 @@ from gptqmodel_tpu.ops import pack as packing
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -60,6 +60,10 @@ class QuantLinear:
     out_features: int = 0
     sym: bool = True
     v1: bool = False
+    # qweight repacked to the kernel's group-aligned rt layout (post-init;
+    # marlin-repack analog). Export/dequant reverse it via pack.unrepack_rt.
+    rt_layout: bool = False
+    rt_block_k: int = 0
 
     @property
     def n_groups(self) -> int:
@@ -114,6 +118,9 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
     qlinear/__init__.py:947 dequantize_weight).
     """
     codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
+    if p.rt_layout:  # jit-safe reverse of the rt row permutation
+        perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
+        codes = codes[jnp.asarray(np.argsort(perm))]
     zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
     scales = p.scales.astype(dtype)
     if p.g_idx is not None:

@@ -89,7 +89,7 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     x2 = x.reshape(-1, x.shape[-1])
     y = pallas_qmatmul.qmatmul(
         x2, p.qweight, p.scales, p.zvals,
-        bits=p.bits, group_size=p.group_size,
+        bits=p.bits, group_size=p.group_size, rt=p.rt_layout,
         interpret=(kernel == "pallas_interpret"),
     )
     y = y.reshape(*lead, p.out_features)
@@ -101,16 +101,28 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def post_init_module(p: QuantLinear) -> QuantLinear:
-    """Precompute runtime arrays for the fast kernel (zvals: float zeros)."""
+    """Prepare runtime state for the fast kernel: float zero points, and —
+    when the contract allows — the group-aligned rt repack of qweight
+    (marlin-repack analog; reference marlin.py:246 post_init)."""
     if p.zvals is not None:
         return p
     zeros = packing.unpack_qzeros(np.asarray(p.qzeros), p.bits, v1=p.v1)
     zvals = zeros.astype(np.float32)
+    qweight, rt_layout, rt_bk = p.qweight, False, 0
+    if p.g_idx is None and pallas_qmatmul.rt_supported(
+        p.bits, p.group_size, p.in_features
+    ):
+        rt_bk = pallas_qmatmul.rt_block_k_for(p.in_features, p.group_size)
+        qweight = jnp.asarray(
+            packing.repack_rt(np.asarray(p.qweight), p.bits, rt_bk)
+        )
+        rt_layout = True
     return QuantLinear(
-        qweight=p.qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
+        qweight=qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1,
+        rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 
 

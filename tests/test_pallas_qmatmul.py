@@ -127,6 +127,62 @@ def test_capability_contract_and_selection():
         registry.set_backend("auto")
 
 
+def test_rt_repack_roundtrip():
+    from gptqmodel_tpu.ops import pack as P
+
+    rng = np.random.default_rng(0)
+    for bits in (2, 4):
+        K, N = 2048, 128
+        codes = rng.integers(0, 2**bits, size=(K, N), dtype=np.int64)
+        qw = P.pack_qweight(codes, bits)
+        bk = 8 * 128
+        rt = P.repack_rt(qw, bits, bk)
+        back = P.unrepack_rt(rt, bits, bk)
+        np.testing.assert_array_equal(back, qw)
+        # permutation is a bijection
+        perm = P.rt_row_permutation(K, bits, bk)
+        assert len(np.unique(perm)) == K
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_rt_kernel_matches_xla(bits):
+    """Group-aligned rt path (auto-repacked at post_init for g%128==0,
+    K%(8g)==0) vs the f32 XLA reference. The zero-point correction cancels
+    in f32, so tolerance is f32-cancellation level, not exact."""
+    p = _random_module(bits, 128, 1024, 256)
+    assert p.rt_layout, "post_init should have repacked this shape"
+    rng = np.random.default_rng(3)
+    for M in (1, 8):
+        x = jnp.asarray(rng.standard_normal((M, 1024)), dtype=jnp.float32)
+        ref = np.asarray(qlinear_forward_xla(p, x))
+        registry.set_backend("pallas_interpret")
+        try:
+            got = np.asarray(registry.qlinear_forward(p, x))
+        finally:
+            registry.set_backend("auto")
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 8e-3, (M, rel)
+
+
+def test_rt_layout_export_is_interchange():
+    """Saving an rt-repacked module must write the interchange layout."""
+    from gptqmodel_tpu.models.writer import flatten_params
+    from gptqmodel_tpu.ops import pack as P
+
+    p0 = _random_module(4, 128, 1024, 128)  # post_init -> rt
+    assert p0.rt_layout
+    flat = flatten_params({"m": p0}, v1_zeros=False)
+    # reconstruct codes from the export and compare against dequant
+    codes = P.unpack_qweight(flat["m.qweight"], 4)
+    zeros = P.unpack_qzeros(flat["m.qzeros"], 4)
+    w = (codes - np.repeat(zeros, 128, 0)) * np.repeat(
+        np.asarray(p0.scales, np.float32), 128, 0
+    )
+    np.testing.assert_allclose(
+        w, np.asarray(dequantize_weight(p0)), atol=1e-5
+    )
+
+
 def test_zvals_not_serialized():
     from gptqmodel_tpu.models.writer import flatten_params
 
