@@ -32,12 +32,14 @@ def build_quant_params_on_device(spec, bits=4, group_size=128):
     """Packed-llama params allocated device-side (no host transfer)."""
     import jax.numpy as jnp
 
+    from gptqmodel_tpu.ops.pallas_qmatmul import rt_block_k_for, rt_supported
     from gptqmodel_tpu.ops.qlinear import QuantLinear
 
     pf = 32 // bits
 
     def ql(out_f, in_f):
         G = in_f // group_size
+        rt = rt_supported(bits, group_size, in_f)
         return QuantLinear(
             qweight=jnp.zeros((in_f // pf, out_f), jnp.int32),
             qzeros=jnp.zeros((G, out_f // pf), jnp.int32),
@@ -47,6 +49,9 @@ def build_quant_params_on_device(spec, bits=4, group_size=128):
             zvals=jnp.zeros((G, out_f), jnp.float32),
             bits=bits, group_size=group_size,
             in_features=in_f, out_features=out_f, sym=True,
+            # all-zero codes are rt-layout-invariant; flag the fast path
+            rt_layout=rt,
+            rt_block_k=rt_block_k_for(in_f, group_size) if rt else 0,
         )
 
     h = spec.hidden_size

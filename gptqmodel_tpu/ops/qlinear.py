@@ -136,10 +136,16 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
 def qlinear_forward_xla(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     """Reference forward: dequantize -> matmul. Works on any backend.
 
-    Matmul runs in the activation dtype (bf16 on TPU feeds the MXU); dequant
-    itself is exact in fp32 before the cast.
+    Matmul runs in the activation dtype (bf16 on TPU feeds the MXU). For
+    bf16 activations the dequant also runs in bf16 — (codes - zeros) is
+    exact there (small ints), only the scale multiply rounds, and the full
+    [in, out] f32 materialization would otherwise dominate HBM on large
+    models (prefill path).
     """
-    w = dequantize_weight(p, dtype=jnp.float32).astype(x.dtype)
+    if x.dtype == jnp.bfloat16:
+        w = dequantize_weight(p, dtype=jnp.bfloat16)
+    else:
+        w = dequantize_weight(p, dtype=jnp.float32).astype(x.dtype)
     y = jnp.matmul(x, w)
     if p.lora_A is not None:  # EoRA/LoRA fused apply (reference adapter.py:148)
         y = y + (x @ p.lora_A.astype(x.dtype)) @ p.lora_B.astype(x.dtype)

@@ -84,7 +84,12 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     rows = 1
     for d in lead:
         rows *= int(d)
-    if kernel == "xla" or (kernel == "pallas" and rows > PALLAS_MAX_M):
+    # rt-layout modules stay on pallas at any M: the XLA fallback would have
+    # to materialize + un-permute the full dense weight (HBM-prohibitive on
+    # big models); the rt kernel needs no materialization at all.
+    if kernel == "xla" or (
+        kernel == "pallas" and rows > PALLAS_MAX_M and not p.rt_layout
+    ):
         return qlinear_forward_xla(p, x)
     x2 = x.reshape(-1, x.shape[-1])
     y = pallas_qmatmul.qmatmul(
