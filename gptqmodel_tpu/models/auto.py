@@ -296,14 +296,29 @@ class BaseQModel:
             self._load_params()
         return perplexity(self.spec, self.params, input_ids, row_mask, dtype=dtype)
 
+    def optimize(self):
+        """Inference-time optimizations (reference base.py:1760): fuse q/k/v
+        and gate/up into single wide kernel calls. Reduces launch count;
+        measured roughly neutral for decode on v5e (wider N doesn't help the
+        current tiling), so opt-in."""
+        from gptqmodel_tpu.models.optimize import fuse_projections
+
+        if self.params is None:
+            self._load_params()
+        self.params = fuse_projections(self.spec, self.params)
+        return self
+
     # --------------------------------------------------------------- serve
-    def engine(self, max_slots: int = 8, max_len: int = 2048, dtype=jnp.bfloat16):
+    def engine(self, max_slots: int = 8, max_len: int = 2048, dtype=jnp.bfloat16,
+               optimize: bool = False):
         """Continuous-batching engine over this model (analog of reference
         base.py:1798 serve stack)."""
         from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
 
         if self.params is None:
             self._load_params()
+        if optimize:
+            self.optimize()
         return ContinuousBatchingEngine(
             self.spec, self.params, max_slots=max_slots, max_len=max_len,
             dtype=dtype, eos_token_id=self.hf_config.get("eos_token_id"),

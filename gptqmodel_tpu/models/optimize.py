@@ -1,0 +1,91 @@
+"""Inference-time graph optimizations on the params pytree.
+
+Analog of the reference's ``model.optimize()`` (gptqmodel/models/base.py:1760,
+lookahead/fusion config at base.py:1743): transforms that change how compute
+is issued without changing results.
+
+``fuse_projections`` merges q/k/v -> qkv_proj and gate/up -> gate_up_proj
+when they are QuantLinears with identical quant configs: one wide fused
+dequant-matmul call replaces three/two narrower ones — fewer kernel launches
+and wider N tiles (the decode kernel's efficiency grows with N). The
+functional forward already consumes the fused names (phi3 path), and
+splitting the output is free (it's a reshape of lanes).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from gptqmodel_tpu.models.spec import ModelSpec
+from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+log = logging.getLogger("gptqmodel_tpu")
+
+
+def _can_fuse(mods: list) -> bool:
+    if not all(isinstance(m, QuantLinear) for m in mods):
+        return False
+    a = mods[0]
+    return all(
+        m.bits == a.bits
+        and m.group_size == a.group_size
+        and m.in_features == a.in_features
+        and m.v1 == a.v1
+        and m.g_idx is None
+        and m.rt_layout == a.rt_layout
+        and m.rt_block_k == a.rt_block_k
+        and (m.bias is None) == (a.bias is None)
+        and (m.lora_A is None)  # adapters stay per-module; skip fusion
+        for m in mods
+    )
+
+
+def _concat_quant(mods: list[QuantLinear]) -> QuantLinear:
+    """Concatenate along out-features (the lane axis of every tensor)."""
+    a = mods[0]
+    cat = lambda f: jnp.concatenate([jnp.asarray(getattr(m, f)) for m in mods], axis=-1)
+    return QuantLinear(
+        qweight=cat("qweight"),
+        qzeros=cat("qzeros"),
+        scales=cat("scales"),
+        g_idx=None,
+        bias=cat("bias") if a.bias is not None else None,
+        zvals=cat("zvals") if a.zvals is not None else None,
+        bits=a.bits,
+        group_size=a.group_size,
+        in_features=a.in_features,
+        out_features=sum(m.out_features for m in mods),
+        sym=a.sym,
+        v1=a.v1,
+        rt_layout=a.rt_layout,
+        rt_block_k=a.rt_block_k,
+    )
+
+
+def fuse_projections(spec: ModelSpec, params: dict) -> dict:
+    """In-place: merge attention q/k/v and mlp gate/up per layer when safe."""
+    if spec.family != "llama":
+        return params
+    root = params["model"]
+    n_fused = 0
+    for lp in root["layers"]:
+        attn = lp.get("self_attn", {})
+        if all(k in attn for k in ("q_proj", "k_proj", "v_proj")):
+            mods = [attn["q_proj"], attn["k_proj"], attn["v_proj"]]
+            if _can_fuse(mods):
+                attn["qkv_proj"] = _concat_quant(mods)
+                del attn["q_proj"], attn["k_proj"], attn["v_proj"]
+                n_fused += 1
+        mlp = lp.get("mlp", {})
+        if all(k in mlp for k in ("gate_proj", "up_proj")) and "experts" not in mlp:
+            mods = [mlp["gate_proj"], mlp["up_proj"]]
+            if _can_fuse(mods):
+                mlp["gate_up_proj"] = _concat_quant(mods)
+                del mlp["gate_proj"], mlp["up_proj"]
+                n_fused += 1
+    if n_fused:
+        log.info("fused %d projection groups for inference", n_fused)
+    return params
