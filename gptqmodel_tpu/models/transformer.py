@@ -219,25 +219,38 @@ def attention(
             )
             cache = {"k": k, "v": v, "pos": pos + 1}
 
-    rep = nh // k.shape[1]
-    if rep > 1:
-        k_full = jnp.repeat(k, rep, axis=1)
-        v_full = jnp.repeat(v, rep, axis=1)
-    else:
-        k_full, v_full = k, v
-
     scale = (
         spec.query_pre_attn_scalar**-0.5 if spec.query_pre_attn_scalar else hd**-0.5
     )
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_full, preferred_element_type=jnp.float32
-    ) * scale
-    if spec.attn_softcap:
-        logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
-    if attn_bias is not None:
-        logits = logits + attn_bias.astype(logits.dtype)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full.astype(q.dtype))
+    rep = nh // k.shape[1]
+    S = k.shape[2]
+    if rep > 1:
+        # GQA without materializing repeated K/V: fold the query-group dim
+        # into the einsum (saves 2·rep× the KV bytes in copies — dominant
+        # non-matmul cost of decode on big GQA models)
+        qg = q.reshape(B, k.shape[1], rep, T, hd)
+        logits = jnp.einsum(
+            "bgrqd,bgkd->bgrqk", qg, k, preferred_element_type=jnp.float32
+        ) * scale
+        if spec.attn_softcap:
+            logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
+        if attn_bias is not None:
+            bias = attn_bias.astype(logits.dtype)
+            # [B|1, 1, T, S] -> broadcast over (g, r)
+            logits = logits + bias[:, :, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v.astype(q.dtype))
+        out = out.reshape(B, nh, T, hd)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if spec.attn_softcap:
+            logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
 
     _tap(taps, tap_paths, f"{prefix}.o_proj", out)
