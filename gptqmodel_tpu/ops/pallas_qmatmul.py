@@ -114,15 +114,17 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, g
 
 
 def _qmm_rt_kernel(
-    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, bits, kt, nt, gpk
+    x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, bits, kt, nt, gpk
 ):
     """Group-aligned rt-layout kernel: per-weight VPU work is ONLY the 3-op
     magic unpack. Each magic part covers whole groups (the repack guarantees
     it), so scales multiply per-group PARTIAL DOTS:
-        y' = Σ_g s_g ⊙ (x_g @ (codes_g + 128))
-    The zero-point + magic-offset correction ``X1 @ ((z+128)·s)`` is
-    subtracted OUTSIDE in f32 (wrapper) — both terms are large, so the f32
-    output and f32 subtraction keep the cancellation at ~1e-7 rel."""
+        y = Σ_g s_g ⊙ (x_g @ (codes_g + 128)) − Σ_g (Σx_g)(z_g+128)·s_g
+    The zero/offset correction is computed IN-KERNEL from the exact same
+    x_ref data the dots consume: computing it outside desyncs under
+    --xla_allow_excess_precision (XLA elides the f32->bf16->f32 rounding of
+    the activations, observed on-chip as a 3.6e-2 error), and both terms are
+    large so any x mismatch leaks the +128 offset."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -138,6 +140,7 @@ def _qmm_rt_kernel(
     u = qw_ref[:].astype(jnp.uint32)
     x = x_ref[:].astype(jnp.bfloat16)
     sf = s_ref[:]  # [gpk, nt] f32
+    zs = (zb_ref[:] + _MAGIC_OFFSET) * sf  # [gpk, nt] f32
 
     acc = acc_ref[:]
     for a in range(pf // 2):
@@ -149,12 +152,13 @@ def _qmm_rt_kernel(
             P = jnp.dot(
                 xg, wa[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
             )
-            acc += P * sf[g_abs][None, :]
+            X1g = jnp.sum(xg.astype(jnp.float32), axis=1)  # [bm]
+            acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
-        o_ref[:] = acc_ref[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def rt_supported(bits: int, group_size: int, K: int) -> bool:
@@ -263,24 +267,12 @@ def qmatmul(
         kernel = functools.partial(
             _qmm_rt_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk
         )
-        common["out_shape"] = jax.ShapeDtypeStruct((M, N), jnp.float32)
-        y_big = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[x_spec, qw_spec, sz_spec],
+            in_specs=[x_spec, qw_spec, sz_spec, sz_spec],
             **common,
-        )(x, qweight, scales.astype(jnp.float32))
-        # zero-point + magic-offset correction, f32, from the SAME
-        # bf16-rounded x the kernel's dots see (exact cancellation)
-        X1 = jnp.sum(
-            x.astype(jnp.bfloat16).astype(jnp.float32).reshape(M, G, g), axis=-1
-        )  # [M, G]
-        zs = (zvals.astype(jnp.float32) + _MAGIC_OFFSET) * scales.astype(jnp.float32)
-        # highest precision: TPU default would run this f32 matmul in bf16
-        # passes, and the correction is LARGE (the +128 offset) — bf16
-        # rounding here leaks ~1e-3 of the big term into the result
-        corr = jnp.matmul(X1, zs, precision="highest")
-        return (y_big - corr).astype(x.dtype)
+        )(x, qweight, scales.astype(jnp.float32), zvals.astype(jnp.float32))
 
     xp = _plane_permute_x(x, bk, pf, bits)
     kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
