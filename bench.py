@@ -123,6 +123,11 @@ def main():
     bits, g = 4, 128
     t0 = time.time()
     params = build_quant_params_on_device(spec, bits, g)
+    if os.environ.get("BENCH_FUSE") == "1":
+        from gptqmodel_tpu.models.optimize import fuse_projections
+
+        params = fuse_projections(spec, params)
+        _log("projections fused")
     _log(f"params built on device in {time.time()-t0:.1f}s "
          f"({packed_model_bytes(spec, bits, g)/1e9:.2f} GB packed)")
 

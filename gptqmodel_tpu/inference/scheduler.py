@@ -16,7 +16,6 @@ here continuous batching is first-class (SURVEY §7 step 5 — new design work):
 from __future__ import annotations
 
 import threading
-import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 

@@ -11,7 +11,7 @@ archs share one entry shape. Unknown model_types fall back to the llama tree
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -24,8 +24,6 @@ import logging
 import numpy as np
 
 from gptqmodel_tpu.models.spec import ModelSpec
-from gptqmodel_tpu.models.transformer import get_by_path
-
 log = logging.getLogger("gptqmodel_tpu")
 
 
