@@ -158,8 +158,10 @@ def perplexity(
     """
     from gptqmodel_tpu.models.transformer import forward_logits
 
+    # params must be an ARGUMENT: closures embed arrays as HLO constants
+    # (multi-GB programs; the remote compiler rejects them outright)
     @jax.jit
-    def nll(ids, m):
+    def nll(params, ids, m):
         logits = forward_logits(spec, params, ids, dtype=dtype)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
         tgt = ids[:, 1:]
@@ -174,7 +176,7 @@ def perplexity(
     for i in range(0, N, batch_size):
         ids = jnp.asarray(input_ids[i : i + batch_size])
         m = jnp.asarray(row_mask[i : i + batch_size], jnp.float32)
-        s, c = nll(ids, m)
+        s, c = nll(params, ids, m)
         total += float(s)
         count += float(c)
     return float(np.exp(total / max(count, 1.0)))

@@ -105,8 +105,12 @@ def quantize_model(
     nb, B, T = ids_all.shape
 
     # ---- stage: input capture (embeddings only; layers never run here) ----
-    embed_fn = jax.jit(lambda ids: embed(spec, base, ids, dtype=activation_dtype))
-    hidden = [np.asarray(embed_fn(jnp.asarray(ids_all[b]))) for b in range(nb)]
+    # base passed as an argument — closures would embed the embedding table
+    # as HLO constants (GBs on real models; remote compilers reject them)
+    embed_fn = jax.jit(
+        lambda base, ids: embed(spec, base, ids, dtype=activation_dtype)
+    )
+    hidden = [np.asarray(embed_fn(base, jnp.asarray(ids_all[b]))) for b in range(nb)]
     positions = jnp.broadcast_to(jnp.arange(T), (B, T))
     cos, sin = rope_cos_sin(spec, positions)
     attn_bias = make_causal_mask(T, T)
@@ -596,16 +600,20 @@ def _quantize_lm_head(spec, base, hidden, mask_all, qcfg, quant_log, durations):
     head = base["lm_head"]
     in_f = head["weight"].shape[1]
 
+    norm_params = {"model": {k: v for k, v in base["model"].items() if k != "layers"}}         if "model" in base else base
+
     @jax.jit
-    def head_G_step(h, row_mask, G, n):
-        x = final_norm(spec, base, h)
+    def head_G_step(norm_params, h, row_mask, G, n):
+        x = final_norm(spec, norm_params, h)
         xf = x.reshape(-1, in_f).astype(jnp.float32) * row_mask.reshape(-1)[:, None]
         return G + jnp.matmul(xf.T, xf, precision="highest"), n + jnp.sum(row_mask)
 
     G = jnp.zeros((in_f, in_f), jnp.float32)
     n = jnp.zeros((), jnp.float32)
     for b in range(len(hidden)):
-        G, n = head_G_step(jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), G, n)
+        G, n = head_G_step(
+            norm_params, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), G, n
+        )
     n_rows = float(n)
     mcfg = qcfg.for_module("lm_head") or qcfg
 
