@@ -115,6 +115,14 @@ def quantize_model(
     cos, sin = rope_cos_sin(spec, positions)
     attn_bias = make_causal_mask(T, T)
 
+    # GPTAQ: a parallel NATIVE (never-quantized) activation stream feeds the
+    # asymmetric-error cross term (replaces the reference's NativeProcessor
+    # pre-pass, looper/native_processor.py)
+    gptaq_on = qcfg.gptaq is not None and qcfg.method == METHOD.GPTQ \
+        and not qcfg.mock_quantization
+    gptaq_alpha = float((qcfg.gptaq or {}).get("alpha", 0.25))
+    hidden_fp = [h.copy() for h in hidden] if gptaq_on else None
+
     # ---- jitted per-subset steps, compiled once, reused across layers -----
     step_cache: dict[Any, Any] = {}
 
@@ -146,6 +154,50 @@ def quantize_model(
 
         fn = jax.jit(step)
         step_cache[tap_reps] = fn
+        return fn
+
+    def gptaq_step_fn(tap_reps: tuple[str, ...]):
+        """Like hessian_step_fn but also runs the NATIVE layer on the native
+        stream and accumulates D = Σ (x̃ − x)ᵀ x per tap (MoE expert taps use
+        the quantized stream's routing mask for both sides — token pairing
+        across diverging routings is undefined)."""
+        key = ("gptaq",) + tap_reps
+        if key in step_cache:
+            return step_cache[key]
+
+        def step(lp, h, lp_fp, h_fp, row_mask, Gs, ns, As, Ds):
+            taps: dict = {}
+            any_decoder_layer(
+                spec, lp, h, cos, sin, attn_bias,
+                taps=taps, tap_paths=frozenset(tap_reps),
+            )
+            taps_fp: dict = {}
+            any_decoder_layer(
+                spec, lp_fp, h_fp, cos, sin, attn_bias,
+                taps=taps_fp, tap_paths=frozenset(tap_reps),
+            )
+            flat_mask = row_mask.reshape(-1)
+            newG, newn, newA, newD = {}, {}, {}, {}
+            for k_ in tap_reps:
+                t_, tf_ = taps[k_], taps_fp[k_]
+                if isinstance(t_, tuple):
+                    x, routed = t_
+                    xt = tf_[0]
+                    m = routed.reshape(-1) * flat_mask
+                else:
+                    x, xt, m = t_, tf_, flat_mask
+                xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32) * m[:, None]
+                xtf = xt.reshape(-1, xt.shape[-1]).astype(jnp.float32) * m[:, None]
+                newG[k_] = Gs[k_] + jnp.matmul(xf.T, xf, precision="highest")
+                newn[k_] = ns[k_] + jnp.sum(m)
+                newA[k_] = As[k_] + jnp.sum(jnp.abs(xf), axis=0)
+                newD[k_] = Ds[k_] + jnp.matmul(
+                    (xtf - xf).T, xf, precision="highest"
+                )
+            return newG, newn, newA, newD
+
+        fn = jax.jit(step)
+        step_cache[key] = fn
         return fn
 
     replay_key = "__replay__"
@@ -181,6 +233,7 @@ def quantize_model(
 
             rotate_layer(spec, lp, R)
         lp = jax.tree.map(jnp.asarray, lp)
+        lp_fp = jax.tree.map(lambda a: a, lp) if gptaq_on else None  # pristine copy
         qlayer_mods: dict[str, Any] = {}
 
         for subset in subset_plan:
@@ -188,7 +241,6 @@ def quantize_model(
             if not groups:
                 continue
             tap_reps = tuple(sorted({g.tap for g in groups}))
-            step = hessian_step_fn(tap_reps)
 
             t0 = time.perf_counter()
             in_feats = {
@@ -198,10 +250,23 @@ def quantize_model(
             Gs = {k: jnp.zeros((v, v), jnp.float32) for k, v in in_feats.items()}
             ns = {k: jnp.zeros((), jnp.float32) for k in in_feats}
             As = {k: jnp.zeros((v,), jnp.float32) for k, v in in_feats.items()}
-            for b in range(nb):
-                Gs, ns, As = step(
-                    lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]), Gs, ns, As
-                )
+            Ds = None
+            if gptaq_on:
+                Ds = {k: jnp.zeros((v, v), jnp.float32) for k, v in in_feats.items()}
+                step = gptaq_step_fn(tap_reps)
+                for b in range(nb):
+                    Gs, ns, As, Ds = step(
+                        lp, jnp.asarray(hidden[b]), lp_fp,
+                        jnp.asarray(hidden_fp[b]), jnp.asarray(mask_all[b]),
+                        Gs, ns, As, Ds,
+                    )
+            else:
+                step = hessian_step_fn(tap_reps)
+                for b in range(nb):
+                    Gs, ns, As = step(
+                        lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]),
+                        Gs, ns, As,
+                    )
             jax.block_until_ready(list(Gs.values()))
             durations["forward"] += time.perf_counter() - t0
 
@@ -225,6 +290,8 @@ def quantize_model(
                     _quantize_group(
                         grp, lp, Gs[grp.tap], float(ns[grp.tap]), li, qcfg,
                         qlayer_mods, quant_log, durations,
+                        dxxt=None if Ds is None else Ds[grp.tap],
+                        gptaq_alpha=gptaq_alpha,
                     )
 
         # replay with fully-quantized layer -> next layer inputs
@@ -232,6 +299,9 @@ def quantize_model(
         rfn = replay_fn()
         for b in range(nb):
             hidden[b] = np.asarray(rfn(lp, jnp.asarray(hidden[b])))
+        if gptaq_on:  # native stream replays through the pristine layer
+            for b in range(nb):
+                hidden_fp[b] = np.asarray(rfn(lp_fp, jnp.asarray(hidden_fp[b])))
         durations["forward"] += time.perf_counter() - t0
 
         # assemble output layer: QuantLinear leaves replace dense modules
@@ -378,10 +448,14 @@ def _quantize_group(
     qlayer_mods: dict,
     quant_log: list,
     durations: dict,
+    dxxt=None,
+    gptaq_alpha: float = 0.25,
 ):
     """Solve all members of an input group (batched when configs match)."""
     same_cfg = all(c == grp.cfgs[0] for c in grp.cfgs[1:])
     H = (2.0 / max(n_rows, 1.0)) * G
+    if dxxt is not None:
+        dxxt = (2.0 / max(n_rows, 1.0)) * dxxt
 
     if same_cfg and len(grp.members) > 1:
         batches = [(grp.members, grp.cfgs[0])]
@@ -408,6 +482,7 @@ def _quantize_group(
                 mse=cfg.mse > 0, damp_percent=cfg.damp_percent,
                 damp_auto_increment=cfg.damp_auto_increment,
                 nsamples=int(n_rows),
+                dxxt=dxxt, gptaq_alpha=gptaq_alpha,
             )
         solve_t = time.perf_counter() - t0
         durations["solve"] += solve_t

@@ -72,6 +72,9 @@ class QuantizeConfig:
     adapter: Optional[dict[str, Any]] = None
     # QuaRot-style orthogonal rotation pre-quant: "hadamard" | "random" | None
     rotation: Optional[str] = None
+    # GPTAQ (GPTQ v2) asymmetric-error correction: {"alpha": 0.25}; needs a
+    # parallel native-activation stream (reference config.py:1231, gptaq.py)
+    gptaq: Optional[dict[str, Any]] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     device: Optional[str] = None

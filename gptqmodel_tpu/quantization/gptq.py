@@ -128,23 +128,27 @@ def hessian_inverse(
 
 @partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "sym", "mse", "blocksize"),
+    static_argnames=("bits", "group_size", "sym", "mse", "blocksize", "with_p"),
 )
 def gptq_solve_core(
     W: jnp.ndarray,
     Hinv_u: jnp.ndarray,
+    P: jnp.ndarray | None = None,
     *,
     bits: int,
     group_size: int,
     sym: bool,
     mse: bool = False,
     blocksize: int = DEFAULT_BLOCKSIZE,
+    with_p: bool = False,
 ):
     """Blocked GPTQ error-feedback solve.
 
     ``W``: [out, in] fp32, already permuted (desc_act/GAR) and dead-column
     zeroed. ``Hinv_u``: upper Cholesky factor of the damped inverse Hessian
-    (same permutation).
+    (same permutation). ``P`` (with_p=True): the GPTAQ asymmetric-error
+    correction matrix — the update gains a ``+ w · P[i, i:]`` term
+    (reference gptaq.py:205-220).
 
     Returns dict with Q codes [out, in] int32, Wq dequantized [out, in] f32,
     scales/zeros [G, out] f32, losses [out, in] f32 (per-column
@@ -154,15 +158,19 @@ def gptq_solve_core(
     maxq = 2**bits - 1
     g = in_f if group_size in (-1, None) else group_size
     B = blocksize
+    if P is None:
+        P = jnp.zeros((1, 1), W.dtype)  # dummy; ops gated by with_p
     if in_f % B != 0:
         # pad columns up to a block multiple; padded cols have Hinv rows = I
         pad = B - in_f % B
         W = jnp.pad(W, ((0, 0), (0, pad)))
         Hinv_u = jnp.pad(Hinv_u, ((0, pad), (0, pad)))
         Hinv_u = Hinv_u.at[in_f:, in_f:].set(jnp.eye(pad, dtype=Hinv_u.dtype))
+        if with_p:
+            P = jnp.pad(P, ((0, pad), (0, pad)))
         return _solve_padded(
-            W, Hinv_u, in_f, bits=bits, group_size=group_size, sym=sym,
-            mse=mse, blocksize=B,
+            W, Hinv_u, P, in_f, bits=bits, group_size=group_size, sym=sym,
+            mse=mse, blocksize=B, with_p=with_p,
         )
     assert g == in_f or (g <= B and B % g == 0) or (g > B and g % B == 0), (
         f"group_size {g} incompatible with blocksize {B}"
@@ -183,6 +191,11 @@ def gptq_solve_core(
         i1 = blk * B
         Wb = jax.lax.dynamic_slice(W, (0, i1), (out_f, B))
         Hbb = jax.lax.dynamic_slice(Hinv_u, (i1, i1), (B, B))
+        Pbb = (
+            jax.lax.dynamic_slice(P, (i1, i1), (B, B))
+            if with_p
+            else jnp.zeros((1, 1), W.dtype)
+        )
 
         # ---- group params for this block (from pre-block W, as reference) --
         if g == in_f:
@@ -221,14 +234,18 @@ def gptq_solve_core(
             dq = s * (q - z)
             err = (w - dq) / d
             loss = 0.5 * (w - dq) ** 2 / (d * d)
-            # feed error into remaining in-block columns (masked row update)
+            # feed error into remaining in-block columns (masked row update);
+            # GPTAQ adds the native-activation correction  + w · P[i, i:]
             row = Hbb[i, :] * (col_iota > i)
             Wb = Wb - err[:, None] * row[None, :]
+            if with_p:
+                prow = Pbb[i, :] * (col_iota > i)
+                Wb = Wb + w[:, None] * prow[None, :]
             upd = lambda A, v: jax.lax.dynamic_update_slice(A, v[:, None], (0, i))
             return Wb, upd(Qb, q), upd(Dqb, dq), upd(Eb, err), upd(Lb, loss)
 
         zeros_b = jnp.zeros((out_f, B), dtype=jnp.float32)
-        _, Qb, Dqb, Eb, Lb = jax.lax.fori_loop(
+        Wb_final, Qb, Dqb, Eb, Lb = jax.lax.fori_loop(
             0, B, col_body, (Wb, zeros_b, zeros_b, zeros_b, zeros_b)
         )
 
@@ -236,6 +253,11 @@ def gptq_solve_core(
         Hrows = jax.lax.dynamic_slice(Hinv_u, (i1, 0), (B, in_f))
         trailing = (full_iota >= i1 + B).astype(W.dtype)
         W = W - jnp.matmul(Eb, Hrows * trailing[None, :], precision="highest")
+        if with_p:
+            Prows = jax.lax.dynamic_slice(P, (i1, 0), (B, in_f))
+            W = W + jnp.matmul(
+                Wb_final, Prows * trailing[None, :], precision="highest"
+            )
 
         return (W, s_carry, z_carry), (Qb, Dqb, Lb, s_blk, z_blk)
 
@@ -270,8 +292,8 @@ def gptq_solve_core(
     return {"Q": Q, "Wq": Wq, "scales": scales, "zeros": zeros, "losses": losses}
 
 
-def _solve_padded(W, Hinv_u, orig_in, **kw):
-    res = gptq_solve_core(W, Hinv_u, **kw)
+def _solve_padded(W, Hinv_u, P, orig_in, **kw):
+    res = gptq_solve_core(W, Hinv_u, P, **kw)
     g = kw["group_size"]
     n_groups = 1 if g in (-1, None) else -(-orig_in // g)  # ceil, pad groups cut
     return {
@@ -323,10 +345,15 @@ def gptq_quantize(
     damp_auto_increment: float = 0.0025,
     nsamples: int = 0,
     blocksize: int = DEFAULT_BLOCKSIZE,
+    dxxt=None,
+    gptaq_alpha: float = 0.25,
 ) -> GPTQResult:
     """End-to-end GPTQ for one weight matrix.
 
     ``W`` [out, in] (any float dtype), ``H`` [in, in] accumulated Hessian.
+    ``dxxt``: GPTAQ native-activation cross term ``(X̃−X)ᵀX`` (same
+    normalization as H) — enables the asymmetric-error corrected solve
+    (reference gptaq.py:171 ``P = α·triu(dXXT·Hinvᵀ,1)·Hinv``).
     Handles dead columns, activation-order / GAR permutations, the damp
     ladder, solve, and un-permutation. Host-level function — each step is a
     jitted kernel; call per module from the looper.
@@ -336,7 +363,9 @@ def gptq_quantize(
     out_f, in_f = W.shape
     g = in_f if group_size in (-1, None) else group_size
 
-    W, H, _dead = _preprocess_dead(W, H)
+    W, H, dead = _preprocess_dead(W, H)
+    if dxxt is not None:
+        dxxt = jnp.asarray(dxxt, jnp.float32) * (~dead)[None, :]
 
     perm = None
     if act_group_aware and g < in_f:
@@ -349,11 +378,16 @@ def gptq_quantize(
     if perm is not None:
         W = W[:, perm]
         H = H[perm][:, perm]
+        if dxxt is not None:
+            dxxt = dxxt[perm][:, perm]
 
     U, damp = hessian_inverse(H, damp_percent, damp_auto_increment)
+    P = None
+    if dxxt is not None:
+        P = gptaq_alpha * jnp.triu(dxxt @ U.T, k=1) @ U
     res = gptq_solve_core(
-        W, U, bits=bits, group_size=group_size, sym=sym, mse=mse,
-        blocksize=blocksize,
+        W, U, P, bits=bits, group_size=group_size, sym=sym, mse=mse,
+        blocksize=blocksize, with_p=dxxt is not None,
     )
 
     Q = np.asarray(res["Q"])

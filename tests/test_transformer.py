@@ -161,6 +161,21 @@ def test_forward_parity_qwen3_moe():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
 
 
+def test_forward_parity_gemma2():
+    """gemma2 flags: softcaps, pre/post-FFN norms, rms offset, query scale.
+    (Sliding-window alternation not exercised: T << window.)"""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "gemma2",
+            head_dim=16, query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            sliding_window=4096,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
 def test_forward_parity_mixtral():
     with tempfile.TemporaryDirectory() as tmp:
         d, tmodel = _tiny_llama_dir(
