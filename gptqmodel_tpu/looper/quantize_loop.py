@@ -483,6 +483,7 @@ def _quantize_group(
                 damp_auto_increment=cfg.damp_auto_increment,
                 nsamples=int(n_rows),
                 dxxt=dxxt, gptaq_alpha=gptaq_alpha,
+                static_groups=cfg.static_groups,
             )
         solve_t = time.perf_counter() - t0
         durations["solve"] += solve_t

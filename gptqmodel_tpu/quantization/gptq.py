@@ -128,12 +128,16 @@ def hessian_inverse(
 
 @partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "sym", "mse", "blocksize", "with_p"),
+    static_argnames=(
+        "bits", "group_size", "sym", "mse", "blocksize", "with_p", "static_params"
+    ),
 )
 def gptq_solve_core(
     W: jnp.ndarray,
     Hinv_u: jnp.ndarray,
     P: jnp.ndarray | None = None,
+    SP: jnp.ndarray | None = None,  # static per-column scales [out, in]
+    ZP: jnp.ndarray | None = None,  # static per-column zeros [out, in]
     *,
     bits: int,
     group_size: int,
@@ -141,6 +145,7 @@ def gptq_solve_core(
     mse: bool = False,
     blocksize: int = DEFAULT_BLOCKSIZE,
     with_p: bool = False,
+    static_params: bool = False,
 ):
     """Blocked GPTQ error-feedback solve.
 
@@ -160,6 +165,9 @@ def gptq_solve_core(
     B = blocksize
     if P is None:
         P = jnp.zeros((1, 1), W.dtype)  # dummy; ops gated by with_p
+    if SP is None:
+        SP = jnp.zeros((1, 1), W.dtype)  # dummy; ops gated by static_params
+        ZP = jnp.zeros((1, 1), W.dtype)
     if in_f % B != 0:
         # pad columns up to a block multiple; padded cols have Hinv rows = I
         pad = B - in_f % B
@@ -168,9 +176,13 @@ def gptq_solve_core(
         Hinv_u = Hinv_u.at[in_f:, in_f:].set(jnp.eye(pad, dtype=Hinv_u.dtype))
         if with_p:
             P = jnp.pad(P, ((0, pad), (0, pad)))
+        if static_params:
+            SP = jnp.pad(SP, ((0, 0), (0, pad)), constant_values=1.0)
+            ZP = jnp.pad(ZP, ((0, 0), (0, pad)))
         return _solve_padded(
-            W, Hinv_u, P, in_f, bits=bits, group_size=group_size, sym=sym,
-            mse=mse, blocksize=B, with_p=with_p,
+            W, Hinv_u, P, SP, ZP, in_f, bits=bits, group_size=group_size,
+            sym=sym, mse=mse, blocksize=B, with_p=with_p,
+            static_params=static_params,
         )
     assert g == in_f or (g <= B and B % g == 0) or (g > B and g % B == 0), (
         f"group_size {g} incompatible with blocksize {B}"
@@ -198,7 +210,15 @@ def gptq_solve_core(
         )
 
         # ---- group params for this block (from pre-block W, as reference) --
-        if g == in_f:
+        if static_params:
+            # static_groups: per-column params precomputed from the ORIGINAL
+            # W and group membership (desc_act keeps original group indices,
+            # reference gptaq.py:147-153 / gptq static_groups path)
+            scale_cols = jax.lax.dynamic_slice(SP, (0, i1), (out_f, B))
+            zero_cols = jax.lax.dynamic_slice(ZP, (0, i1), (out_f, B))
+            s_blk = s_carry[None, :]
+            z_blk = z_carry[None, :]
+        elif g == in_f:
             scale_cols = jnp.broadcast_to(s_full[:, None], (out_f, B))
             zero_cols = jnp.broadcast_to(z_full[:, None], (out_f, B))
             s_blk = s_full[None, :]  # [1, out] — only written once
@@ -276,7 +296,11 @@ def gptq_solve_core(
     losses = unblock(Ls)
 
     # collect per-group scales/zeros [G, out]
-    if g == in_f:
+    if static_params:
+        # params were fixed upfront; caller already holds the [G, out] tables
+        scales = jnp.zeros((n_groups, out_f), W.dtype)
+        zeros = jnp.zeros((n_groups, out_f), W.dtype)
+    elif g == in_f:
         scales = s_all[:1, 0, :]
         zeros = z_all[:1, 0, :]
     elif g <= B:
@@ -292,8 +316,8 @@ def gptq_solve_core(
     return {"Q": Q, "Wq": Wq, "scales": scales, "zeros": zeros, "losses": losses}
 
 
-def _solve_padded(W, Hinv_u, P, orig_in, **kw):
-    res = gptq_solve_core(W, Hinv_u, P, **kw)
+def _solve_padded(W, Hinv_u, P, SP, ZP, orig_in, **kw):
+    res = gptq_solve_core(W, Hinv_u, P, SP, ZP, **kw)
     g = kw["group_size"]
     n_groups = 1 if g in (-1, None) else -(-orig_in // g)  # ceil, pad groups cut
     return {
@@ -347,6 +371,7 @@ def gptq_quantize(
     blocksize: int = DEFAULT_BLOCKSIZE,
     dxxt=None,
     gptaq_alpha: float = 0.25,
+    static_groups: bool = False,
 ) -> GPTQResult:
     """End-to-end GPTQ for one weight matrix.
 
@@ -385,9 +410,32 @@ def gptq_quantize(
     P = None
     if dxxt is not None:
         P = gptaq_alpha * jnp.triu(dxxt @ U.T, k=1) @ U
+
+    SP = ZP = None
+    static_sz = None
+    if static_groups and g < in_f:
+        # static_groups: quantization params fixed upfront from the ORIGINAL
+        # W and ORIGINAL group membership — with desc_act the permuted solve
+        # still uses each column's original group, so inference keeps
+        # contiguous groups and needs no g_idx indirection (reference
+        # gptq.py static_groups path)
+        from gptqmodel_tpu.quantization.quantizer import find_params_grouped
+
+        W_orig = W if perm is None else W[:, np.argsort(perm)]
+        s_g, z_g = find_params_grouped(
+            W_orig, bits=bits, group_size=group_size, sym=sym, mse=mse
+        )  # [G, out]
+        static_sz = (np.asarray(s_g), np.asarray(z_g))
+        col_group = np.arange(in_f) // g  # original order
+        if perm is not None:
+            col_group = col_group[perm]  # group of each permuted column
+        SP = jnp.asarray(np.asarray(s_g)[col_group].T)  # [out, in] solve order
+        ZP = jnp.asarray(np.asarray(z_g)[col_group].T)
+
     res = gptq_solve_core(
-        W, U, P, bits=bits, group_size=group_size, sym=sym, mse=mse,
+        W, U, P, SP, ZP, bits=bits, group_size=group_size, sym=sym, mse=mse,
         blocksize=blocksize, with_p=dxxt is not None,
+        static_params=SP is not None,
     )
 
     Q = np.asarray(res["Q"])
@@ -399,14 +447,22 @@ def gptq_quantize(
         invperm = np.argsort(perm)
         Q = Q[:, invperm]
         Wq = Wq[:, invperm]
-        g_idx = g_idx[invperm]
+        if static_sz is None:
+            g_idx = g_idx[invperm]
+        # static_groups: columns keep their ORIGINAL groups -> g_idx stays
+        # contiguous (arange // g) even under desc_act
+
+    if static_sz is not None:
+        scales, zeros = static_sz
+    else:
+        scales, zeros = np.asarray(res["scales"]), np.asarray(res["zeros"])
 
     avg_loss = float(losses.sum()) / max(nsamples, 1)
     return GPTQResult(
         Q=Q,
         Wq=Wq,
-        scales=np.asarray(res["scales"]),
-        zeros=np.asarray(res["zeros"]),
+        scales=scales,
+        zeros=zeros,
         g_idx=g_idx,
         perm=None if perm is None else np.asarray(perm),
         avg_loss=avg_loss,

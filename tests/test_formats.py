@@ -86,6 +86,34 @@ def test_desc_act_e2e():
         np.testing.assert_allclose(rl, ql, atol=1e-5)
 
 
+def test_desc_act_static_groups_contiguous():
+    """desc_act + static_groups: the solve runs in activation order but
+    groups keep their ORIGINAL membership, so no g_idx indirection is stored
+    and the fast kernels stay eligible (the reason static_groups exists)."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        m = GPTQModel.load(
+            src,
+            QuantizeConfig(bits=4, group_size=32, desc_act=True, static_groups=True),
+        )
+        m.quantize(_calib(12), batch_size=4)
+        q = m.params["model"]["layers"][0]["self_attn"]["q_proj"]
+        assert isinstance(q, QuantLinear)
+        assert q.g_idx is None  # contiguous despite desc_act
+
+        eval_ids = jnp.asarray(np.stack(_calib(2, 32, seed=9)))
+        ql = np.asarray(forward_logits(m.spec, m.params, eval_ids))
+        out = Path(tmp) / "dasg"
+        m.save(out)
+        m2 = GPTQModel.load(out)
+        rl = np.asarray(forward_logits(m2.spec, m2.params, eval_ids))
+        np.testing.assert_allclose(rl, ql, atol=1e-5)
+
+
 def test_gar_keeps_groups_contiguous():
     """act_group_aware reorders within/across groups but composes the perms
     so no g_idx indirection is needed at inference (reference gar.py)."""
