@@ -34,14 +34,27 @@ from gptqmodel_tpu.models.transformer import (
 _NEG = float(np.finfo(np.float32).min)
 
 
-def init_kv_cache(spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_kv_cache(
+    spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16,
+    kv_quant: bool = False,
+):
     """Per-layer {"k","v"} [B, Hkv, max_len, D]; physical write pointer is
-    threaded separately (uniform across the batch)."""
+    threaded separately (uniform across the batch). ``kv_quant`` stores K/V
+    as int8 with per-(b,h,pos) scales — half the cache HBM."""
     shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
-    return [
-        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "pos": jnp.int32(0)}
-        for _ in range(spec.num_layers)
-    ]
+    caches = []
+    for _ in range(spec.num_layers):
+        c = {"pos": jnp.int32(0)}
+        if kv_quant:
+            c["k"] = jnp.zeros(shape, jnp.int8)
+            c["v"] = jnp.zeros(shape, jnp.int8)
+            c["k_s"] = jnp.zeros(shape[:3], jnp.float32)
+            c["v_s"] = jnp.zeros(shape[:3], jnp.float32)
+        else:
+            c["k"] = jnp.zeros(shape, dtype)
+            c["v"] = jnp.zeros(shape, dtype)
+        caches.append(c)
+    return caches
 
 
 def _stack_forward(spec, params, h, cos, sin, bias, caches):
@@ -112,13 +125,14 @@ def greedy_generate(
     eos_token_id: Optional[int] = None,
     dtype=jnp.bfloat16,
     max_len: Optional[int] = None,
+    kv_quant: bool = False,
 ) -> np.ndarray:
     """Greedy decode. Returns generated tokens [B, max_new_tokens]."""
     B, T = input_ids.shape
     if prompt_lens is None:
         prompt_lens = np.full((B,), T, dtype=np.int32)
     max_len = max_len or (T + max_new_tokens)
-    caches = init_kv_cache(spec, B, max_len, dtype)
+    caches = init_kv_cache(spec, B, max_len, dtype, kv_quant)
     prefill = make_prefill_fn(spec, dtype)
     decode = make_decode_fn(spec, dtype)
 

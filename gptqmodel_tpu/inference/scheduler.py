@@ -74,6 +74,7 @@ class ContinuousBatchingEngine:
         dtype=jnp.bfloat16,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        kv_quant: bool = False,
     ):
         self.spec = spec
         self.params = params
@@ -83,10 +84,11 @@ class ContinuousBatchingEngine:
         self.eos_token_id = eos_token_id
         self.rng = np.random.default_rng(seed)
 
-        kv_shape = (self.B, spec.num_kv_heads, max_len, spec.head_dim)
+        from gptqmodel_tpu.inference.engine import init_kv_cache
+
         self.caches = [
-            {"k": jnp.zeros(kv_shape, dtype), "v": jnp.zeros(kv_shape, dtype)}
-            for _ in range(spec.num_layers)
+            {k: v for k, v in c.items() if k != "pos"}
+            for c in init_kv_cache(spec, self.B, max_len, dtype, kv_quant)
         ]
         self.key_valid = jnp.zeros((self.B, max_len), bool)
         self.pos = np.zeros(self.B, np.int32)  # next write/query position
@@ -105,15 +107,15 @@ class ContinuousBatchingEngine:
 
         @jax.jit
         def prefill(params, caches, key_valid, ids, true_len, slot):
-            # mini-cache view for the slot
+            # mini-cache view for the slot (generic over int8-KV scale keys)
             mini = []
             for c in caches:
-                H, D = c["k"].shape[1], c["k"].shape[3]
-                mini.append({
-                    "k": jax.lax.dynamic_slice(c["k"], (slot, 0, 0, 0), (1, H, L, D)),
-                    "v": jax.lax.dynamic_slice(c["v"], (slot, 0, 0, 0), (1, H, L, D)),
-                    "pos": jnp.int32(0),
-                })
+                entry = {"pos": jnp.int32(0)}
+                for kk, buf in c.items():
+                    entry[kk] = jax.lax.dynamic_slice(
+                        buf, (slot,) + (0,) * (buf.ndim - 1), (1,) + buf.shape[1:]
+                    )
+                mini.append(entry)
             positions = jnp.arange(T)[None, :]
             cos, sin = rope_cos_sin(spec, positions)
             qi = jnp.arange(T)[:, None]
@@ -126,8 +128,10 @@ class ContinuousBatchingEngine:
             last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
             logits = lm_logits(spec, params, last)[0, 0]
             for i, c in enumerate(caches):
-                c["k"] = jax.lax.dynamic_update_slice(c["k"], mini[i]["k"], (slot, 0, 0, 0))
-                c["v"] = jax.lax.dynamic_update_slice(c["v"], mini[i]["v"], (slot, 0, 0, 0))
+                for kk, buf in c.items():
+                    c[kk] = jax.lax.dynamic_update_slice(
+                        buf, mini[i][kk], (slot,) + (0,) * (buf.ndim - 1)
+                    )
             row = jnp.arange(L) < true_len
             key_valid = jax.lax.dynamic_update_slice(
                 key_valid, row[None, :], (slot, 0)
@@ -150,7 +154,7 @@ class ContinuousBatchingEngine:
             for i, lp in enumerate(model_root(spec, params)["layers"]):
                 c = dict(caches[i], pos=pos)
                 h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, c)
-                new_caches.append({"k": c["k"], "v": c["v"]})
+                new_caches.append({k_: v_ for k_, v_ in c.items() if k_ != "pos"})
             h = final_norm(spec, params, h)
             logits = lm_logits(spec, params, h)[:, 0]
             return logits, new_caches, key_valid

@@ -310,7 +310,7 @@ class BaseQModel:
 
     # --------------------------------------------------------------- serve
     def engine(self, max_slots: int = 8, max_len: int = 2048, dtype=jnp.bfloat16,
-               optimize: bool = False):
+               optimize: bool = False, kv_quant: bool = False):
         """Continuous-batching engine over this model (analog of reference
         base.py:1798 serve stack)."""
         from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
@@ -322,6 +322,7 @@ class BaseQModel:
         return ContinuousBatchingEngine(
             self.spec, self.params, max_slots=max_slots, max_len=max_len,
             dtype=dtype, eos_token_id=self.hf_config.get("eos_token_id"),
+            kv_quant=kv_quant,
         )
 
     def serve(

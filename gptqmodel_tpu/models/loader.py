@@ -153,6 +153,10 @@ def _load_quant_linear(
     g_idx = reader.get(leaves["g_idx"]) if "g_idx" in leaves else None
     bias = reader.get(leaves["bias"]) if "bias" in leaves else None
     bits = mcfg.bits
+    if qcfg.format == FORMAT.AWQ_GEMM:
+        # AutoAWQ checkpoint: out-dim interleaved pack, true zeros, scales
+        # transposed relative to nothing — [in/g, out] already matches
+        qweight, qzeros = packing.awq_gemm_to_gptq(qweight, qzeros, bits)
     in_f = qweight.shape[0] * 32 // bits
     out_f = scales.shape[1]
     v1_on_disk = qcfg.format == FORMAT.GPTQ

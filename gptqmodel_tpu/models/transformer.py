@@ -155,6 +155,15 @@ def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window: int = 0
 # --------------------------------------------------------------------------
 
 
+def _kv_quantize(t: jnp.ndarray):
+    """Per-(batch, head, position) absmax int8 quantization of K/V vectors
+    (PAPERS.md KV-cache quantization lineage): [B,H,T,D] -> (int8, scales)."""
+    tf = t.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(tf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _tap(taps, tap_paths, path, x, mask=None):
     if taps is not None and path in tap_paths:
         taps[path] = x if mask is None else (x, mask)
@@ -201,23 +210,36 @@ def attention(
 
     if cache is not None:
         pos = cache["pos"]
+        kv_q = "k_s" in cache  # int8 KV cache with per-(b,h,pos) scales
+        if kv_q:
+            k_store, k_sc = _kv_quantize(k)
+            v_store, v_sc = _kv_quantize(v)
+        else:
+            k_store, v_store = k, v
         if jnp.ndim(pos) == 0:  # uniform write pointer
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+            upd = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, 0, pos) + (0,) * (buf.ndim - 3)
             )
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
-            )
-            cache = {"k": k, "v": v, "pos": pos + T}
+            cache = dict(cache, k=upd(cache["k"], k_store),
+                         v=upd(cache["v"], v_store), pos=pos + T)
+            if kv_q:
+                cache["k_s"] = upd(cache["k_s"], k_sc)
+                cache["v_s"] = upd(cache["v_s"], v_sc)
         else:  # per-slot write positions (continuous batching), T == 1
             bidx = jnp.arange(B)
-            k = cache["k"].at[bidx, :, pos, :].set(
-                k[:, :, 0, :].astype(cache["k"].dtype)
+            upd = lambda buf, val: buf.at[bidx, :, pos].set(
+                val[:, :, 0].astype(buf.dtype)
             )
-            v = cache["v"].at[bidx, :, pos, :].set(
-                v[:, :, 0, :].astype(cache["v"].dtype)
-            )
-            cache = {"k": k, "v": v, "pos": pos + 1}
+            cache = dict(cache, k=upd(cache["k"], k_store),
+                         v=upd(cache["v"], v_store), pos=pos + 1)
+            if kv_q:
+                cache["k_s"] = upd(cache["k_s"], k_sc)
+                cache["v_s"] = upd(cache["v_s"], v_sc)
+        if kv_q:
+            k = cache["k"].astype(q.dtype) * cache["k_s"][..., None].astype(q.dtype)
+            v = cache["v"].astype(q.dtype) * cache["v_s"][..., None].astype(q.dtype)
+        else:
+            k, v = cache["k"], cache["v"]
 
     scale = (
         spec.query_pre_attn_scalar**-0.5 if spec.query_pre_attn_scalar else hd**-0.5

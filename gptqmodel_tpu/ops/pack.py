@@ -186,6 +186,41 @@ def unpack_qzeros_jnp(qzeros: jnp.ndarray, bits: int, v1: bool = False) -> jnp.n
 
 
 # --------------------------------------------------------------------------
+# AWQ GEMM format import (AutoAWQ checkpoints)
+# --------------------------------------------------------------------------
+
+# AWQ packs along the OUT dim with a nibble interleave: field j of a word
+# holds output column c*pf + AWQ_ORDER[j]
+# (spec: reference quantization/awq/utils/packing_utils.py)
+_AWQ_ORDER_4BIT = [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def unpack_awq_gemm(packed: np.ndarray, bits: int = 4) -> np.ndarray:
+    """AWQ-gemm packed int32 [rows, out/pf] -> codes [rows, out].
+
+    Works for both qweight ([in, out/pf]) and qzeros ([G, out/pf]); AWQ
+    stores true zeros (no -1 quirk).
+    """
+    assert bits == 4, "AWQ gemm import currently supports 4-bit"
+    pf = 32 // bits
+    u = np.ascontiguousarray(packed).view(np.uint32)
+    rows, pcols = u.shape
+    vals = np.empty((rows, pcols, pf), dtype=np.int32)
+    for j, col in enumerate(_AWQ_ORDER_4BIT):
+        vals[:, :, col] = ((u >> np.uint32(bits * j)) & 0xF).astype(np.int32)
+    return vals.reshape(rows, pcols * pf)
+
+
+def awq_gemm_to_gptq(
+    qweight: np.ndarray, qzeros: np.ndarray, bits: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """AWQ-gemm tensors -> (qweight, qzeros) in the GPTQ v2 layout."""
+    codes = unpack_awq_gemm(qweight, bits)  # [in, out]
+    zeros = unpack_awq_gemm(qzeros, bits)  # [G, out]
+    return pack_qweight(codes, bits), pack_qzeros(zeros, bits, v1=False)
+
+
+# --------------------------------------------------------------------------
 # runtime (rt) layout: group-aligned bit-plane parts for the Pallas kernel
 # --------------------------------------------------------------------------
 

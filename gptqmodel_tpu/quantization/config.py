@@ -163,6 +163,17 @@ class QuantizeConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "QuantizeConfig":
         d = dict(d)
+        # AutoAWQ checkpoint schema (quant_method=awq, version=gemm,
+        # w_bit/q_group_size/zero_point)
+        if d.get("quant_method") == "awq" and d.get("version") in ("gemm", "gemv"):
+            d["format"] = FORMAT.AWQ_GEMM
+            d.pop("version")
+            if "w_bit" in d:
+                d["bits"] = d.pop("w_bit")
+            if "q_group_size" in d:
+                d["group_size"] = d.pop("q_group_size")
+            if "zero_point" in d:
+                d["sym"] = not d.pop("zero_point")
         for src, dst in _COMPAT_KEYS.items():
             if src in d:
                 val = d.pop(src)
