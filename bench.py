@@ -133,7 +133,10 @@ def main():
 
     prefill = make_prefill_fn(spec, jnp.bfloat16)
     decode = make_decode_fn(spec, jnp.bfloat16)
-    caches = init_kv_cache(spec, B, max_len, jnp.bfloat16)
+    kv_quant = os.environ.get("BENCH_KV") == "int8"
+    caches = init_kv_cache(spec, B, max_len, jnp.bfloat16, kv_quant=kv_quant)
+    if kv_quant:
+        _log("int8 KV cache enabled")
 
     ids = jnp.asarray(np.ones((B, T), np.int32))
     lens = jnp.full((B,), T, jnp.int32)

@@ -470,10 +470,20 @@ def _quantize_group(
 
         fallback = n_rows < max(qcfg.fallback_min_samples, 1)
         if cfg.mock_quantization or cfg.method == METHOD.RTN or fallback:
+            row_scale = None
+            if fallback and qcfg.fallback_smooth:
+                from gptqmodel_tpu.quantization.smooth import smooth_weight
+
+                W_cat, row_scale = smooth_weight(
+                    W_cat, qcfg.fallback_smooth, cfg.group_size
+                )
             res = rtn_quantize(
                 W_cat, bits=cfg.bits, group_size=cfg.group_size,
                 sym=cfg.sym, mse=cfg.mse > 0,
             )
+            if row_scale is not None:  # fold rms_row factor back
+                res.scales = res.scales * row_scale[None, :]
+                res.Wq = res.Wq * row_scale[:, None]
         else:
             res = gptq_quantize(
                 W_cat, H,

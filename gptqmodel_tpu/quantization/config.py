@@ -77,6 +77,9 @@ class QuantizeConfig:
     gptaq: Optional[dict[str, Any]] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
+    # weight smoothing applied on the failsafe path before RTN:
+    # "percentile" | "mad" | "rms_row" | None (reference SmoothMethods)
+    fallback_smooth: Optional[str] = None
     device: Optional[str] = None
     meta: dict = field(default_factory=dict)
 
