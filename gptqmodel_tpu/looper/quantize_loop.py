@@ -83,7 +83,7 @@ def quantize_model(
     reader = CheckpointReader(model_dir)
 
     base = build_params_tree(reader, skip_layers=True)
-    plan = parse_module_tree(list(mdef.module_tree))
+    plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
     subsets = plan.build_subsets(n_experts)
 
@@ -117,10 +117,19 @@ def quantize_model(
 
     # GPTAQ: a parallel NATIVE (never-quantized) activation stream feeds the
     # asymmetric-error cross term (replaces the reference's NativeProcessor
-    # pre-pass, looper/native_processor.py)
-    gptaq_on = qcfg.gptaq is not None and qcfg.method == METHOD.GPTQ \
+    # pre-pass, looper/native_processor.py). FOEM (reference foem.py) reuses
+    # the same stream when its alpha enables the P-term; beta is a solver arg.
+    foem_on = qcfg.foem is not None and qcfg.method == METHOD.GPTQ \
         and not qcfg.mock_quantization
-    gptaq_alpha = float((qcfg.gptaq or {}).get("alpha", 0.25))
+    foem_beta = float((qcfg.foem or {}).get("beta", 0.2)) if foem_on else 0.0
+    foem_alpha = float((qcfg.foem or {}).get("alpha", 0.0))
+    gptaq_on = (
+        qcfg.gptaq is not None and qcfg.method == METHOD.GPTQ
+        and not qcfg.mock_quantization
+    ) or (foem_on and foem_alpha > 0)
+    gptaq_alpha = (
+        foem_alpha if foem_on else float((qcfg.gptaq or {}).get("alpha", 0.25))
+    )
     hidden_fp = [h.copy() for h in hidden] if gptaq_on else None
 
     # ---- jitted per-subset steps, compiled once, reused across layers -----
@@ -291,7 +300,7 @@ def quantize_model(
                         grp, lp, Gs[grp.tap], float(ns[grp.tap]), li, qcfg,
                         qlayer_mods, quant_log, durations,
                         dxxt=None if Ds is None else Ds[grp.tap],
-                        gptaq_alpha=gptaq_alpha,
+                        gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
                     )
 
         # replay with fully-quantized layer -> next layer inputs
@@ -352,7 +361,7 @@ def weight_only_quantize(
     mdef = get_model_def(spec.model_type)
     reader = CheckpointReader(model_dir)
     base = build_params_tree(reader, skip_layers=True)
-    plan = parse_module_tree(list(mdef.module_tree))
+    plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
     modules = [m for s in plan.build_subsets(n_experts) for m in s]
 
@@ -450,6 +459,7 @@ def _quantize_group(
     durations: dict,
     dxxt=None,
     gptaq_alpha: float = 0.25,
+    foem_beta: float = 0.0,
 ):
     """Solve all members of an input group (batched when configs match)."""
     same_cfg = all(c == grp.cfgs[0] for c in grp.cfgs[1:])
@@ -492,7 +502,7 @@ def _quantize_group(
                 mse=cfg.mse > 0, damp_percent=cfg.damp_percent,
                 damp_auto_increment=cfg.damp_auto_increment,
                 nsamples=int(n_rows),
-                dxxt=dxxt, gptaq_alpha=gptaq_alpha,
+                dxxt=dxxt, gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
                 static_groups=cfg.static_groups,
             )
         solve_t = time.perf_counter() - t0

@@ -21,6 +21,17 @@ class ModelDef:
     pre_lm_head_norm: str = "model.norm"
     dynamic_expert_index: str | None = None  # HF config field w/ expert count
     require_dtype: str | None = None
+    # per-method tree overrides, keyed by METHOD value string ("awq", ...)
+    # (reference base.py:190 ``module_tree_overrides: dict[METHOD, tree]``)
+    module_tree_overrides: tuple | None = None  # tuple of (method, tree) pairs
+
+    def tree_for(self, method) -> tuple:
+        """Resolve the module tree for a quant method (override or default)."""
+        if self.module_tree_overrides:
+            for m, tree in self.module_tree_overrides:
+                if str(m) == str(method):
+                    return tree
+        return self.module_tree
 
 
 _LLAMA_TREE = (

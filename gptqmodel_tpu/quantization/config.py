@@ -75,6 +75,10 @@ class QuantizeConfig:
     # GPTAQ (GPTQ v2) asymmetric-error correction: {"alpha": 0.25}; needs a
     # parallel native-activation stream (reference config.py:1231, gptaq.py)
     gptaq: Optional[dict[str, Any]] = None
+    # FOEM first-order error compensation: {"alpha": 0.0, "beta": 0.2}
+    # (reference FOEMConfig config.py:1246; α=0,β=0 ≡ GPTQ, α>0 adds the
+    # GPTAQ P-term and needs the native stream)
+    foem: Optional[dict[str, Any]] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     # weight smoothing applied on the failsafe path before RTN:

@@ -129,7 +129,8 @@ def hessian_inverse(
 @partial(
     jax.jit,
     static_argnames=(
-        "bits", "group_size", "sym", "mse", "blocksize", "with_p", "static_params"
+        "bits", "group_size", "sym", "mse", "blocksize", "with_p",
+        "static_params", "foem_beta",
     ),
 )
 def gptq_solve_core(
@@ -146,6 +147,7 @@ def gptq_solve_core(
     blocksize: int = DEFAULT_BLOCKSIZE,
     with_p: bool = False,
     static_params: bool = False,
+    foem_beta: float = 0.0,
 ):
     """Blocked GPTQ error-feedback solve.
 
@@ -154,6 +156,15 @@ def gptq_solve_core(
     (same permutation). ``P`` (with_p=True): the GPTAQ asymmetric-error
     correction matrix — the update gains a ``+ w · P[i, i:]`` term
     (reference gptaq.py:205-220).
+
+    ``foem_beta`` > 0 enables FOEM first-order error compensation (reference
+    quantization/foem.py, AAAI FOEM paper): the fed-back error becomes
+    ``((w − q) − β(w − w_raw)) / d`` with ``w_raw`` the pre-solve weight, and
+    after each column the NEXT in-block column is pulled back toward raw:
+    ``w ← w − β(w − w_raw)``. (The reference's cross-block pull at
+    foem.py:248-249 is dead code — its guard ``i+1 < count`` is always false
+    after the inner loop — so block-first columns are not pulled, matched
+    here.)
 
     Returns dict with Q codes [out, in] int32, Wq dequantized [out, in] f32,
     scales/zeros [G, out] f32, losses [out, in] f32 (per-column
@@ -182,7 +193,7 @@ def gptq_solve_core(
         return _solve_padded(
             W, Hinv_u, P, SP, ZP, in_f, bits=bits, group_size=group_size,
             sym=sym, mse=mse, blocksize=B, with_p=with_p,
-            static_params=static_params,
+            static_params=static_params, foem_beta=foem_beta,
         )
     assert g == in_f or (g <= B and B % g == 0) or (g > B and g % B == 0), (
         f"group_size {g} incompatible with blocksize {B}"
@@ -192,6 +203,8 @@ def gptq_solve_core(
     n_groups = in_f // g
     col_iota = jnp.arange(B)
     full_iota = jnp.arange(in_f)
+    with_beta = foem_beta > 0.0
+    W0 = W  # pre-solve weights (FOEM w_raw; reference foem.py W_raw)
 
     # per-channel (-1) params computed once on the full W (reference does the
     # same when groupsize == -1)
@@ -206,6 +219,11 @@ def gptq_solve_core(
         Pbb = (
             jax.lax.dynamic_slice(P, (i1, i1), (B, B))
             if with_p
+            else jnp.zeros((1, 1), W.dtype)
+        )
+        Wb_raw = (
+            jax.lax.dynamic_slice(W0, (0, i1), (out_f, B))
+            if with_beta
             else jnp.zeros((1, 1), W.dtype)
         )
 
@@ -252,8 +270,12 @@ def gptq_solve_core(
             z = jax.lax.dynamic_slice(zero_cols, (0, i), (out_f, 1))[:, 0]
             q = quantize(w, s, z, maxq)
             dq = s * (q - z)
-            err = (w - dq) / d
             loss = 0.5 * (w - dq) ** 2 / (d * d)
+            if with_beta:  # FOEM: damp the fed-back error toward raw weights
+                w_raw = jax.lax.dynamic_slice(Wb_raw, (0, i), (out_f, 1))[:, 0]
+                err = ((w - dq) - (w - w_raw) * foem_beta) / d
+            else:
+                err = (w - dq) / d
             # feed error into remaining in-block columns (masked row update);
             # GPTAQ adds the native-activation correction  + w · P[i, i:]
             row = Hbb[i, :] * (col_iota > i)
@@ -261,6 +283,9 @@ def gptq_solve_core(
             if with_p:
                 prow = Pbb[i, :] * (col_iota > i)
                 Wb = Wb + w[:, None] * prow[None, :]
+            if with_beta:  # pull the NEXT column toward raw before its solve
+                pull = (col_iota == i + 1).astype(Wb.dtype)
+                Wb = Wb - foem_beta * (Wb - Wb_raw) * pull[None, :]
             upd = lambda A, v: jax.lax.dynamic_update_slice(A, v[:, None], (0, i))
             return Wb, upd(Qb, q), upd(Dqb, dq), upd(Eb, err), upd(Lb, loss)
 
@@ -372,6 +397,7 @@ def gptq_quantize(
     dxxt=None,
     gptaq_alpha: float = 0.25,
     static_groups: bool = False,
+    foem_beta: float = 0.0,
 ) -> GPTQResult:
     """End-to-end GPTQ for one weight matrix.
 
@@ -379,6 +405,8 @@ def gptq_quantize(
     ``dxxt``: GPTAQ native-activation cross term ``(X̃−X)ᵀX`` (same
     normalization as H) — enables the asymmetric-error corrected solve
     (reference gptaq.py:171 ``P = α·triu(dXXT·Hinvᵀ,1)·Hinv``).
+    ``foem_beta`` > 0 enables the FOEM error-compensation variant (reference
+    foem.py; α=0,β>0 = FOEM, α>0,β>0 = FOEM+GPTAQ, both = 0 = plain GPTQ).
     Handles dead columns, activation-order / GAR permutations, the damp
     ladder, solve, and un-permutation. Host-level function — each step is a
     jitted kernel; call per module from the looper.
@@ -435,7 +463,7 @@ def gptq_quantize(
     res = gptq_solve_core(
         W, U, P, SP, ZP, bits=bits, group_size=group_size, sym=sym, mse=mse,
         blocksize=blocksize, with_p=dxxt is not None,
-        static_params=SP is not None,
+        static_params=SP is not None, foem_beta=float(foem_beta),
     )
 
     Q = np.asarray(res["Q"])

@@ -255,6 +255,22 @@ def test_module_tree_parse():
     ]
 
 
+def test_module_tree_overrides_per_method():
+    """ModelDef.tree_for resolves per-method overrides (reference
+    base.py:190 module_tree_overrides)."""
+    from gptqmodel_tpu.models.definitions import ModelDef, _LLAMA_TREE
+
+    alt = ("model", "layers", "#", {"self_attn": ("q_proj:0",)})
+    d = ModelDef(_LLAMA_TREE, module_tree_overrides=(("awq", alt),))
+    assert d.tree_for("gptq") is _LLAMA_TREE
+    assert d.tree_for("awq") is alt
+
+    from gptqmodel_tpu.quantization.config import METHOD
+
+    assert d.tree_for(METHOD.AWQ) is alt  # enum resolves by value string
+    assert ModelDef(_LLAMA_TREE).tree_for(METHOD.AWQ) is _LLAMA_TREE
+
+
 def test_module_tree_moe_expansion():
     from gptqmodel_tpu.models.module_tree import parse_module_tree
 
