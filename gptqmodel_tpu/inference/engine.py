@@ -27,7 +27,7 @@ from gptqmodel_tpu.models.transformer import (
     embed,
     final_norm,
     lm_logits,
-    model_root,
+    model_layers,
     rope_cos_sin,
 )
 
@@ -59,7 +59,7 @@ def init_kv_cache(
 
 def _stack_forward(spec, params, h, cos, sin, bias, caches):
     new_caches = []
-    for i, lp in enumerate(model_root(spec, params)["layers"]):
+    for i, lp in enumerate(model_layers(spec, params)):
         h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, caches[i])
         new_caches.append(c)
     return final_norm(spec, params, h), new_caches

@@ -29,7 +29,7 @@ from gptqmodel_tpu.models.transformer import (
     embed,
     final_norm,
     lm_logits,
-    model_root,
+    model_layers,
     rope_cos_sin,
 )
 
@@ -122,7 +122,7 @@ class ContinuousBatchingEngine:
             ki = jnp.arange(L)[None, :]
             bias = jnp.where((ki <= qi) & (ki < true_len), 0.0, _NEG)[None, None]
             h = embed(spec, params, ids, dtype, positions)
-            for i, lp in enumerate(model_root(spec, params)["layers"]):
+            for i, lp in enumerate(model_layers(spec, params)):
                 h, mini[i] = any_decoder_layer(spec, lp, h, cos, sin, bias, mini[i])
             h = final_norm(spec, params, h)
             last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
@@ -151,7 +151,7 @@ class ContinuousBatchingEngine:
             bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
             h = embed(spec, params, token[:, None], dtype, pos[:, None])
             new_caches = []
-            for i, lp in enumerate(model_root(spec, params)["layers"]):
+            for i, lp in enumerate(model_layers(spec, params)):
                 c = dict(caches[i], pos=pos)
                 h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, c)
                 new_caches.append({k_: v_ for k_, v_ in c.items() if k_ != "pos"})

@@ -82,7 +82,8 @@ def quantize_model(
     mdef = get_model_def(spec.model_type)
     reader = CheckpointReader(model_dir)
 
-    base = build_params_tree(reader, skip_layers=True)
+    conv1d = mdef.conv1d_suffixes
+    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
     subsets = plan.build_subsets(n_experts)
@@ -236,7 +237,7 @@ def quantize_model(
 
     for li in range(spec.num_layers):
         t_layer = time.perf_counter()
-        lp = build_params_tree(reader, layer_filter=li)
+        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d)
         if R is not None:
             from gptqmodel_tpu.quantization.rotation import rotate_layer
 
@@ -329,10 +330,10 @@ def quantize_model(
             spec, base, hidden, mask_all, qcfg, quant_log, durations
         )
 
-    from gptqmodel_tpu.models.transformer import model_root
+    from gptqmodel_tpu.models.transformer import set_model_layers
 
     params = dict(base)
-    model_root(spec, params)["layers"] = out_layers
+    set_model_layers(spec, params, out_layers)
 
     durations["total"] = time.perf_counter() - t_start
     return QuantResult(
@@ -360,7 +361,8 @@ def weight_only_quantize(
     spec = spec_from_hf_config(hf_cfg)
     mdef = get_model_def(spec.model_type)
     reader = CheckpointReader(model_dir)
-    base = build_params_tree(reader, skip_layers=True)
+    conv1d = mdef.conv1d_suffixes
+    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
     modules = [m for s in plan.build_subsets(n_experts) for m in s]
@@ -368,7 +370,7 @@ def weight_only_quantize(
     quant_log: list[dict] = []
     out_layers: list[dict] = []
     for li in range(spec.num_layers):
-        lp = build_params_tree(reader, layer_filter=li)
+        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d)
         for m in modules:
             full = f"{plan.layers_path}.{li}.{m}"
             mcfg = qcfg.for_module(full)
@@ -403,10 +405,10 @@ def weight_only_quantize(
         out_layers.append(lp)
         log.info("layer %d/%d weight-only quantized", li + 1, spec.num_layers)
 
-    from gptqmodel_tpu.models.transformer import model_root as _mr
+    from gptqmodel_tpu.models.transformer import set_model_layers as _sml
 
     params = dict(base)
-    _mr(spec, params)["layers"] = out_layers
+    _sml(spec, params, out_layers)
     return QuantResult(
         params=params, quant_log=quant_log, spec=spec, hf_config=hf_cfg,
         source_dir=str(model_dir),

@@ -81,9 +81,18 @@ def export_dequantized(
 
     flat: dict[str, np.ndarray] = {}
 
+    from gptqmodel_tpu.models.definitions import get_model_def
+
+    conv1d = get_model_def(m.spec.model_type).conv1d_suffixes
+
+    def _is_conv1d(path):
+        return any(path.endswith(sfx) for sfx in conv1d)
+
     def walk(tree, prefix=""):
         if isinstance(tree, QuantLinear):
             w = np.asarray(dequantize_weight(tree)).T  # back to [out, in]
+            if _is_conv1d(prefix):  # Conv1D modules store [in, out] on disk
+                w = w.T
             flat[f"{prefix}.weight"] = np.ascontiguousarray(w.astype(np_dtype))
             if tree.bias is not None:
                 flat[f"{prefix}.bias"] = np.asarray(tree.bias).astype(np_dtype)
@@ -95,7 +104,10 @@ def export_dequantized(
             for i, v in enumerate(tree):
                 walk(v, f"{prefix}.{i}")
         else:
-            flat[prefix] = np.asarray(tree)
+            t = np.asarray(tree)
+            if prefix.endswith(".weight") and _is_conv1d(prefix[: -len(".weight")]):
+                t = np.ascontiguousarray(t.T)
+            flat[prefix] = t
 
     walk(m.params)
     save_dir = Path(save_dir)
@@ -142,9 +154,12 @@ class BaseQModel:
 
     # ------------------------------------------------------------- loading
     def _load_params(self):
+        from gptqmodel_tpu.models.definitions import get_model_def
+
         reader = CheckpointReader(self.model_dir)
         self.params = build_params_tree(
-            reader, self.qcfg if self.quantized else None
+            reader, self.qcfg if self.quantized else None,
+            conv1d_suffixes=get_model_def(self.spec.model_type).conv1d_suffixes,
         )
         if self.quantized:
             self._attach_adapters()

@@ -24,6 +24,11 @@ class ModelDef:
     # per-method tree overrides, keyed by METHOD value string ("awq", ...)
     # (reference base.py:190 ``module_tree_overrides: dict[METHOD, tree]``)
     module_tree_overrides: tuple | None = None  # tuple of (method, tree) pairs
+    # module-path suffixes whose DENSE weights are stored transposed
+    # ([in, out] Conv1D, gpt2 lineage) — canonicalized to [out, in] at load
+    # and transposed back on save (reference packs Conv1D via Q.t(),
+    # gptq.py:1280)
+    conv1d_suffixes: tuple = ()
 
     def tree_for(self, method) -> tuple:
         """Resolve the module tree for a quant method (override or default)."""
@@ -128,6 +133,30 @@ _OPT_TREE = (
     },
 )
 
+_GPT2_TREE = (
+    "transformer",
+    "h",
+    "#",
+    {
+        "ln_1": ("ln_1:!",),
+        "attn": ("c_attn:0", "c_proj:1"),
+        "ln_2": ("ln_2:!",),
+        "mlp": ("c_fc:0", "c_proj:1"),
+    },
+)
+
+_BLOOM_TREE = (
+    "transformer",
+    "h",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attention": ("query_key_value:0", "dense:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("dense_h_to_4h:0", "dense_4h_to_h:1"),
+    },
+)
+
 REGISTRY: dict[str, ModelDef] = {
     "llama": ModelDef(_LLAMA_TREE),
     "mistral": ModelDef(_LLAMA_TREE),
@@ -147,6 +176,12 @@ REGISTRY: dict[str, ModelDef] = {
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
     "gemma": ModelDef(_LLAMA_TREE),
     "gemma2": ModelDef(_GEMMA2_TREE),
+    "gpt2": ModelDef(
+        _GPT2_TREE,
+        pre_lm_head_norm="transformer.ln_f",
+        conv1d_suffixes=("attn.c_attn", "attn.c_proj", "mlp.c_fc", "mlp.c_proj"),
+    ),
+    "bloom": ModelDef(_BLOOM_TREE, pre_lm_head_norm="transformer.ln_f"),
 }
 
 

@@ -24,7 +24,7 @@ from gptqmodel_tpu.ops import pack as packing
 from gptqmodel_tpu.ops.qlinear import QuantLinear
 from gptqmodel_tpu.quantization.config import FORMAT, QuantizeConfig
 
-_LAYER_RE = re.compile(r"^(.*?\.layers)\.(\d+)\.(.*)$")
+_LAYER_RE = re.compile(r"^(.*?\.(?:layers|h))\.(\d+)\.(.*)$")
 
 
 class CheckpointReader:
@@ -87,6 +87,7 @@ def build_params_tree(
     qcfg: QuantizeConfig | None = None,
     layer_filter: int | None = None,
     skip_layers: bool = False,
+    conv1d_suffixes: tuple = (),
 ) -> dict:
     """Materialize the params pytree from a checkpoint.
 
@@ -94,6 +95,10 @@ def build_params_tree(
     ``skip_layers=True`` loads everything EXCEPT decoder layers (embeddings,
     final norm, lm_head) — together these give layer-streaming quantization
     with one layer resident (reference offload_to_disk equivalent).
+    ``conv1d_suffixes``: module-path suffixes whose dense weights are stored
+    [in, out] (gpt2 Conv1D) — canonicalized to [out, in] here (the writer
+    reverses this; packed modules are layout-identical to Linear and
+    untouched).
     """
     tree: dict = {}
     modules = _group_module_tensors(reader.names())
@@ -133,8 +138,12 @@ def build_params_tree(
             )
             _insert_module(tree, parts[:-1], parts[-1], value)
         else:
+            is_conv1d = any(mod_path.endswith(sfx) for sfx in conv1d_suffixes)
             for leaf, tensor_name in leaves.items():
-                _insert_module(tree, parts, leaf, reader.get(tensor_name))
+                t = reader.get(tensor_name)
+                if is_conv1d and leaf == "weight":
+                    t = np.ascontiguousarray(t.T)
+                _insert_module(tree, parts, leaf, t)
     _listify_layers(tree)
     return tree
 

@@ -49,10 +49,13 @@ class ModelSpec:
     query_pre_attn_scalar: float = 0.0  # gemma2 attention scale override
     sliding_window: int = 0
     layer_types: tuple = ()  # per-layer attn type, e.g. gemma3/gpt-oss
-    # forward-family selector: "llama" (RoPE+RMSNorm+gated MLP lineage) or
-    # "opt" (learned positions, LayerNorm+bias, plain MLP)
+    # forward-family selector: "llama" (RoPE+RMSNorm+gated MLP lineage),
+    # "opt" (learned positions, LayerNorm+bias, plain MLP),
+    # "gpt2" (Conv1D fused c_attn, learned positions, gelu_new MLP),
+    # "bloom" (ALiBi, per-head-interleaved fused QKV, embedding layernorm)
     family: str = "llama"
     do_layer_norm_before: bool = True  # opt pre/post-norm variant
+    apply_residual_post_ln: bool = False  # bloom residual variant
 
 
 _LLAMA_FAMILY = {
@@ -95,6 +98,44 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             hidden_act=cfg.get("activation_function", "relu"),
             do_layer_norm_before=cfg.get("do_layer_norm_before", True),
+        )
+    if mt == "gpt2":
+        h = cfg["n_embd"]
+        nh = cfg["n_head"]
+        return ModelSpec(
+            model_type=mt,
+            family="gpt2",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("n_inner") or 4 * h,
+            num_layers=cfg["n_layer"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("n_positions", 1024),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation_function", "gelu_new"),
+        )
+    if mt == "bloom":
+        h = cfg.get("hidden_size", cfg.get("n_embed"))
+        nh = cfg.get("n_head", cfg.get("num_attention_heads"))
+        return ModelSpec(
+            model_type=mt,
+            family="bloom",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=4 * h,
+            num_layers=cfg.get("n_layer", cfg.get("num_hidden_layers")),
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act="gelu_pytorch_tanh",  # bloom's exact-tanh gelu
+            apply_residual_post_ln=cfg.get(
+                "apply_residual_connection_post_layernorm", False
+            ),
         )
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]

@@ -289,6 +289,7 @@ def _act(name: str):
         "silu": jax.nn.silu,
         "gelu": jax.nn.gelu,
         "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
     }[name]
 
@@ -434,11 +435,31 @@ def decoder_layer(
 
 
 def model_root(spec: ModelSpec, params: Params) -> Params:
-    """The container holding embed_tokens/layers/final norm (opt nests a
-    ``decoder`` level: model.decoder.layers)."""
+    """The container holding embeddings/layers/final norm (opt nests a
+    ``decoder`` level; gpt2/bloom use a ``transformer`` root)."""
     if spec.family == "opt":
         return params["model"]["decoder"]
+    if spec.family in ("gpt2", "bloom"):
+        return params["transformer"]
     return params["model"]
+
+
+def layers_key(spec: ModelSpec) -> str:
+    return "h" if spec.family in ("gpt2", "bloom") else "layers"
+
+
+def model_layers(spec: ModelSpec, params: Params) -> list:
+    return model_root(spec, params)[layers_key(spec)]
+
+
+def set_model_layers(spec: ModelSpec, params: Params, layers: list):
+    model_root(spec, params)[layers_key(spec)] = layers
+
+
+def _embed_key(spec: ModelSpec) -> str:
+    return {"gpt2": "wte", "bloom": "word_embeddings"}.get(
+        spec.family, "embed_tokens"
+    )
 
 
 def embed(
@@ -449,16 +470,21 @@ def embed(
     positions: Optional[jnp.ndarray] = None,
 ):
     root = model_root(spec, params)
-    emb = jnp.asarray(root["embed_tokens"]["weight"])
+    emb = jnp.asarray(root[_embed_key(spec)]["weight"])
     h = emb[input_ids].astype(dtype)
     if spec.embedding_multiplier != 1.0:
         h = h * jnp.asarray(spec.embedding_multiplier, dtype)
-    if spec.family == "opt":  # learned positions, historical +2 offset
+    if spec.family in ("opt", "gpt2"):  # learned positions (opt: +2 offset)
         if positions is None:
             B, T = input_ids.shape
             positions = jnp.broadcast_to(jnp.arange(T), (B, T))
-        pe = jnp.asarray(root["embed_positions"]["weight"])
-        h = h + pe[positions + 2].astype(dtype)
+        pe_key = "embed_positions" if spec.family == "opt" else "wpe"
+        off = 2 if spec.family == "opt" else 0
+        pe = jnp.asarray(root[pe_key]["weight"])
+        h = h + pe[positions + off].astype(dtype)
+    if spec.family == "bloom":  # embedding layernorm
+        n = root["word_embeddings_layernorm"]
+        h = layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
     return h
 
 
@@ -467,6 +493,9 @@ def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
     if spec.family == "opt":
         n = root["final_layer_norm"]
         return layer_norm(h, n["weight"], n.get("bias"), 1e-5)
+    if spec.family in ("gpt2", "bloom"):
+        n = root["ln_f"]
+        return layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
     return rms_norm(
         h, root["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
     )
@@ -554,6 +583,178 @@ def opt_decoder_layer(
     return h, cache
 
 
+# --------------------------------------------------------------------------
+# gpt2 family (Conv1D fused c_attn, learned positions, gelu_new MLP)
+# --------------------------------------------------------------------------
+
+
+def _cache_update_mha(cache: dict, k, v, B: int):
+    """Write k/v [B, H, T, D] into the cache (uniform or per-slot pointer);
+    returns (full_k, full_v, new_cache). Shared by the non-RoPE families."""
+    pos = cache["pos"]
+    if jnp.ndim(pos) == 0:
+        k_full = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
+        )
+        return k_full, v_full, {"k": k_full, "v": v_full, "pos": pos + k.shape[2]}
+    bidx = jnp.arange(B)
+    k_full = cache["k"].at[bidx, :, pos, :].set(k[:, :, 0, :].astype(cache["k"].dtype))
+    v_full = cache["v"].at[bidx, :, pos, :].set(v[:, :, 0, :].astype(cache["v"].dtype))
+    return k_full, v_full, {"k": k_full, "v": v_full, "pos": pos + 1}
+
+
+def gpt2_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    prefix: str = "attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """GPT-2 attention: ONE fused c_attn projection -> [q|k|v] thirds
+    (HF GPT2Attention; Conv1D weights are canonicalized to [out, in] at
+    load, see loader conv1d_suffixes)."""
+    B, T, _ = h.shape
+    nh, hd = spec.num_heads, spec.head_dim
+    _tap(taps, tap_paths, f"{prefix}.c_attn", h)
+    qkv = apply_linear(ap["c_attn"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+
+    if cache is not None:
+        k, v, cache = _cache_update_mha(cache, k, v, B)
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    _tap(taps, tap_paths, f"{prefix}.c_proj", out)
+    return apply_linear(ap["c_proj"], out), cache
+
+
+def gpt2_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    eps = spec.rms_norm_eps
+    n1 = lp["ln_1"]
+    normed = layer_norm(h, n1["weight"], n1.get("bias"), eps)
+    attn_out, cache = gpt2_attention(
+        spec, lp["attn"], normed, attn_bias, cache, taps=taps, tap_paths=tap_paths
+    )
+    h = h + attn_out
+    n2 = lp["ln_2"]
+    normed2 = layer_norm(h, n2["weight"], n2.get("bias"), eps)
+    _tap(taps, tap_paths, "mlp.c_fc", normed2)
+    x = _act(spec.hidden_act)(apply_linear(lp["mlp"]["c_fc"], normed2))
+    _tap(taps, tap_paths, "mlp.c_proj", x)
+    return h + apply_linear(lp["mlp"]["c_proj"], x), cache
+
+
+# --------------------------------------------------------------------------
+# bloom family (ALiBi, per-head-interleaved fused QKV)
+# --------------------------------------------------------------------------
+
+
+def alibi_slopes(num_heads: int) -> np.ndarray:
+    """Standard ALiBi head slopes (HF BloomModel.build_alibi_tensor math)."""
+    import math
+
+    closest = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = [base**i for i in range(1, closest + 1)]
+    if closest != num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        slopes += [extra_base**i for i in range(1, 2 * (num_heads - closest), 2)]
+    return np.asarray(slopes, dtype=np.float32)
+
+
+def bloom_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    prefix: str = "self_attention",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Bloom attention: fused query_key_value whose OUTPUT interleaves per
+    head — reshape [B,T,nh,3,hd] then split (HF BloomAttention) — plus ALiBi
+    additive bias ``slope_h * key_index`` (key index = physical cache slot;
+    exact for un-padded prompts, decode continues the same indexing)."""
+    B, T, _ = h.shape
+    nh, hd = spec.num_heads, spec.head_dim
+    _tap(taps, tap_paths, f"{prefix}.query_key_value", h)
+    qkv = apply_linear(ap["query_key_value"], h).reshape(B, T, nh, 3, hd)
+    q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+
+    if cache is not None:
+        k, v, cache = _cache_update_mha(cache, k, v, B)
+
+    S = k.shape[2]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    slopes = jnp.asarray(alibi_slopes(nh))
+    alibi = slopes[:, None, None] * jnp.arange(S, dtype=jnp.float32)[None, None, :]
+    logits = logits + alibi[None]
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    _tap(taps, tap_paths, f"{prefix}.dense", out)
+    return apply_linear(ap["dense"], out), cache
+
+
+def bloom_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    eps = spec.rms_norm_eps
+    n1 = lp["input_layernorm"]
+    ln1 = layer_norm(h, n1["weight"], n1.get("bias"), eps)
+    attn_out, cache = bloom_attention(
+        spec, lp["self_attention"], ln1, attn_bias, cache,
+        taps=taps, tap_paths=tap_paths,
+    )
+    residual = ln1 if spec.apply_residual_post_ln else h
+    h = residual + attn_out
+
+    n2 = lp["post_attention_layernorm"]
+    ln2 = layer_norm(h, n2["weight"], n2.get("bias"), eps)
+    _tap(taps, tap_paths, "mlp.dense_h_to_4h", ln2)
+    x = _act(spec.hidden_act)(apply_linear(lp["mlp"]["dense_h_to_4h"], ln2))
+    _tap(taps, tap_paths, "mlp.dense_4h_to_h", x)
+    x = apply_linear(lp["mlp"]["dense_4h_to_h"], x)
+    residual = ln2 if spec.apply_residual_post_ln else h
+    return residual + x, cache
+
+
 def any_decoder_layer(
     spec: ModelSpec,
     lp: Params,
@@ -568,6 +769,10 @@ def any_decoder_layer(
     """Family dispatcher used by the looper and the inference engine."""
     if spec.family == "opt":
         return opt_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
+    if spec.family == "gpt2":
+        return gpt2_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
+    if spec.family == "bloom":
+        return bloom_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
     return decoder_layer(spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths)
 
 
@@ -590,7 +795,7 @@ def model_hidden(
         attn_bias = make_causal_mask(T, kv_len, window=0)
     h = embed(spec, params, input_ids, dtype, positions)
     new_caches = [] if caches is not None else None
-    for i, lp in enumerate(model_root(spec, params)["layers"]):
+    for i, lp in enumerate(model_layers(spec, params)):
         cache_i = caches[i] if caches is not None else None
         h, cache_i = any_decoder_layer(spec, lp, h, cos, sin, attn_bias, cache_i)
         if new_caches is not None:
@@ -601,7 +806,7 @@ def model_hidden(
 
 def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
     if spec.tie_word_embeddings or "lm_head" not in params:
-        w = jnp.asarray(model_root(spec, params)["embed_tokens"]["weight"])
+        w = jnp.asarray(model_root(spec, params)[_embed_key(spec)]["weight"])
         logits = hidden @ w.T.astype(hidden.dtype)
     else:
         logits = apply_linear(params["lm_head"], hidden)

@@ -36,13 +36,18 @@ _TOKENIZER_FILES = (
 )
 
 
-def flatten_params(tree, prefix: str = "", out: dict | None = None, v1_zeros: bool = True) -> dict:
+def flatten_params(
+    tree, prefix: str = "", out: dict | None = None, v1_zeros: bool = True,
+    conv1d_suffixes: tuple = (),
+) -> dict:
     """Nested pytree -> flat {hf_tensor_name: np.ndarray}.
 
     QuantLinear leaves expand into qweight/qzeros/scales[/g_idx][/bias];
     with ``v1_zeros`` (the default interchange format) runtime v2 zeros are
     converted to the v1 -1-offset form on disk (reference v2->v1 export,
     utils/model.py:900); ``v1_zeros=False`` exports FORMAT.GPTQ_V2 verbatim.
+    Dense weights whose module path matches ``conv1d_suffixes`` are written
+    back transposed ([in, out] Conv1D layout — the loader's inverse).
     """
     if out is None:
         out = {}
@@ -78,13 +83,21 @@ def flatten_params(tree, prefix: str = "", out: dict | None = None, v1_zeros: bo
         return out
     if isinstance(tree, dict):
         for k, v in tree.items():
-            flatten_params(v, f"{prefix}.{k}" if prefix else k, out, v1_zeros)
+            flatten_params(
+                v, f"{prefix}.{k}" if prefix else k, out, v1_zeros,
+                conv1d_suffixes,
+            )
         return out
     if isinstance(tree, list):
         for i, v in enumerate(tree):
-            flatten_params(v, f"{prefix}.{i}", out, v1_zeros)
+            flatten_params(v, f"{prefix}.{i}", out, v1_zeros, conv1d_suffixes)
         return out
-    out[prefix] = np.asarray(tree)
+    t = np.asarray(tree)
+    if prefix.endswith(".weight") and any(
+        prefix[: -len(".weight")].endswith(sfx) for sfx in conv1d_suffixes
+    ):
+        t = np.ascontiguousarray(t.T)
+    out[prefix] = t
     return out
 
 
@@ -118,8 +131,11 @@ def save_quantized(
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
 
+    from gptqmodel_tpu.models.definitions import get_model_def
+
     export_v1 = qcfg.format != FORMAT.GPTQ_V2
-    flat = flatten_params(params, v1_zeros=export_v1)
+    conv1d = get_model_def(hf_config.get("model_type", "llama")).conv1d_suffixes
+    flat = flatten_params(params, v1_zeros=export_v1, conv1d_suffixes=conv1d)
     _write_shards(save_dir, flat, max_shard_size)
 
     adapters = collect_adapters(params)

@@ -42,12 +42,16 @@ def _tiny_llama_dir(tmp, model_type="llama", **over):
 
 
 def _jax_logits(model_dir):
+    from gptqmodel_tpu.models.definitions import get_model_def
     from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
     from gptqmodel_tpu.models.spec import load_hf_config, spec_from_hf_config
     from gptqmodel_tpu.models.transformer import forward_logits
 
     spec = spec_from_hf_config(load_hf_config(model_dir))
-    params = build_params_tree(CheckpointReader(model_dir))
+    params = build_params_tree(
+        CheckpointReader(model_dir),
+        conv1d_suffixes=get_model_def(spec.model_type).conv1d_suffixes,
+    )
     ids = np.arange(24).reshape(2, 12) % spec.vocab_size
     logits = forward_logits(spec, params, jnp.asarray(ids), dtype=jnp.float32)
     return spec, params, ids, np.asarray(logits)
@@ -204,6 +208,109 @@ def test_mixtral_quantize_e2e():
         mods = {r["module"] for r in rows}
         assert "block_sparse_moe.experts.0.w1" in mods
         assert "block_sparse_moe.experts.1.w2" in mods
+
+
+def test_forward_parity_gpt2():
+    """gpt2: Conv1D [in,out] weights (canonicalized at load), fused c_attn,
+    learned wpe positions, gelu_new MLP, tied lm_head."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt2", vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+            n_positions=128,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "gpt2"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "gpt2"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+def test_forward_parity_bloom():
+    """bloom: ALiBi, per-head-interleaved fused QKV, embedding layernorm."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="bloom", vocab_size=128, hidden_size=64, n_layer=2,
+            n_head=4,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "bloom"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "bloom"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gpt2_quantize_e2e():
+    """gpt2 end-to-end: quantize through the Conv1D tree, save (Conv1D dense
+    leaves transposed back on disk), reload, generate."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt2", vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+            n_positions=128,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval().save_pretrained(
+            Path(tmp) / "gpt2", safe_serialization=True
+        )
+        m = GPTQModel.load(Path(tmp) / "gpt2", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 4  # c_attn/c_proj/c_fc/c_proj per layer
+        eval_ids = jnp.asarray((np.arange(24).reshape(2, 12) % 127) + 1)
+        a = np.asarray(forward_logits(m.spec, m.params, eval_ids))
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        m2 = GPTQModel.load(out_dir)
+        b = np.asarray(forward_logits(m2.spec, m2.params, eval_ids))
+        np.testing.assert_allclose(b, a, atol=1e-5)
+        gen = m2.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                          dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_bloom_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="bloom", vocab_size=128, hidden_size=64, n_layer=2,
+            n_head=4,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval().save_pretrained(
+            Path(tmp) / "bloom", safe_serialization=True
+        )
+        m = GPTQModel.load(Path(tmp) / "bloom", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 4
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
 
 
 def test_loader_roundtrip_through_writer():
