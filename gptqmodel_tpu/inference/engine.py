@@ -26,6 +26,8 @@ from gptqmodel_tpu.models.transformer import (
     any_decoder_layer,
     embed,
     final_norm,
+    has_sliding_layers,
+    layer_rope_bias,
     lm_logits,
     model_layers,
     rope_cos_sin,
@@ -57,10 +59,11 @@ def init_kv_cache(
     return caches
 
 
-def _stack_forward(spec, params, h, cos, sin, bias, caches):
+def _stack_forward(spec, params, h, ctx, caches):
     new_caches = []
     for i, lp in enumerate(model_layers(spec, params)):
-        h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, caches[i])
+        cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+        h, c = any_decoder_layer(spec, lp, h, cos_i, sin_i, bias_i, caches[i])
         new_caches.append(c)
     return final_norm(spec, params, h), new_caches
 
@@ -84,8 +87,13 @@ def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
         ki = jnp.arange(max_len)[None, :]
         ok = (ki <= qi)[None, :, :] & key_valid[:, None, :]
         bias = jnp.where(ok, 0.0, _NEG)[:, None]  # [B, 1, T, max_len]
+        ctx = {"cos": cos, "sin": sin, "bias": bias}
+        if has_sliding_layers(spec):  # gemma3: local rope + windowed mask
+            ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, positions, local=True)
+            ok_l = ok & (ki > qi - spec.sliding_window)[None]
+            ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
         h = embed(spec, params, ids, dtype, positions)
-        h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
+        h, caches = _stack_forward(spec, params, h, ctx, caches)
         last = jnp.take_along_axis(h, (prompt_lens - 1)[:, None, None], axis=1)
         logits = lm_logits(spec, params, last)[:, 0]
         return logits, caches, key_valid
@@ -107,9 +115,17 @@ def make_decode_fn(spec: ModelSpec, dtype=jnp.bfloat16):
         key_valid = key_valid.at[:, write_slot].set(True)
         cos, sin = rope_cos_sin(spec, logical_pos[:, None])
         bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
+        ctx = {"cos": cos, "sin": sin, "bias": bias}
+        if has_sliding_layers(spec):
+            ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
+                spec, logical_pos[:, None], local=True
+            )
+            ki = jnp.arange(key_valid.shape[1])[None, :]
+            ok_l = key_valid & (ki > write_slot - spec.sliding_window)
+            ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None, None, :]
         h = embed(spec, params, token[:, None], dtype, logical_pos[:, None])
         caches = [dict(c, pos=write_slot) for c in caches]
-        h, caches = _stack_forward(spec, params, h, cos, sin, bias, caches)
+        h, caches = _stack_forward(spec, params, h, ctx, caches)
         logits = lm_logits(spec, params, h)[:, 0]
         return logits, caches, key_valid
 

@@ -28,6 +28,8 @@ from gptqmodel_tpu.models.transformer import (
     any_decoder_layer,
     embed,
     final_norm,
+    has_sliding_layers,
+    layer_rope_bias,
     lm_logits,
     model_layers,
     rope_cos_sin,
@@ -120,10 +122,19 @@ class ContinuousBatchingEngine:
             cos, sin = rope_cos_sin(spec, positions)
             qi = jnp.arange(T)[:, None]
             ki = jnp.arange(L)[None, :]
-            bias = jnp.where((ki <= qi) & (ki < true_len), 0.0, _NEG)[None, None]
+            ok = (ki <= qi) & (ki < true_len)
+            ctx = {"cos": cos, "sin": sin,
+                   "bias": jnp.where(ok, 0.0, _NEG)[None, None]}
+            if has_sliding_layers(spec):
+                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, positions, local=True)
+                ok_l = ok & (ki > qi - spec.sliding_window)
+                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[None, None]
             h = embed(spec, params, ids, dtype, positions)
             for i, lp in enumerate(model_layers(spec, params)):
-                h, mini[i] = any_decoder_layer(spec, lp, h, cos, sin, bias, mini[i])
+                cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+                h, mini[i] = any_decoder_layer(
+                    spec, lp, h, cos_i, sin_i, bias_i, mini[i]
+                )
             h = final_norm(spec, params, h)
             last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
             logits = lm_logits(spec, params, last)[0, 0]
@@ -148,12 +159,19 @@ class ContinuousBatchingEngine:
             B = token.shape[0]
             key_valid = key_valid.at[jnp.arange(B), pos].set(True)
             cos, sin = rope_cos_sin(spec, pos[:, None])
-            bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]
+            ctx = {"cos": cos, "sin": sin,
+                   "bias": jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]}
+            if has_sliding_layers(spec):
+                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, pos[:, None], local=True)
+                ki = jnp.arange(key_valid.shape[1])[None, :]
+                ok_l = key_valid & (ki > pos[:, None] - spec.sliding_window)
+                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None, None, :]
             h = embed(spec, params, token[:, None], dtype, pos[:, None])
             new_caches = []
             for i, lp in enumerate(model_layers(spec, params)):
                 c = dict(caches[i], pos=pos)
-                h, c = any_decoder_layer(spec, lp, h, cos, sin, bias, c)
+                cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+                h, c = any_decoder_layer(spec, lp, h, cos_i, sin_i, bias_i, c)
                 new_caches.append({k_: v_ for k_, v_ in c.items() if k_ != "pos"})
             h = final_norm(spec, params, h)
             logits = lm_logits(spec, params, h)[:, 0]

@@ -47,6 +47,8 @@ from gptqmodel_tpu.models.transformer import (
     embed,
     final_norm,
     get_by_path,
+    has_sliding_layers,
+    layer_is_sliding,
     make_causal_mask,
     rope_cos_sin,
     set_by_path,
@@ -115,6 +117,15 @@ def quantize_model(
     positions = jnp.broadcast_to(jnp.arange(T), (B, T))
     cos, sin = rope_cos_sin(spec, positions)
     attn_bias = make_causal_mask(T, T)
+    # gemma3-style sliding layers: local rope + windowed mask variants
+    if has_sliding_layers(spec):
+        cos_l, sin_l = rope_cos_sin(spec, positions, local=True)
+        bias_l = make_causal_mask(T, T, window=spec.sliding_window)
+    else:
+        cos_l, sin_l, bias_l = cos, sin, attn_bias
+
+    def _rope_bias(sliding: bool):
+        return (cos_l, sin_l, bias_l) if sliding else (cos, sin, attn_bias)
 
     # GPTAQ: a parallel NATIVE (never-quantized) activation stream feeds the
     # asymmetric-error cross term (replaces the reference's NativeProcessor
@@ -136,14 +147,16 @@ def quantize_model(
     # ---- jitted per-subset steps, compiled once, reused across layers -----
     step_cache: dict[Any, Any] = {}
 
-    def hessian_step_fn(tap_reps: tuple[str, ...]):
-        if tap_reps in step_cache:
-            return step_cache[tap_reps]
+    def hessian_step_fn(tap_reps: tuple[str, ...], sliding: bool = False):
+        ck = (tap_reps, sliding)
+        if ck in step_cache:
+            return step_cache[ck]
+        cos_s, sin_s, bias_s = _rope_bias(sliding)
 
         def step(lp, h, row_mask, Gs, ns, As):
             taps: dict = {}
             any_decoder_layer(
-                spec, lp, h, cos, sin, attn_bias,
+                spec, lp, h, cos_s, sin_s, bias_s,
                 taps=taps, tap_paths=frozenset(tap_reps),
             )
             flat_mask = row_mask.reshape(-1)
@@ -163,27 +176,28 @@ def quantize_model(
             return newG, newn, newA
 
         fn = jax.jit(step)
-        step_cache[tap_reps] = fn
+        step_cache[ck] = fn
         return fn
 
-    def gptaq_step_fn(tap_reps: tuple[str, ...]):
+    def gptaq_step_fn(tap_reps: tuple[str, ...], sliding: bool = False):
         """Like hessian_step_fn but also runs the NATIVE layer on the native
         stream and accumulates D = Σ (x̃ − x)ᵀ x per tap (MoE expert taps use
         the quantized stream's routing mask for both sides — token pairing
         across diverging routings is undefined)."""
-        key = ("gptaq",) + tap_reps
+        key = ("gptaq", sliding) + tap_reps
         if key in step_cache:
             return step_cache[key]
+        cos_s, sin_s, bias_s = _rope_bias(sliding)
 
         def step(lp, h, lp_fp, h_fp, row_mask, Gs, ns, As, Ds):
             taps: dict = {}
             any_decoder_layer(
-                spec, lp, h, cos, sin, attn_bias,
+                spec, lp, h, cos_s, sin_s, bias_s,
                 taps=taps, tap_paths=frozenset(tap_reps),
             )
             taps_fp: dict = {}
             any_decoder_layer(
-                spec, lp_fp, h_fp, cos, sin, attn_bias,
+                spec, lp_fp, h_fp, cos_s, sin_s, bias_s,
                 taps=taps_fp, tap_paths=frozenset(tap_reps),
             )
             flat_mask = row_mask.reshape(-1)
@@ -210,13 +224,13 @@ def quantize_model(
         step_cache[key] = fn
         return fn
 
-    replay_key = "__replay__"
-
-    def replay_fn():
+    def replay_fn(sliding: bool = False):
+        replay_key = ("__replay__", sliding)
         if replay_key in step_cache:
             return step_cache[replay_key]
+        cos_s, sin_s, bias_s = _rope_bias(sliding)
         fn = jax.jit(
-            lambda lp, h: any_decoder_layer(spec, lp, h, cos, sin, attn_bias)[0]
+            lambda lp, h: any_decoder_layer(spec, lp, h, cos_s, sin_s, bias_s)[0]
         )
         step_cache[replay_key] = fn
         return fn
@@ -244,6 +258,7 @@ def quantize_model(
             rotate_layer(spec, lp, R)
         lp = jax.tree.map(jnp.asarray, lp)
         lp_fp = jax.tree.map(lambda a: a, lp) if gptaq_on else None  # pristine copy
+        sl = layer_is_sliding(spec, li)
         qlayer_mods: dict[str, Any] = {}
 
         for subset in subset_plan:
@@ -263,7 +278,7 @@ def quantize_model(
             Ds = None
             if gptaq_on:
                 Ds = {k: jnp.zeros((v, v), jnp.float32) for k, v in in_feats.items()}
-                step = gptaq_step_fn(tap_reps)
+                step = gptaq_step_fn(tap_reps, sl)
                 for b in range(nb):
                     Gs, ns, As, Ds = step(
                         lp, jnp.asarray(hidden[b]), lp_fp,
@@ -271,7 +286,7 @@ def quantize_model(
                         Gs, ns, As, Ds,
                     )
             else:
-                step = hessian_step_fn(tap_reps)
+                step = hessian_step_fn(tap_reps, sl)
                 for b in range(nb):
                     Gs, ns, As = step(
                         lp, jnp.asarray(hidden[b]), jnp.asarray(mask_all[b]),
@@ -306,7 +321,7 @@ def quantize_model(
 
         # replay with fully-quantized layer -> next layer inputs
         t0 = time.perf_counter()
-        rfn = replay_fn()
+        rfn = replay_fn(sl)
         for b in range(nb):
             hidden[b] = np.asarray(rfn(lp, jnp.asarray(hidden[b])))
         if gptaq_on:  # native stream replays through the pristine layer

@@ -133,6 +133,23 @@ _OPT_TREE = (
     },
 )
 
+_GEMMA3_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "pre_feedforward_layernorm": ("pre_feedforward_layernorm:!",),
+        "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
 _GPT2_TREE = (
     "transformer",
     "h",
@@ -176,6 +193,8 @@ REGISTRY: dict[str, ModelDef] = {
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
     "gemma": ModelDef(_LLAMA_TREE),
     "gemma2": ModelDef(_GEMMA2_TREE),
+    "gemma3_text": ModelDef(_GEMMA3_TREE),
+    "gemma3": ModelDef(_GEMMA3_TREE),
     "gpt2": ModelDef(
         _GPT2_TREE,
         pre_lm_head_norm="transformer.ln_f",

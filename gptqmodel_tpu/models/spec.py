@@ -49,6 +49,7 @@ class ModelSpec:
     query_pre_attn_scalar: float = 0.0  # gemma2 attention scale override
     sliding_window: int = 0
     layer_types: tuple = ()  # per-layer attn type, e.g. gemma3/gpt-oss
+    rope_local_theta: float = 0.0  # gemma3: separate rope base for sliding layers
     # forward-family selector: "llama" (RoPE+RMSNorm+gated MLP lineage),
     # "opt" (learned positions, LayerNorm+bias, plain MLP),
     # "gpt2" (Conv1D fused c_attn, learned positions, gelu_new MLP),
@@ -60,6 +61,8 @@ class ModelSpec:
 
 _LLAMA_FAMILY = {
     "llama",
+    "gemma3_text",
+    "gemma3",
     "mistral",
     "qwen2",
     "qwen3",
@@ -193,6 +196,24 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             attn_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
             query_pre_attn_scalar=cfg.get("query_pre_attn_scalar", 0.0) or 0.0,
         )
+    if mt in ("gemma3_text", "gemma3"):
+        # gemma3: gemma2 norms + qk-norm + sliding/full alternation with a
+        # SEPARATE rope base for sliding layers (rope_local_base_freq)
+        common.update(
+            embedding_multiplier=float(hidden) ** 0.5,
+            rms_norm_offset=True,
+            post_norms=True,
+            qk_norm=True,
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar", 0.0) or 0.0,
+            rope_local_theta=cfg.get("rope_local_base_freq", 10000.0),
+        )
+        if not common["layer_types"]:
+            # older configs: sliding_window_pattern=N, every Nth layer full
+            pat = cfg.get("sliding_window_pattern", 6)
+            common["layer_types"] = tuple(
+                "full_attention" if (i + 1) % pat == 0 else "sliding_attention"
+                for i in range(cfg["num_hidden_layers"])
+            )
 
     if mt not in _LLAMA_FAMILY:
         # Unregistered arch: fall back to llama-shaped interpretation (the

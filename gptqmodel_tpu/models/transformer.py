@@ -93,10 +93,16 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, offset: bool = False):
     return (normed * scale).astype(x.dtype)
 
 
-def _rope_inv_freq(spec: ModelSpec) -> np.ndarray:
+def _rope_inv_freq(spec: ModelSpec, local: bool = False) -> np.ndarray:
     dim = spec.head_dim
+    if local:  # gemma3 sliding layers: separate base, NO scaling
+        theta = spec.rope_local_theta or spec.rope_theta
+        inv = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+        return inv.astype(np.float32)
     inv = 1.0 / spec.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
     rs = spec.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "linear":
+        inv = inv / rs["factor"]
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         lo = rs.get("low_freq_factor", 1.0)
@@ -118,9 +124,9 @@ def _rope_inv_freq(spec: ModelSpec) -> np.ndarray:
     return inv.astype(np.float32)
 
 
-def rope_cos_sin(spec: ModelSpec, positions: jnp.ndarray):
+def rope_cos_sin(spec: ModelSpec, positions: jnp.ndarray, local: bool = False):
     """positions [*, T] int32 -> (cos, sin) [*, T, head_dim] f32."""
-    inv = jnp.asarray(_rope_inv_freq(spec))
+    inv = jnp.asarray(_rope_inv_freq(spec, local=local))
     freqs = positions.astype(jnp.float32)[..., None] * inv[None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -136,6 +142,26 @@ def apply_rope(q, k, cos, sin):
     c = cos[:, None, :, :].astype(q.dtype)
     s = sin[:, None, :, :].astype(q.dtype)
     return q * c + _rotate_half(q) * s, k * c + _rotate_half(k) * s
+
+
+def layer_is_sliding(spec: ModelSpec, i: int) -> bool:
+    """gemma3-style per-layer attention kind (spec.layer_types)."""
+    if spec.layer_types:
+        return spec.layer_types[i] == "sliding_attention"
+    return False
+
+
+def has_sliding_layers(spec: ModelSpec) -> bool:
+    return any(layer_is_sliding(spec, i) for i in range(spec.num_layers))
+
+
+def layer_rope_bias(spec: ModelSpec, i: int, ctx: dict):
+    """Select the (cos, sin, attn_bias) for layer ``i`` from a context dict
+    {cos, sin, bias[, cos_l, sin_l, bias_l]} — sliding layers (gemma3) get
+    the local-rope + windowed-mask variants."""
+    if layer_is_sliding(spec, i) and "cos_l" in ctx:
+        return ctx["cos_l"], ctx["sin_l"], ctx.get("bias_l", ctx["bias"])
+    return ctx["cos"], ctx["sin"], ctx["bias"]
 
 
 def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window: int = 0):
@@ -199,9 +225,9 @@ def attention(
         k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
         v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
 
-    if spec.qk_norm:  # qwen3: per-head RMSNorm before RoPE
-        q = rms_norm(q, ap["q_norm"]["weight"], spec.rms_norm_eps)
-        k = rms_norm(k, ap["k_norm"]["weight"], spec.rms_norm_eps)
+    if spec.qk_norm:  # qwen3/gemma3: per-head RMSNorm before RoPE
+        q = rms_norm(q, ap["q_norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
+        k = rms_norm(k, ap["k_norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
 
     q = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
     k = k.transpose(0, 2, 1, 3)
@@ -790,14 +816,27 @@ def model_hidden(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
     cos, sin = rope_cos_sin(spec, positions)
+    has_sliding = any(layer_is_sliding(spec, i) for i in range(spec.num_layers))
+    cos_l, sin_l = (
+        rope_cos_sin(spec, positions, local=True) if has_sliding else (cos, sin)
+    )
+    bias_l = None
     if isinstance(attn_bias, str) and attn_bias == "causal":
         kv_len = caches[0]["k"].shape[2] if caches else T
         attn_bias = make_causal_mask(T, kv_len, window=0)
+        if has_sliding:
+            bias_l = make_causal_mask(T, kv_len, window=spec.sliding_window)
     h = embed(spec, params, input_ids, dtype, positions)
     new_caches = [] if caches is not None else None
     for i, lp in enumerate(model_layers(spec, params)):
         cache_i = caches[i] if caches is not None else None
-        h, cache_i = any_decoder_layer(spec, lp, h, cos, sin, attn_bias, cache_i)
+        sl = layer_is_sliding(spec, i)
+        h, cache_i = any_decoder_layer(
+            spec, lp, h,
+            cos_l if sl else cos, sin_l if sl else sin,
+            bias_l if (sl and bias_l is not None) else attn_bias,
+            cache_i,
+        )
         if new_caches is not None:
             new_caches.append(cache_i)
     h = final_norm(spec, params, h)

@@ -210,6 +210,57 @@ def test_mixtral_quantize_e2e():
         assert "block_sparse_moe.experts.1.w2" in mods
 
 
+def test_forward_parity_gemma3():
+    """gemma3: sliding/full alternation with SEPARATE rope bases per layer
+    kind, qk-norm with (1+w) offset, gemma2-style pre/post norms. The tiny
+    window (8 < T=12) makes the sliding mask + local rope load-bearing."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "gemma3_text",
+            head_dim=16, query_pre_attn_scalar=16,
+            sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            rope_local_base_freq=10000.0, rope_theta=1000000.0,
+            rope_scaling={"rope_type": "linear", "factor": 8.0},
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.rope_local_theta == 10000.0
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gemma3_quantize_generate_e2e():
+    """gemma3 through quantize + KV-cache decode: sliding layers must use
+    the windowed mask and local rope in BOTH prefill and decode; generation
+    from the cache path must match full re-forward argmax."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "gemma3_text",
+            head_dim=16, query_pre_attn_scalar=16,
+            sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            rope_local_base_freq=10000.0, rope_theta=1000000.0,
+        )
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7
+        # cache decode vs full forward: greedy continuation must agree
+        prompt = np.asarray([[3, 5, 7, 9, 11, 13]], np.int32)
+        gen = m.generate(prompt, max_new_tokens=8, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(8):
+            lg = np.asarray(forward_logits(m.spec, m.params, jnp.asarray(seq)))
+            nxt = int(np.argmax(lg[0, -1]))
+            seq = np.concatenate([seq, [[nxt]]], axis=1)
+        np.testing.assert_array_equal(gen[0], seq[0, 6:])
+
+
 def test_forward_parity_gpt2():
     """gpt2: Conv1D [in,out] weights (canonicalized at load), fused c_attn,
     learned wpe positions, gelu_new MLP, tied lm_head."""
