@@ -42,19 +42,22 @@ def init_kv_cache(
 ):
     """Per-layer {"k","v"} [B, Hkv, max_len, D]; physical write pointer is
     threaded separately (uniform across the batch). ``kv_quant`` stores K/V
-    as int8 with per-(b,h,pos) scales — half the cache HBM."""
-    shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
+    as int8 with per-(b,h,pos) scales — half the cache HBM. MLA models
+    (deepseek) have distinct k (nope+rope) and v (v_head_dim) dims."""
+    k_shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
+    v_dim = spec.v_head_dim if spec.mla else spec.head_dim
+    v_shape = (batch, spec.num_kv_heads, max_len, v_dim)
     caches = []
     for _ in range(spec.num_layers):
         c = {"pos": jnp.int32(0)}
         if kv_quant:
-            c["k"] = jnp.zeros(shape, jnp.int8)
-            c["v"] = jnp.zeros(shape, jnp.int8)
-            c["k_s"] = jnp.zeros(shape[:3], jnp.float32)
-            c["v_s"] = jnp.zeros(shape[:3], jnp.float32)
+            c["k"] = jnp.zeros(k_shape, jnp.int8)
+            c["v"] = jnp.zeros(v_shape, jnp.int8)
+            c["k_s"] = jnp.zeros(k_shape[:3], jnp.float32)
+            c["v_s"] = jnp.zeros(v_shape[:3], jnp.float32)
         else:
-            c["k"] = jnp.zeros(shape, dtype)
-            c["v"] = jnp.zeros(shape, dtype)
+            c["k"] = jnp.zeros(k_shape, dtype)
+            c["v"] = jnp.zeros(v_shape, dtype)
         caches.append(c)
     return caches
 

@@ -262,7 +262,7 @@ def quantize_model(
         qlayer_mods: dict[str, Any] = {}
 
         for subset in subset_plan:
-            groups = _build_groups(subset, li, qcfg, plan)
+            groups = _build_groups(subset, li, qcfg, plan, lp)
             if not groups:
                 continue
             tap_reps = tuple(sorted({g.tap for g in groups}))
@@ -444,11 +444,19 @@ class _Group:
 
 
 def _build_groups(
-    subset: list[str], layer_idx: int, qcfg: QuantizeConfig, plan
+    subset: list[str], layer_idx: int, qcfg: QuantizeConfig, plan, lp=None
 ) -> list[_Group]:
-    """Group subset modules by provably-shared input; resolve dynamic cfg."""
+    """Group subset modules by provably-shared input; resolve dynamic cfg.
+    Paths absent from the layer params are skipped (optional-module semantics:
+    deepseek dense-vs-moe layers, lite-vs-full q_proj variants — reference
+    layer_modules_strict=False)."""
     by_key: dict[str, _Group] = {}
     for path in subset:
+        if lp is not None:
+            try:
+                get_by_path(lp, path)
+            except (KeyError, IndexError, TypeError):
+                continue  # module absent in this layer (optional)
         full = f"{plan.layers_path}.{layer_idx}.{path}"
         mcfg = qcfg.for_module(full)
         if mcfg is None:  # '-:' dynamic exclusion

@@ -133,6 +133,28 @@ _OPT_TREE = (
     },
 )
 
+# deepseek v2/v3 (reference definitions/deepseek_v2.py): lite has q_proj,
+# full has q_a/q_b; first_k_dense_replace layers carry a plain mlp (the ""
+# entries), later layers experts + shared_experts — absent modules skip.
+_DEEPSEEK_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "q_a_proj:0", "q_b_proj:0", "q_proj:0",
+            "kv_a_proj_with_mqa:0", "kv_b_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp:moe": {
+            "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            "shared_experts": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    },
+)
+
 _GEMMA3_TREE = (
     "model",
     "layers",
@@ -201,6 +223,8 @@ REGISTRY: dict[str, ModelDef] = {
         conv1d_suffixes=("attn.c_attn", "attn.c_proj", "mlp.c_fc", "mlp.c_proj"),
     ),
     "bloom": ModelDef(_BLOOM_TREE, pre_lm_head_norm="transformer.ln_f"),
+    "deepseek_v2": ModelDef(_DEEPSEEK_TREE, dynamic_expert_index="n_routed_experts"),
+    "deepseek_v3": ModelDef(_DEEPSEEK_TREE, dynamic_expert_index="n_routed_experts"),
 }
 
 
@@ -219,6 +243,8 @@ SHARED_INPUT_LEAVES = {
     "q_proj": "qkv",
     "k_proj": "qkv",
     "v_proj": "qkv",
+    "q_a_proj": "qkv",  # deepseek MLA: q_a/kv_a consume the same normed hidden
+    "kv_a_proj_with_mqa": "qkv",
     "gate_proj": "gate_up",
     "up_proj": "gate_up",
     "w1": "gate_up",

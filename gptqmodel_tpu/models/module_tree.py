@@ -107,7 +107,10 @@ def _walk(node, prefix: list[str], flags: set[str], plan: LayerPlan):
     if isinstance(node, dict):
         for key, val in node.items():
             name, kflags = _split_flags(key)
-            _walk(val, prefix + [name], flags | kflags, plan)
+            # "" key = leaves live on the PARENT module (reference deepseek_v2
+            # tree's dense-mlp alternative entries)
+            new_prefix = prefix + [name] if name else prefix
+            _walk(val, new_prefix, flags | kflags, plan)
     elif isinstance(node, (tuple, list)):
         for leaf in node:
             name, tags = _split_flags(leaf)

@@ -40,6 +40,22 @@ class ModelSpec:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # deepseek-style MoE extensions
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    moe_topk_method: str = "greedy"  # greedy | group_limited_greedy | noaux_tc
+    moe_scoring: str = "softmax"  # softmax | sigmoid
+    n_group: int = 0
+    topk_group: int = 0
+    routed_scaling_factor: float = 1.0
+    # deepseek MLA (multi-head latent attention)
+    mla: bool = False
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_rope_head_dim: int = 0
+    qk_nope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = False  # deepseek pair-interleaved rope
     # gemma-style tweaks
     embedding_multiplier: float = 1.0
     logit_softcap: float = 0.0
@@ -63,6 +79,8 @@ _LLAMA_FAMILY = {
     "llama",
     "gemma3_text",
     "gemma3",
+    "deepseek_v2",
+    "deepseek_v3",
     "mistral",
     "qwen2",
     "qwen3",
@@ -195,6 +213,39 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
             attn_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
             query_pre_attn_scalar=cfg.get("query_pre_attn_scalar", 0.0) or 0.0,
+        )
+    if mt in ("deepseek_v2", "deepseek_v3"):
+        # MLA: q/k head dim = nope + rope parts; v has its own dim; rope
+        # applies only to the rope slice (dim qk_rope_head_dim); KV "heads"
+        # are the expanded per-head k/v (latent-cache optimization is a
+        # runtime concern, not a spec one)
+        qk_rope = cfg.get("qk_rope_head_dim", 64)
+        qk_nope = cfg.get("qk_nope_head_dim", 128)
+        common.update(
+            mla=True,
+            head_dim=qk_nope + qk_rope,
+            num_kv_heads=heads,
+            q_lora_rank=cfg.get("q_lora_rank") or 0,
+            kv_lora_rank=cfg.get("kv_lora_rank") or 0,
+            qk_rope_head_dim=qk_rope,
+            qk_nope_head_dim=qk_nope,
+            v_head_dim=cfg.get("v_head_dim", 128),
+            num_experts=cfg.get("n_routed_experts") or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok") or 0,
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", False),
+            n_shared_experts=cfg.get("n_shared_experts") or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0),
+            moe_topk_method=cfg.get(
+                "topk_method", "noaux_tc" if mt == "deepseek_v3" else "greedy"
+            ),
+            moe_scoring=cfg.get(
+                "scoring_func", "sigmoid" if mt == "deepseek_v3" else "softmax"
+            ),
+            n_group=cfg.get("n_group") or 0,
+            topk_group=cfg.get("topk_group") or 0,
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            rope_interleave=cfg.get("rope_interleave", True),
         )
     if mt in ("gemma3_text", "gemma3"):
         # gemma3: gemma2 norms + qk-norm + sliding/full alternation with a

@@ -93,14 +93,62 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, offset: bool = False):
     return (normed * scale).astype(x.dtype)
 
 
-def _rope_inv_freq(spec: ModelSpec, local: bool = False) -> np.ndarray:
-    dim = spec.head_dim
+def yarn_get_mscale(scale: float, mscale: float = 1.0) -> float:
+    import math
+
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def _yarn_inv_freq(spec: ModelSpec, dim: int) -> tuple[np.ndarray, float]:
+    """YaRN NTK-by-parts inverse frequencies + cos/sin attention factor
+    (HF _compute_yarn_parameters semantics; deepseek checkpoints use this)."""
+    import math
+
+    rs = spec.rope_scaling
+    base = spec.rope_theta
+    factor = rs["factor"]
+    beta_fast = rs.get("beta_fast") or 32
+    beta_slow = rs.get("beta_slow") or 1
+    orig = rs.get("original_max_position_embeddings") or spec.max_position_embeddings
+    attention_factor = rs.get("attention_factor")
+    mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+    if attention_factor is None:
+        if mscale and mscale_all:
+            attention_factor = yarn_get_mscale(factor, mscale) / yarn_get_mscale(
+                factor, mscale_all
+            )
+        else:
+            attention_factor = yarn_get_mscale(factor)
+
+    def corr_dim(num_rot):
+        return (dim * math.log(orig / (num_rot * 2 * math.pi))) / (2 * math.log(base))
+
+    low = max(math.floor(corr_dim(beta_fast)), 0)
+    high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+    ramp = np.clip(
+        (np.arange(dim // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1
+    )
+    extrap_factor = 1.0 - ramp
+    pos_freqs = base ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+    inv = (1.0 / (factor * pos_freqs)) * (1 - extrap_factor) + (
+        1.0 / pos_freqs
+    ) * extrap_factor
+    return inv.astype(np.float32), float(attention_factor)
+
+
+def _rope_params(spec: ModelSpec, local: bool = False) -> tuple[np.ndarray, float]:
+    """(inv_freq, cos/sin scaling). MLA models rotate only the rope slice."""
+    dim = spec.qk_rope_head_dim if spec.mla else spec.head_dim
     if local:  # gemma3 sliding layers: separate base, NO scaling
         theta = spec.rope_local_theta or spec.rope_theta
         inv = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
-        return inv.astype(np.float32)
-    inv = 1.0 / spec.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
+        return inv.astype(np.float32), 1.0
     rs = spec.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        return _yarn_inv_freq(spec, dim)
+    inv = 1.0 / spec.rope_theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
     if rs and rs.get("rope_type", rs.get("type")) == "linear":
         inv = inv / rs["factor"]
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
@@ -121,15 +169,17 @@ def _rope_inv_freq(spec: ModelSpec, local: bool = False) -> np.ndarray:
             ),
         )
         inv = scaled
-    return inv.astype(np.float32)
+    return inv.astype(np.float32), 1.0
 
 
 def rope_cos_sin(spec: ModelSpec, positions: jnp.ndarray, local: bool = False):
-    """positions [*, T] int32 -> (cos, sin) [*, T, head_dim] f32."""
-    inv = jnp.asarray(_rope_inv_freq(spec, local=local))
+    """positions [*, T] int32 -> (cos, sin) [*, T, rope_dim] f32
+    (rope_dim = head_dim, or the rope slice for MLA models)."""
+    inv_np, scaling = _rope_params(spec, local=local)
+    inv = jnp.asarray(inv_np)
     freqs = positions.astype(jnp.float32)[..., None] * inv[None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * scaling, jnp.sin(emb) * scaling
 
 
 def _rotate_half(x):
@@ -142,6 +192,24 @@ def apply_rope(q, k, cos, sin):
     c = cos[:, None, :, :].astype(q.dtype)
     s = sin[:, None, :, :].astype(q.dtype)
     return q * c + _rotate_half(q) * s, k * c + _rotate_half(k) * s
+
+
+def apply_rope_interleaved(q, k, cos, sin):
+    """Pair-interleaved rope: pairs (x[2i], x[2i+1]) rotate by θ_i — the
+    deepseek convention (HF apply_rotary_emb complex form, deepseek_v2
+    modeling :272). cos/sin [B, T, D] concat-halves; only the first D/2
+    entries are the distinct angles."""
+    d = q.shape[-1]
+    c = cos[..., : d // 2][:, None].astype(jnp.float32)
+    s = sin[..., : d // 2][:, None].astype(jnp.float32)
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        a, b = xf[..., 0::2], xf[..., 1::2]
+        out = jnp.stack([a * c - b * s, a * s + b * c], axis=-1)
+        return out.reshape(x.shape).astype(x.dtype)
+
+    return rot(q), rot(k)
 
 
 def layer_is_sliding(spec: ModelSpec, i: int) -> bool:
@@ -195,6 +263,45 @@ def _tap(taps, tap_paths, path, x, mask=None):
         taps[path] = x if mask is None else (x, mask)
 
 
+def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
+    """Write current k/v [B, H, T, D] into the cache and read back the full
+    span. Handles a uniform scalar write pointer (prefill / batch decode) or
+    per-slot pointers (continuous batching, T == 1), and the int8 KV layout
+    ("k_s"/"v_s" per-(b,h,pos) scales). Returns (k_full, v_full, cache)."""
+    pos = cache["pos"]
+    kv_q = "k_s" in cache
+    if kv_q:
+        k_store, k_sc = _kv_quantize(k)
+        v_store, v_sc = _kv_quantize(v)
+    else:
+        k_store, v_store = k, v
+    if jnp.ndim(pos) == 0:  # uniform write pointer
+        upd = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (0, 0, pos) + (0,) * (buf.ndim - 3)
+        )
+        cache = dict(cache, k=upd(cache["k"], k_store),
+                     v=upd(cache["v"], v_store), pos=pos + T)
+        if kv_q:
+            cache["k_s"] = upd(cache["k_s"], k_sc)
+            cache["v_s"] = upd(cache["v_s"], v_sc)
+    else:  # per-slot write positions (continuous batching), T == 1
+        bidx = jnp.arange(B)
+        upd = lambda buf, val: buf.at[bidx, :, pos].set(
+            val[:, :, 0].astype(buf.dtype)
+        )
+        cache = dict(cache, k=upd(cache["k"], k_store),
+                     v=upd(cache["v"], v_store), pos=pos + 1)
+        if kv_q:
+            cache["k_s"] = upd(cache["k_s"], k_sc)
+            cache["v_s"] = upd(cache["v_s"], v_sc)
+    if kv_q:
+        k = cache["k"].astype(dtype) * cache["k_s"][..., None].astype(dtype)
+        v = cache["v"].astype(dtype) * cache["v_s"][..., None].astype(dtype)
+    else:
+        k, v = cache["k"], cache["v"]
+    return k, v, cache
+
+
 def attention(
     spec: ModelSpec,
     ap: Params,
@@ -235,37 +342,7 @@ def attention(
     q, k = apply_rope(q, k, cos, sin)
 
     if cache is not None:
-        pos = cache["pos"]
-        kv_q = "k_s" in cache  # int8 KV cache with per-(b,h,pos) scales
-        if kv_q:
-            k_store, k_sc = _kv_quantize(k)
-            v_store, v_sc = _kv_quantize(v)
-        else:
-            k_store, v_store = k, v
-        if jnp.ndim(pos) == 0:  # uniform write pointer
-            upd = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (0, 0, pos) + (0,) * (buf.ndim - 3)
-            )
-            cache = dict(cache, k=upd(cache["k"], k_store),
-                         v=upd(cache["v"], v_store), pos=pos + T)
-            if kv_q:
-                cache["k_s"] = upd(cache["k_s"], k_sc)
-                cache["v_s"] = upd(cache["v_s"], v_sc)
-        else:  # per-slot write positions (continuous batching), T == 1
-            bidx = jnp.arange(B)
-            upd = lambda buf, val: buf.at[bidx, :, pos].set(
-                val[:, :, 0].astype(buf.dtype)
-            )
-            cache = dict(cache, k=upd(cache["k"], k_store),
-                         v=upd(cache["v"], v_store), pos=pos + 1)
-            if kv_q:
-                cache["k_s"] = upd(cache["k_s"], k_sc)
-                cache["v_s"] = upd(cache["v_s"], v_sc)
-        if kv_q:
-            k = cache["k"].astype(q.dtype) * cache["k_s"][..., None].astype(q.dtype)
-            v = cache["v"].astype(q.dtype) * cache["v_s"][..., None].astype(q.dtype)
-        else:
-            k, v = cache["k"], cache["v"]
+        k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
 
     scale = (
         spec.query_pre_attn_scalar**-0.5 if spec.query_pre_attn_scalar else hd**-0.5
@@ -301,6 +378,84 @@ def attention(
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
 
+    _tap(taps, tap_paths, f"{prefix}.o_proj", out)
+    return apply_linear(ap["o_proj"], out), cache
+
+
+def mla_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    prefix: str = "self_attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """DeepSeek multi-head latent attention (HF DeepseekV2Attention,
+    modeling_deepseek_v2.py:288): low-rank q (full) or direct q (lite),
+    compressed kv through kv_a/kv_b with a shared rope'd k_pe, per-head
+    k = [k_nope | k_pe], separate v_head_dim.
+
+    Cache stores the EXPANDED per-head k/v (k: qk dim, v: v_head_dim) —
+    correct and simple; the latent-cache absorbed-matmul formulation
+    (cache only kv_lora_rank + rope per token) is a planned decode
+    optimization."""
+    B, T, _ = h.shape
+    nh = spec.num_heads
+    nope, rope = spec.qk_nope_head_dim, spec.qk_rope_head_dim
+    qk_dim = nope + rope
+    vd = spec.v_head_dim
+
+    if "q_proj" in ap:  # lite: no q compression
+        _tap(taps, tap_paths, f"{prefix}.q_proj", h)
+        q = apply_linear(ap["q_proj"], h)
+    else:
+        _tap(taps, tap_paths, f"{prefix}.q_a_proj", h)
+        qa = apply_linear(ap["q_a_proj"], h)
+        qa = rms_norm(qa, ap["q_a_layernorm"]["weight"], spec.rms_norm_eps)
+        _tap(taps, tap_paths, f"{prefix}.q_b_proj", qa)
+        q = apply_linear(ap["q_b_proj"], qa)
+    q = q.reshape(B, T, nh, qk_dim).transpose(0, 2, 1, 3)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    _tap(taps, tap_paths, f"{prefix}.kv_a_proj_with_mqa", h)
+    ckv = apply_linear(ap["kv_a_proj_with_mqa"], h)
+    c_kv, k_pe = ckv[..., : spec.kv_lora_rank], ckv[..., spec.kv_lora_rank :]
+    c_kv = rms_norm(c_kv, ap["kv_a_layernorm"]["weight"], spec.rms_norm_eps)
+    _tap(taps, tap_paths, f"{prefix}.kv_b_proj", c_kv)
+    kv = apply_linear(ap["kv_b_proj"], c_kv)
+    kv = kv.reshape(B, T, nh, nope + vd).transpose(0, 2, 1, 3)
+    k_nope, v = kv[..., :nope], kv[..., nope:]
+
+    k_pe = k_pe[:, None]  # [B, 1, T, rope] — shared across heads (mqa part)
+    if spec.rope_interleave:
+        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, cos, sin)
+    else:
+        q_pe, k_pe = apply_rope(q_pe, k_pe, cos, sin)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, nh, T, rope))], axis=-1
+    )
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+
+    if cache is not None:
+        k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
+
+    scale = qk_dim**-0.5
+    rs = spec.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn" and rs.get("mscale_all_dim"):
+        m = yarn_get_mscale(rs["factor"], rs["mscale_all_dim"])
+        scale = scale * m * m
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * vd)
     _tap(taps, tap_paths, f"{prefix}.o_proj", out)
     return apply_linear(ap["o_proj"], out), cache
 
@@ -402,6 +557,83 @@ def moe_mlp(
     return out.reshape(B, T, D)
 
 
+def deepseek_moe(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    prefix: str = "mlp",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """DeepSeek MoE: raw-parameter gate scored by softmax (v2) or sigmoid
+    (v3), optional group-limited top-k (``group_limited_greedy`` /
+    ``noaux_tc`` with e_score_correction_bias), routed_scaling_factor, and
+    always-on shared experts (HF DeepseekV2MoEGate modeling :45,
+    DeepseekV3TopkRouter modeling :109). Dense formulation like
+    ``moe_mlp`` — every expert sees all rows with zeroed unrouted rows."""
+    B, T, D = h.shape
+    x = h.reshape(B * T, D)
+    gate = mp["gate"]
+    gw = jnp.asarray(gate["weight"]).astype(jnp.float32)
+    logits = x.astype(jnp.float32) @ gw.T
+    if spec.moe_scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+
+    E, K = spec.num_experts, spec.num_experts_per_tok
+    choose = scores
+    if spec.moe_topk_method == "noaux_tc":
+        bias = jnp.asarray(gate["e_score_correction_bias"], jnp.float32)
+        choose = scores + bias[None, :]
+    if (
+        spec.moe_topk_method in ("group_limited_greedy", "noaux_tc")
+        and spec.n_group > 1
+    ):
+        g = spec.n_group
+        cg = choose.reshape(-1, g, E // g)
+        if spec.moe_topk_method == "noaux_tc":  # v3: sum of top-2 per group
+            gs = jnp.sum(jax.lax.top_k(cg, 2)[0], axis=-1)
+        else:  # v2: group max
+            gs = jnp.max(cg, axis=-1)
+        gidx = jax.lax.top_k(gs, spec.topk_group)[1]
+        gmask = jnp.zeros_like(gs).at[
+            jnp.arange(gs.shape[0])[:, None], gidx
+        ].set(1.0)
+        choose = jnp.where(gmask[..., None] > 0, cg, 0.0).reshape(-1, E)
+
+    _, top_i = jax.lax.top_k(choose, K)
+    top_w = jnp.take_along_axis(scores, top_i, axis=1)  # weights = RAW scores
+    if spec.norm_topk_prob:
+        top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+    top_w = top_w * spec.routed_scaling_factor
+
+    w_full = jnp.zeros((B * T, E), dtype=jnp.float32)
+    w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(top_w, top_i, w_full)
+
+    out = jnp.zeros_like(x)
+    experts = mp["experts"]
+    for e in range(E):
+        we = w_full[:, e]
+        routed = (we > 0).astype(x.dtype)
+        if taps is not None:
+            xe = x * routed[:, None]
+            y = gated_mlp(
+                spec, experts[e], xe, prefix=f"{prefix}.experts.{e}",
+                taps=taps, tap_paths=tap_paths, row_mask=routed,
+            )
+        else:
+            y = gated_mlp(spec, experts[e], x)
+        out = out + y * we[:, None].astype(x.dtype)
+
+    if "shared_experts" in mp:
+        out = out + gated_mlp(
+            spec, mp["shared_experts"], x, prefix=f"{prefix}.shared_experts",
+            taps=taps, tap_paths=tap_paths,
+        )
+    return out.reshape(B, T, D)
+
+
 # --------------------------------------------------------------------------
 # decoder layer / full model
 # --------------------------------------------------------------------------
@@ -421,10 +653,16 @@ def decoder_layer(
     normed = rms_norm(
         h, lp["input_layernorm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
     )
-    attn_out, cache = attention(
-        spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
-        taps=taps, tap_paths=tap_paths,
-    )
+    if "kv_a_proj_with_mqa" in lp["self_attn"]:  # deepseek MLA
+        attn_out, cache = mla_attention(
+            spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
+            taps=taps, tap_paths=tap_paths,
+        )
+    else:
+        attn_out, cache = attention(
+            spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
+            taps=taps, tap_paths=tap_paths,
+        )
     if spec.post_norms:  # gemma2 post-attention norm before residual
         attn_out = rms_norm(
             attn_out, lp["post_attention_layernorm"]["weight"],
@@ -448,7 +686,14 @@ def decoder_layer(
             taps=taps, tap_paths=tap_paths,
         )
     elif spec.num_experts > 0 and "experts" in lp["mlp"]:
-        mlp_out = moe_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
+        if "shared_experts" in lp["mlp"] or spec.model_type.startswith("deepseek"):
+            mlp_out = deepseek_moe(
+                spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
+            )
+        else:
+            mlp_out = moe_mlp(
+                spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
+            )
     else:
         mlp_out = gated_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
 
@@ -614,24 +859,6 @@ def opt_decoder_layer(
 # --------------------------------------------------------------------------
 
 
-def _cache_update_mha(cache: dict, k, v, B: int):
-    """Write k/v [B, H, T, D] into the cache (uniform or per-slot pointer);
-    returns (full_k, full_v, new_cache). Shared by the non-RoPE families."""
-    pos = cache["pos"]
-    if jnp.ndim(pos) == 0:
-        k_full = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
-        )
-        v_full = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
-        )
-        return k_full, v_full, {"k": k_full, "v": v_full, "pos": pos + k.shape[2]}
-    bidx = jnp.arange(B)
-    k_full = cache["k"].at[bidx, :, pos, :].set(k[:, :, 0, :].astype(cache["k"].dtype))
-    v_full = cache["v"].at[bidx, :, pos, :].set(v[:, :, 0, :].astype(cache["v"].dtype))
-    return k_full, v_full, {"k": k_full, "v": v_full, "pos": pos + 1}
-
-
 def gpt2_attention(
     spec: ModelSpec,
     ap: Params,
@@ -655,7 +882,7 @@ def gpt2_attention(
     v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
 
     if cache is not None:
-        k, v, cache = _cache_update_mha(cache, k, v, B)
+        k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -734,7 +961,7 @@ def bloom_attention(
     v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
 
     if cache is not None:
-        k, v, cache = _cache_update_mha(cache, k, v, B)
+        k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
 
     S = k.shape[2]
     logits = jnp.einsum(

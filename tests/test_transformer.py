@@ -261,6 +261,115 @@ def test_gemma3_quantize_generate_e2e():
         np.testing.assert_array_equal(gen[0], seq[0, 6:])
 
 
+_DSV2_TINY = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=96,
+    moe_intermediate_size=32, num_hidden_layers=2, num_attention_heads=4,
+    num_key_value_heads=4, kv_lora_rank=16, qk_rope_head_dim=8,
+    qk_nope_head_dim=8, v_head_dim=8, head_dim=8, n_routed_experts=4,
+    n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
+    max_position_embeddings=256, tie_word_embeddings=False,
+)
+
+
+def test_forward_parity_deepseek_v2_mla_dense():
+    """MLA attention parity in isolation (all layers dense via
+    first_k_dense_replace): strict tolerance — rope slice, kv compression,
+    separate v_head_dim must match HF exactly."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "deepseek_v2", q_lora_rank=None, topk_method="greedy",
+            **dict(_DSV2_TINY, first_k_dense_replace=2),
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.mla and spec.head_dim == 16
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_deepseek_v2_lite():
+    """deepseek_v2 lite-style: MLA without q compression (q_proj), shared
+    experts, first layer dense, greedy softmax routing. Tolerance is looser:
+    tiny random gates have near-tie top-k margins (~1e-3), and a single
+    routing flip between frameworks moves a few logits by ~1e-3 — both
+    selections are valid."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "deepseek_v2", q_lora_rank=None, topk_method="greedy",
+            **_DSV2_TINY,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_forward_parity_deepseek_v2_full_yarn():
+    """deepseek_v2 full-style: q_a/q_b low-rank query, group-limited routing,
+    YaRN rope scaling with deepseek mscale factors."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "deepseek_v2", q_lora_rank=24,
+            topk_method="group_limited_greedy", n_group=2, topk_group=1,
+            routed_scaling_factor=2.0,
+            rope_scaling={
+                "rope_type": "yarn", "factor": 4.0, "mscale": 0.707,
+                "mscale_all_dim": 0.707,
+                "original_max_position_embeddings": 64,
+                "beta_fast": 32, "beta_slow": 1,
+            },
+            **_DSV2_TINY,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_forward_parity_deepseek_v3():
+    """deepseek_v3: sigmoid scoring + noaux_tc group routing with
+    e_score_correction_bias, norm_topk_prob."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "deepseek_v3", q_lora_rank=24, n_group=2, topk_group=1,
+            norm_topk_prob=True, routed_scaling_factor=2.5,
+            **_DSV2_TINY,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "sigmoid"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_deepseek_quantize_generate_e2e():
+    """deepseek_v2 lite end-to-end: quantize through the MLA tree (optional
+    modules skipped per layer), reload, KV-cache decode matches re-forward."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "deepseek_v2", q_lora_rank=None, topk_method="greedy",
+            **_DSV2_TINY,
+        )
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=16))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # layer0 (dense): q,kv_a,kv_b,o + gate/up/down = 7
+        # layer1 (moe): 4 attn + 4 experts*3 + shared*3 = 19
+        assert len(rows) == 7 + 19, len(rows)
+        mods = {r["module"] for r in rows}
+        assert "mlp.gate_proj" in mods  # dense layer-0 mlp
+        assert "mlp.experts.3.down_proj" in mods
+        assert "mlp.shared_experts.up_proj" in mods
+        prompt = np.asarray([[3, 5, 7, 9, 11, 13]], np.int32)
+        gen = m.generate(prompt, max_new_tokens=6, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(6):
+            lg = np.asarray(forward_logits(m.spec, m.params, jnp.asarray(seq)))
+            seq = np.concatenate([seq, [[int(np.argmax(lg[0, -1]))]]], axis=1)
+        np.testing.assert_array_equal(gen[0], seq[0, 6:])
+
+
 def test_forward_parity_gpt2():
     """gpt2: Conv1D [in,out] weights (canonicalized at load), fused c_attn,
     learned wpe positions, gelu_new MLP, tied lm_head."""
