@@ -313,14 +313,18 @@ class BaseQModel:
 
     def optimize(self):
         """Inference-time optimizations (reference base.py:1760): fuse q/k/v
-        and gate/up into single wide kernel calls. Reduces launch count;
-        measured roughly neutral for decode on v5e (wider N doesn't help the
-        current tiling), so opt-in."""
-        from gptqmodel_tpu.models.optimize import fuse_projections
+        and gate/up into single wide kernel calls (measured roughly neutral
+        for decode on v5e, so opt-in), and stack dense MoE experts for
+        ragged/gmm dispatch (each expert computes only its routed tokens)."""
+        from gptqmodel_tpu.models.optimize import (
+            fuse_projections,
+            stack_moe_experts,
+        )
 
         if self.params is None:
             self._load_params()
         self.params = fuse_projections(self.spec, self.params)
+        self.params = stack_moe_experts(self.spec, self.params)
         return self
 
     # --------------------------------------------------------------- serve

@@ -65,6 +65,50 @@ def _concat_quant(mods: list[QuantLinear]) -> QuantLinear:
     )
 
 
+def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
+    """In-place: stack DENSE expert weights into [E, D, F] tensors so the
+    forward can use one ``jax.lax.ragged_dot`` (TPU gmm) per projection
+    instead of E full-batch matmuls — tokens are sorted by expert and each
+    expert touches only its routed rows (SURVEY round-2 priority 'ragged MoE
+    dispatch'; the reference delegates this regime to vLLM's grouped gemm).
+
+    Quantized (packed) experts are left untouched — dequantizing them to
+    stack would forfeit the memory savings; a packed ragged kernel is the
+    planned Pallas follow-up.
+    """
+    from gptqmodel_tpu.models.transformer import model_layers
+
+    n_stacked = 0
+    for lp in model_layers(spec, params):
+        for key in ("mlp", "block_sparse_moe"):
+            mp = lp.get(key)
+            if not isinstance(mp, dict) or "experts" not in mp:
+                continue
+            experts = mp["experts"]
+            names = (
+                ("w1", "w3", "w2") if "w1" in experts[0]
+                else ("gate_proj", "up_proj", "down_proj")
+            )
+            if not all(
+                isinstance(e.get(n), dict) and "weight" in e[n]
+                and e[n].get("bias") is None
+                for e in experts for n in names
+            ):
+                continue  # packed / exotic experts: keep the loop path
+            g, u, d = names
+            mp["experts_stacked"] = {
+                # ragged_dot rhs layout [E, in, out]
+                "gate": jnp.stack([jnp.asarray(e[g]["weight"]).T for e in experts]),
+                "up": jnp.stack([jnp.asarray(e[u]["weight"]).T for e in experts]),
+                "down": jnp.stack([jnp.asarray(e[d]["weight"]).T for e in experts]),
+            }
+            del mp["experts"]
+            n_stacked += 1
+    if n_stacked:
+        log.info("stacked %d MoE expert groups for ragged dispatch", n_stacked)
+    return params
+
+
 def fuse_projections(spec: ModelSpec, params: dict) -> dict:
     """In-place: merge attention q/k/v and mlp gate/up per layer when safe."""
     if spec.family != "llama":

@@ -506,6 +506,27 @@ def gated_mlp(
     return apply_linear(mp["down_proj"], inner)
 
 
+def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
+    """Ragged/gmm expert dispatch: sort tokens by expert, one
+    ``jax.lax.ragged_dot`` per projection over [E, in, out] stacked weights
+    (see optimize.stack_moe_experts). Each expert computes only its routed
+    rows — the E×-waste of the dense formulation disappears."""
+    N, D = x.shape
+    K = top_i.shape[1]
+    E = stacked["gate"].shape[0]
+    flat_e = top_i.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    tok = order // K
+    xs = x[tok]
+    gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    act = _act(spec.hidden_act)
+    g = jax.lax.ragged_dot(xs, stacked["gate"].astype(x.dtype), gs)
+    u = jax.lax.ragged_dot(xs, stacked["up"].astype(x.dtype), gs)
+    y = jax.lax.ragged_dot(act(g) * u, stacked["down"].astype(x.dtype), gs)
+    w = top_w.reshape(-1)[order].astype(x.dtype)
+    return jnp.zeros_like(x).at[tok].add(y * w[:, None])
+
+
 def moe_mlp(
     spec: ModelSpec,
     mp: Params,
@@ -531,6 +552,10 @@ def moe_mlp(
     top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
     if spec.norm_topk_prob:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    if "experts_stacked" in mp and taps is None:  # ragged inference path
+        out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
+        return out.reshape(B, T, D)
 
     # routing weight per (token, expert): [N, E]
     E = spec.num_experts
@@ -607,6 +632,12 @@ def deepseek_moe(
     if spec.norm_topk_prob:
         top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
     top_w = top_w * spec.routed_scaling_factor
+
+    if "experts_stacked" in mp and taps is None:  # ragged inference path
+        out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
+        if "shared_experts" in mp:
+            out = out + gated_mlp(spec, mp["shared_experts"], x)
+        return out.reshape(B, T, D)
 
     w_full = jnp.zeros((B * T, E), dtype=jnp.float32)
     w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(top_w, top_i, w_full)
@@ -685,7 +716,9 @@ def decoder_layer(
             spec, lp["block_sparse_moe"], normed2, prefix="block_sparse_moe",
             taps=taps, tap_paths=tap_paths,
         )
-    elif spec.num_experts > 0 and "experts" in lp["mlp"]:
+    elif spec.num_experts > 0 and (
+        "experts" in lp["mlp"] or "experts_stacked" in lp["mlp"]
+    ):
         if "shared_experts" in lp["mlp"] or spec.model_type.startswith("deepseek"):
             mlp_out = deepseek_moe(
                 spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths

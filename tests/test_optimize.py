@@ -29,3 +29,41 @@ def test_fuse_projections_preserves_logits():
         assert isinstance(lp0["mlp"]["gate_up_proj"], QuantLinear)
         after = np.asarray(forward_logits(m.spec, m.params, ids))
         np.testing.assert_allclose(after, before, rtol=1e-5, atol=1e-5)
+
+
+def _ragged_case(model_type, **over):
+    """Stacked ragged MoE dispatch must match the dense expert loop."""
+    from gptqmodel_tpu.models.optimize import stack_moe_experts
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from tests.test_transformer import _jax_logits, _tiny_llama_dir
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, dense = _jax_logits(d)
+        stack_moe_experts(spec, params)
+        lp = params["model"]["layers"][-1]
+        mp = lp.get("block_sparse_moe") or lp["mlp"]
+        assert "experts_stacked" in mp and "experts" not in mp
+        ragged = np.asarray(forward_logits(spec, params, jnp.asarray(ids),
+                                           dtype=jnp.float32))
+        np.testing.assert_allclose(ragged, dense, rtol=1e-5, atol=2e-5)
+
+
+def test_ragged_moe_qwen3():
+    _ragged_case(
+        "qwen3_moe", num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, decoder_sparse_step=1, norm_topk_prob=True,
+        head_dim=16, mlp_only_layers=[],
+    )
+
+
+def test_ragged_moe_mixtral():
+    _ragged_case("mixtral", num_local_experts=4, num_experts_per_tok=2)
+
+
+def test_ragged_moe_deepseek():
+    from tests.test_transformer import _DSV2_TINY
+
+    _ragged_case(
+        "deepseek_v2", q_lora_rank=None, topk_method="greedy", **_DSV2_TINY
+    )
