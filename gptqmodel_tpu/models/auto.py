@@ -311,6 +311,35 @@ class BaseQModel:
             self._load_params()
         return perplexity(self.spec, self.params, input_ids, row_mask, dtype=dtype)
 
+    def peft_train(
+        self,
+        input_ids,
+        row_mask=None,
+        rank: int = 8,
+        targets=None,
+        steps: int = 100,
+        batch_size: int = 4,
+        learning_rate: float = 2e-4,
+        **kw,
+    ) -> list[float]:
+        """LoRA finetuning on the frozen quantized base (reference
+        adapter/peft.py analog). Trains lora_A/B adapters, attaches them to
+        the model (inference + ``save()`` sidecar pick them up). Returns
+        per-step losses."""
+        from gptqmodel_tpu.adapter.peft import lora_train, set_lora
+
+        if self.params is None:
+            self._load_params()
+        if not self.quantized:
+            raise RuntimeError("peft_train requires a quantized model")
+        lora, losses = lora_train(
+            self.spec, self.params, np.asarray(input_ids), row_mask,
+            rank=rank, targets=targets, steps=steps, batch_size=batch_size,
+            learning_rate=learning_rate, **kw,
+        )
+        self.params = set_lora(self.params, lora)
+        return losses
+
     def optimize(self):
         """Inference-time optimizations (reference base.py:1760): fuse q/k/v
         and gate/up into single wide kernel calls (measured roughly neutral
