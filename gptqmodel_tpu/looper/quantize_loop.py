@@ -54,7 +54,7 @@ from gptqmodel_tpu.models.transformer import (
     set_by_path,
 )
 from gptqmodel_tpu.ops.qlinear import make_quant_linear
-from gptqmodel_tpu.quantization.config import METHOD, QuantizeConfig
+from gptqmodel_tpu.quantization.config import FORMAT, METHOD, QuantizeConfig
 from gptqmodel_tpu.quantization.gptq import gptq_quantize
 from gptqmodel_tpu.quantization.rtn import rtn_quantize
 
@@ -547,6 +547,7 @@ def _quantize_group(
                 Q=res.Q[sl], scales=res.scales[:, sl], zeros=res.zeros[:, sl],
                 g_idx=res.g_idx, bias=None if bias is None else np.asarray(bias),
                 bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+                planar=cfg.format == FORMAT.GPTQ_P,
             )
             replay_w = res.Wq[sl]
             if eora_rank > 0:

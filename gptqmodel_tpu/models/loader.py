@@ -168,6 +168,7 @@ def _load_quant_linear(
         qweight, qzeros = packing.awq_gemm_to_gptq(qweight, qzeros, bits)
     in_f = qweight.shape[0] * 32 // bits
     out_f = scales.shape[1]
+    planar = qcfg.format == FORMAT.GPTQ_P
     v1_on_disk = qcfg.format == FORMAT.GPTQ
     if v1_on_disk:
         # convert to v2 (true zeros) once at load — runtime format
@@ -189,6 +190,7 @@ def _load_quant_linear(
         out_features=out_f,
         sym=mcfg.sym,
         v1=False,
+        planar=planar,
     )
 
 

@@ -61,7 +61,9 @@ def flatten_params(
         return out
     if isinstance(tree, QuantLinear):
         qzeros = np.asarray(tree.qzeros)
-        if not tree.v1 and v1_zeros:
+        if tree.planar:
+            pass  # planar is always v2-zeros on disk; words saved verbatim
+        elif not tree.v1 and v1_zeros:
             qzeros = packing.convert_qzeros_v2_to_v1(qzeros, tree.bits)
         elif tree.v1 and not v1_zeros:
             qzeros = packing.convert_qzeros_v1_to_v2(qzeros, tree.bits)
@@ -133,7 +135,7 @@ def save_quantized(
 
     from gptqmodel_tpu.models.definitions import get_model_def
 
-    export_v1 = qcfg.format != FORMAT.GPTQ_V2
+    export_v1 = qcfg.format not in (FORMAT.GPTQ_V2, FORMAT.GPTQ_P)
     conv1d = get_model_def(hf_config.get("model_type", "llama")).conv1d_suffixes
     flat = flatten_params(params, v1_zeros=export_v1, conv1d_suffixes=conv1d)
     _write_shards(save_dir, flat, max_shard_size)

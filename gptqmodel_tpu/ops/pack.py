@@ -107,29 +107,45 @@ def _unpack_axis0_np(packed: np.ndarray, bits: int) -> np.ndarray:
     raise NotImplementedError(f"bits={bits}")
 
 
-def pack_qweight(codes_in_out: np.ndarray, bits: int) -> np.ndarray:
+def pack_qweight(codes_in_out: np.ndarray, bits: int, planar: bool = False) -> np.ndarray:
     """Pack integer codes [in, out] -> qweight int32 [in/pf, out]."""
+    if planar:
+        return planar_pack_axis0(codes_in_out, bits)
     return _pack_axis0_np(codes_in_out, bits)
 
 
-def unpack_qweight(qweight: np.ndarray, bits: int) -> np.ndarray:
+def unpack_qweight(qweight: np.ndarray, bits: int, planar: bool = False) -> np.ndarray:
     """qweight int32 [in/pf, out] -> codes int32 [in, out]."""
+    if planar:
+        return planar_unpack_axis0(qweight, bits)
     return _unpack_axis0_np(qweight, bits)
 
 
-def pack_qzeros(zeros_g_out: np.ndarray, bits: int, v1: bool = False) -> np.ndarray:
+def pack_qzeros(
+    zeros_g_out: np.ndarray, bits: int, v1: bool = False, planar: bool = False
+) -> np.ndarray:
     """Pack integer zero-points [groups, out] -> qzeros int32 [groups, out/pf].
 
-    ``v1=True`` stores (zero - 1) mod 2^bits (GPTQ v1 on-disk quirk).
+    ``v1=True`` stores (zero - 1) mod 2^bits (GPTQ v1 on-disk quirk; planar
+    checkpoints always use true v2 zeros).
     """
     z = np.asarray(zeros_g_out, dtype=np.int64)
     if v1:
+        assert not planar, "planar (gptq_p) never uses v1 zero semantics"
         z = (z - 1) & ((1 << bits) - 1)
+    if planar:
+        return planar_pack_axis0(z.T.astype(np.uint32), bits).T.copy()
     return _pack_axis0_np(z.T.astype(np.uint32), bits).T.copy()
 
 
-def unpack_qzeros(qzeros: np.ndarray, bits: int, v1: bool = False) -> np.ndarray:
+def unpack_qzeros(
+    qzeros: np.ndarray, bits: int, v1: bool = False, planar: bool = False
+) -> np.ndarray:
     """qzeros int32 [groups, out/pf] -> zeros int32 [groups, out]."""
+    if planar:
+        return planar_unpack_axis0(
+            np.ascontiguousarray(qzeros.T), bits
+        ).T.astype(np.int32)
     z = _unpack_axis0_np(np.ascontiguousarray(qzeros.T), bits).T
     if v1:
         z = (z + 1) & ((1 << bits) - 1)
@@ -183,6 +199,89 @@ def unpack_qzeros_jnp(qzeros: jnp.ndarray, bits: int, v1: bool = False) -> jnp.n
     if v1:
         z = (z + 1) & ((1 << bits) - 1)
     return z.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# planar (gptq_p) split-plane packing — native 5/6/7-bit format
+# --------------------------------------------------------------------------
+
+# bits -> ((plane_width, bit_offset), ...) low to high. Every plane width
+# divides 32, so no code straddles a word boundary (spec:
+# reference docs/gptq_planar.md, utils/planar_packing.py). Single-plane
+# widths (2/4/8) are bit-identical to the continuous layout.
+_PLANAR_PLANES = {
+    2: ((2, 0),),
+    3: ((2, 0), (1, 2)),
+    4: ((4, 0),),
+    5: ((4, 0), (1, 4)),
+    6: ((4, 0), (2, 4)),
+    7: ((4, 0), (2, 4), (1, 6)),
+    8: ((8, 0),),
+}
+
+PLANAR_ONLY_BITS = (5, 6, 7)  # widths with no continuous layout
+
+
+def planar_pack_axis0(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Pack codes [n, m] along axis 0 into planar words [n*bits/32, m].
+
+    Per 32-code block: ``bits`` adjacent int32 words, low plane first; plane
+    of width w stores codes ``i*(32/w)..`` in word i at shifts ``w*j``.
+    """
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    n, m = codes.shape
+    assert n % 32 == 0, f"planar packing needs rows % 32 == 0, got {n}"
+    blocks = n // 32
+    x = codes.reshape(blocks, 32, m)
+    out = np.zeros((blocks, bits, m), dtype=np.uint32)
+    row = 0
+    for w, off in _PLANAR_PLANES[bits]:
+        pf = 32 // w
+        plane = (x >> np.uint32(off)) & np.uint32((1 << w) - 1)
+        resh = plane.reshape(blocks, w, pf, m)
+        shifts = (np.arange(pf, dtype=np.uint32) * w)[None, None, :, None]
+        out[:, row : row + w] = np.bitwise_or.reduce(resh << shifts, axis=2)
+        row += w
+    return out.reshape(blocks * bits, m).view(np.int32)
+
+
+def planar_unpack_axis0(packed: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse of planar_pack_axis0: [n*bits/32, m] -> codes [n, m] int32."""
+    u = packed.view(np.uint32) if packed.dtype == np.int32 else packed.astype(np.uint32)
+    p, m = u.shape
+    assert p % bits == 0, f"planar rows {p} not divisible by bits {bits}"
+    blocks = p // bits
+    words = u.reshape(blocks, bits, m)
+    out = np.zeros((blocks, 32, m), dtype=np.uint32)
+    row = 0
+    for w, off in _PLANAR_PLANES[bits]:
+        pf = 32 // w
+        shifts = (np.arange(pf, dtype=np.uint32) * w)[None, None, :, None]
+        vals = (words[:, row : row + w][:, :, None] >> shifts) & np.uint32(
+            (1 << w) - 1
+        )
+        out |= vals.reshape(blocks, 32, m) << np.uint32(off)
+        row += w
+    return out.reshape(blocks * 32, m).astype(np.int32)
+
+
+def planar_unpack_axis0_jnp(packed: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Jittable twin of planar_unpack_axis0 (device-side dequant)."""
+    u = packed.astype(jnp.uint32)
+    p, m = u.shape
+    blocks = p // bits
+    words = u.reshape(blocks, bits, m)
+    out = jnp.zeros((blocks, 32, m), dtype=jnp.uint32)
+    row = 0
+    for w, off in _PLANAR_PLANES[bits]:
+        pf = 32 // w
+        shifts = (jnp.arange(pf, dtype=jnp.uint32) * w)[None, None, :, None]
+        vals = (words[:, row : row + w][:, :, None] >> shifts) & jnp.uint32(
+            (1 << w) - 1
+        )
+        out = out | (vals.reshape(blocks, 32, m) << jnp.uint32(off))
+        row += w
+    return out.reshape(blocks * 32, m).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------

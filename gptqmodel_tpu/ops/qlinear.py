@@ -27,7 +27,7 @@ from gptqmodel_tpu.ops import pack as packing
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -64,6 +64,9 @@ class QuantLinear:
     # marlin-repack analog). Export/dequant reverse it via pack.unrepack_rt.
     rt_layout: bool = False
     rt_block_k: int = 0
+    # split-plane (gptq_p) packing — native 5/6/7-bit layout, always v2
+    # zeros (reference docs/gptq_planar.md)
+    planar: bool = False
 
     @property
     def n_groups(self) -> int:
@@ -81,13 +84,18 @@ def make_quant_linear(
     group_size: int,
     sym: bool = True,
     v1: bool = False,
+    planar: bool = False,
     scales_dtype=np.float16,
 ) -> QuantLinear:
     """Pack solver output into a QuantLinear (host-side, numpy)."""
     out_f, in_f = Q.shape
     g = in_f if group_size in (-1, None) else group_size
-    qweight = packing.pack_qweight(np.ascontiguousarray(Q.T), bits)
-    qzeros = packing.pack_qzeros(np.asarray(zeros), bits, v1=v1)
+    if bits in packing.PLANAR_ONLY_BITS:
+        planar = True  # 5/6/7-bit have no continuous layout
+    if planar:
+        assert not v1, "planar (gptq_p) always uses v2 zero semantics"
+    qweight = packing.pack_qweight(np.ascontiguousarray(Q.T), bits, planar=planar)
+    qzeros = packing.pack_qzeros(np.asarray(zeros), bits, v1=v1, planar=planar)
     contiguous = np.arange(in_f) // g
     if g_idx is not None and np.array_equal(np.asarray(g_idx), contiguous):
         g_idx = None  # fast path: no indirection needed
@@ -103,6 +111,7 @@ def make_quant_linear(
         out_features=out_f,
         sym=sym,
         v1=v1,
+        planar=planar,
     )
 
 
@@ -117,11 +126,16 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
     Executable reference semantics (analog of reference
     qlinear/__init__.py:947 dequantize_weight).
     """
-    codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
+    if p.planar:
+        codes = packing.planar_unpack_axis0_jnp(p.qweight, p.bits)  # [in, out]
+        zeros = packing.planar_unpack_axis0_jnp(p.qzeros.T, p.bits).T
+        zeros = zeros.astype(jnp.int32)
+    else:
+        codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
+        zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
     if p.rt_layout:  # jit-safe reverse of the rt row permutation
         perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
         codes = codes[jnp.asarray(np.argsort(perm))]
-    zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
     scales = p.scales.astype(dtype)
     if p.g_idx is not None:
         s = scales[p.g_idx]  # [in, out]

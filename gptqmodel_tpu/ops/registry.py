@@ -57,7 +57,7 @@ def select_kernel(p: QuantLinear) -> str:
     backend setting. AUTO: pallas on TPU when the contract matches."""
     if _BACKEND == "xla":
         return "xla"
-    eligible = p.zvals is not None and pallas_qmatmul.supports(
+    eligible = p.zvals is not None and not p.planar and pallas_qmatmul.supports(
         p.bits, p.group_size, p.in_features, p.out_features, p.g_idx is None
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
@@ -111,10 +111,12 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
     (marlin-repack analog; reference marlin.py:246 post_init)."""
     if p.zvals is not None:
         return p
-    zeros = packing.unpack_qzeros(np.asarray(p.qzeros), p.bits, v1=p.v1)
+    zeros = packing.unpack_qzeros(
+        np.asarray(p.qzeros), p.bits, v1=p.v1, planar=p.planar
+    )
     zvals = zeros.astype(np.float32)
     qweight, rt_layout, rt_bk = p.qweight, False, 0
-    if p.g_idx is None and pallas_qmatmul.rt_supported(
+    if p.g_idx is None and not p.planar and pallas_qmatmul.rt_supported(
         p.bits, p.group_size, p.in_features
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(p.in_features, p.group_size)
@@ -126,7 +128,7 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         qweight=qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
-        out_features=p.out_features, sym=p.sym, v1=p.v1,
+        out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
         rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 

@@ -32,6 +32,7 @@ class METHOD(str, Enum):
 class FORMAT(str, Enum):
     GPTQ = "gptq"  # v1 on-disk: qzeros stored with -1 offset
     GPTQ_V2 = "gptq_v2"  # runtime format: true zeros
+    GPTQ_P = "gptq_p"  # split-plane packing (native 5/6/7-bit), v2 zeros
     AWQ_GEMM = "gemm"
 
     def __str__(self) -> str:
@@ -90,8 +91,12 @@ class QuantizeConfig:
     def __post_init__(self):
         self.method = METHOD(self.method)
         self.format = FORMAT(self.format)
-        if self.method != METHOD.FP8 and self.bits not in (2, 3, 4, 8):
+        if self.method != METHOD.FP8 and self.bits not in (2, 3, 4, 5, 6, 7, 8):
             raise ValueError(f"unsupported bits: {self.bits}")
+        if self.bits in (5, 6, 7) and self.format in (FORMAT.GPTQ, FORMAT.GPTQ_V2):
+            # 5/6/7-bit have no continuous layout: auto-route to planar
+            # (reference docs/gptq_planar.md "auto-route" semantics)
+            self.format = FORMAT.GPTQ_P
         if self.method == METHOD.FP8:
             self.bits = 8  # nominal; e4m3 storage
         if self.group_size not in (-1,) and self.group_size <= 0:
