@@ -302,6 +302,35 @@ def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
     return k, v, cache
 
 
+def _fused_decode_attention(spec, q, cache, attn_bias, scale, rep, hd):
+    """Route decode attention (T=1) through the fused Pallas kernel when the
+    contract allows; returns out [B, H, 1, hd] or None (XLA fallback)."""
+    from gptqmodel_tpu.ops.registry import _on_tpu, attention_backend
+
+    ab = attention_backend()
+    if ab == "xla" or attn_bias is None or spec.attn_softcap:
+        return None
+    S = cache["k"].shape[2]
+    from gptqmodel_tpu.ops import pallas_attention
+
+    if not pallas_attention.supports(S, hd, spec.attn_softcap):
+        return None
+    if ab == "auto" and not _on_tpu():
+        return None
+    if attn_bias.ndim != 4 or attn_bias.shape[2] != 1:
+        return None
+    B = q.shape[0]
+    nkv = cache["k"].shape[1]
+    bias2 = jnp.broadcast_to(attn_bias, (B, 1, 1, S)).reshape(B, S)
+    qg = q[:, :, 0].reshape(B, nkv, rep, hd)
+    out = pallas_attention.decode_attention(
+        qg, cache["k"], cache["v"], bias2,
+        cache.get("k_s"), cache.get("v_s"),
+        scale=scale, interpret=(ab == "pallas_interpret"),
+    )
+    return out.reshape(B, nkv * rep, 1, hd)
+
+
 def attention(
     spec: ModelSpec,
     ap: Params,
@@ -349,7 +378,12 @@ def attention(
     )
     rep = nh // k.shape[1]
     S = k.shape[2]
-    if rep > 1:
+    fused = _fused_decode_attention(
+        spec, q, cache, attn_bias, scale, rep, hd
+    ) if (cache is not None and T == 1) else None
+    if fused is not None:
+        out = fused
+    elif rep > 1:
         # GQA without materializing repeated K/V: fold the query-group dim
         # into the einsum (saves 2·rep× the KV bytes in copies — dominant
         # non-matmul cost of decode on big GQA models)

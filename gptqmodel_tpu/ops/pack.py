@@ -327,14 +327,17 @@ def awq_gemm_to_gptq(
 def rt_row_permutation(K: int, bits: int, block_k: int) -> np.ndarray:
     """perm such that ``codes_rt[i] = codes[perm[i]]`` gives the rt layout.
 
-    Within each K-tile of ``block_k`` rows, field j of word r must hold
-    logical row ``a*2R + 2r + h`` where ``a = j % (pf/2)``, ``h = j // (pf/2)``,
-    ``R = block_k/pf`` — so the kernel's paired magic extraction of fields
-    (a, a+pf/2) yields a CONTIGUOUS logical range per part (marlin-repack
-    analog, reference gptq_marlin_repack.cu, done here as a host transform).
-    Returns the inverse mapping ready for fancy-indexing the logical rows
-    into packing order: row index ``t*block_k + r*pf + j`` of the repacked
-    matrix holds logical row ``t*block_k + (j % (pf//2))*2R + 2r + (j // (pf//2))``.
+    2/4-bit (bf16-magic kernel): within each K-tile of ``block_k`` rows,
+    field j of word r holds logical row ``a*2R + 2r + h`` where
+    ``a = j % (pf/2)``, ``h = j // (pf/2)``, ``R = block_k/pf`` — the paired
+    magic extraction of fields (a, a+pf/2) plus the sublane-halving bitcast
+    yields a CONTIGUOUS logical range per part (marlin-repack analog,
+    reference gptq_marlin_repack.cu, done here as a host transform).
+
+    8-bit (f32-magic kernel, 0x4B000000): no halving bitcast — extraction a
+    emits word order directly, so field j of word r holds logical row
+    ``j*R + r`` (plain plane-major within the tile), each plane covering
+    whole groups.
     """
     pf = 32 // bits
     R = block_k // pf
@@ -342,10 +345,12 @@ def rt_row_permutation(K: int, bits: int, block_k: int) -> np.ndarray:
     base = np.arange(0, K, block_k)
     r = np.arange(R)
     for j in range(pf):
-        a, h = j % (pf // 2), j // (pf // 2)
-        # packing-order position of (word r, field j) within a tile = r*pf + j
         pos = (base[:, None] + r[None, :] * pf + j).reshape(-1)
-        logical = (base[:, None] + a * 2 * R + 2 * r[None, :] + h).reshape(-1)
+        if bits == 8:  # plane-major: plane j covers rows [j*R, (j+1)*R)
+            logical = (base[:, None] + j * R + r[None, :]).reshape(-1)
+        else:
+            a, h = j % (pf // 2), j // (pf // 2)
+            logical = (base[:, None] + a * 2 * R + 2 * r[None, :] + h).reshape(-1)
         perm[pos] = logical
     return perm
 

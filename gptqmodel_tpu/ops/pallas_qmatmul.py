@@ -124,7 +124,14 @@ def _qmm_rt_kernel(
     x_ref data the dots consume: computing it outside desyncs under
     --xla_allow_excess_precision (XLA elides the f32->bf16->f32 rounding of
     the activations, observed on-chip as a 3.6e-2 error), and both terms are
-    large so any x mismatch leaks the +128 offset."""
+    large so any x mismatch leaks the +128 offset.
+
+    8-bit variant (f32 magic 0x4B000000): codes don't fit the bf16 +128
+    window, so each field becomes f32 ``2^23 + code`` via one OR + bitcast;
+    subtracting 2^23 in f32 is exact and the result (<= 255) casts to bf16
+    exactly — no int->float converts, and the offset cancels BEFORE the dot
+    so ``zs`` carries no magic term. Extraction order is plane-major
+    (no halving bitcast), see pack.rt_row_permutation."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -135,26 +142,48 @@ def _qmm_rt_kernel(
     pf = 32 // bits
     R = kt // pf
     g = kt // gpk
-    gpp = (2 * R) // g  # whole groups per magic part
-    fmask, magic = _MAGIC_BF16[bits]
     u = qw_ref[:].astype(jnp.uint32)
     x = x_ref[:].astype(jnp.bfloat16)
     sf = s_ref[:]  # [gpk, nt] f32
-    zs = (zb_ref[:] + _MAGIC_OFFSET) * sf  # [gpk, nt] f32
 
     acc = acc_ref[:]
-    for a in range(pf // 2):
-        t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
-        wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
-        for gi in range(gpp):
-            g_abs = a * gpp + gi
-            xg = x[:, g_abs * g : (g_abs + 1) * g]  # lane-aligned (g % 128 == 0)
-            P = jnp.dot(
-                xg, wa[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+    if bits == 8:
+        gpp = R // g  # whole groups per plane
+        zs = zb_ref[:] * sf  # no magic offset: it cancels pre-dot
+        for a in range(pf):
+            t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
+                0x4B000000
             )
-            X1g = jnp.sum(xg.astype(jnp.float32), axis=1)  # [bm]
-            acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
-    acc_ref[:] = acc
+            wf = pltpu.bitcast(t.astype(jnp.int32), jnp.float32) - jnp.float32(
+                8388608.0
+            )  # exact integer codes 0..255
+            wa = wf.astype(jnp.bfloat16)  # exact (<= 255)
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g : (g_abs + 1) * g]
+                P = jnp.dot(
+                    xg, wa[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.float32,
+                )
+                X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
+                acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
+        acc_ref[:] = acc
+    else:
+        gpp = (2 * R) // g  # whole groups per magic part
+        fmask, magic = _MAGIC_BF16[bits]
+        zs = (zb_ref[:] + _MAGIC_OFFSET) * sf  # [gpk, nt] f32
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g : (g_abs + 1) * g]  # lane-aligned (g % 128 == 0)
+                P = jnp.dot(
+                    xg, wa[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+                )
+                X1g = jnp.sum(xg.astype(jnp.float32), axis=1)  # [bm]
+                acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
+        acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
@@ -162,9 +191,11 @@ def _qmm_rt_kernel(
 
 
 def rt_supported(bits: int, group_size: int, K: int) -> bool:
-    """rt layout contract: magic bits, 128-lane-aligned groups, tiles of
-    >= 8 groups (Mosaic sublane rule for the scales block)."""
-    if bits not in _MAGIC_BF16:
+    """rt layout contract: magic bits (bf16 for 2/4, f32 for 8),
+    128-lane-aligned groups, tiles of >= 8 groups (Mosaic sublane rule for
+    the scales block). For 8-bit each plane (K-tile/4 rows) must cover whole
+    groups: 8 groups/tile gives 2 per plane."""
+    if bits not in (2, 4, 8):
         return False
     g = group_size if group_size > 0 else K
     return g % 128 == 0 and K % (8 * g) == 0

@@ -52,6 +52,20 @@ def _on_tpu() -> bool:
         return False
 
 
+# decode-attention kernel toggle: "auto" | "xla" | "pallas" | "pallas_interpret"
+_ATTN_BACKEND = "auto"
+
+
+def set_attention_backend(name: str):
+    global _ATTN_BACKEND
+    assert name in ("auto", "xla", "pallas", "pallas_interpret"), name
+    _ATTN_BACKEND = name
+
+
+def attention_backend() -> str:
+    return _ATTN_BACKEND
+
+
 def select_kernel(p: QuantLinear) -> str:
     """Resolve the compute kernel for a packed module under the current
     backend setting. AUTO: pallas on TPU when the contract matches."""

@@ -131,7 +131,7 @@ def test_rt_repack_roundtrip():
     from gptqmodel_tpu.ops import pack as P
 
     rng = np.random.default_rng(0)
-    for bits in (2, 4):
+    for bits in (2, 4, 8):
         K, N = 2048, 128
         codes = rng.integers(0, 2**bits, size=(K, N), dtype=np.int64)
         qw = P.pack_qweight(codes, bits)
@@ -144,7 +144,7 @@ def test_rt_repack_roundtrip():
         assert len(np.unique(perm)) == K
 
 
-@pytest.mark.parametrize("bits", [2, 4])
+@pytest.mark.parametrize("bits", [2, 4, 8])
 def test_rt_kernel_matches_xla(bits):
     """Group-aligned rt path (auto-repacked at post_init for g%128==0,
     K%(8g)==0) vs the f32 XLA reference. The zero-point correction cancels
