@@ -62,6 +62,30 @@ class GPTQModel:
         m._load_params()
         return m
 
+    @classmethod
+    def load_gguf(cls, gguf_path: str | Path) -> "BaseQModel":
+        """Load a GGUF checkpoint (llama arch): Q4_0/Q8_0 linears arrive as
+        packed QuantLinears on the fused kernel path, K-quants dense
+        (reference internal-GGUF analog, utils/internal_gguf.py)."""
+        from gptqmodel_tpu.models.gguf_model import load_gguf
+        from gptqmodel_tpu.ops.registry import post_init_params
+
+        spec, params, meta = load_gguf(gguf_path)
+        m = object.__new__(BaseQModel)
+        m.model_dir = Path(gguf_path).parent
+        m.qcfg = QuantizeConfig(bits=4, group_size=32)
+        m.quantized = True
+        m.hf_config = {
+            "model_type": spec.model_type,
+            "eos_token_id": meta.get("tokenizer.ggml.eos_token_id"),
+            "gguf_metadata_keys": sorted(meta.keys()),
+        }
+        m.spec = spec
+        m.params = post_init_params(params)
+        m.quant_log = []
+        m._tokenizer = None
+        return m
+
 
 def export_dequantized(
     model_dir: str | Path, save_dir: str | Path, dtype="bfloat16"

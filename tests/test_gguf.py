@@ -1,0 +1,152 @@
+"""GGUF container + block codec + model import/export tests.
+
+Block layouts validated against hand-built byte blocks from the llama.cpp
+spec (no gguf package in this env — same as the reference's internal
+implementation, utils/internal_gguf.py).
+"""
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptqmodel_tpu.utils import gguf as G
+
+
+def test_q4_0_handbuilt_block():
+    """d=0.5, nibbles 0..15 twice: v[j] = 0.5*(q-8)."""
+    blk = np.zeros(18, np.uint8)
+    blk[:2] = np.array([0.5], np.float16).view(np.uint8)
+    qs = np.arange(16, dtype=np.uint8)
+    blk[2:] = qs | (qs << 4)  # elem j = j (lo), elem j+16 = j (hi)
+    out = G.dequant_q4_0(blk, 32)
+    expect = np.concatenate([np.arange(16), np.arange(16)]) - 8.0
+    np.testing.assert_allclose(out, expect * 0.5)
+
+
+def test_q8_0_handbuilt_block():
+    blk = np.zeros(34, np.uint8)
+    blk[:2] = np.array([0.25], np.float16).view(np.uint8)
+    q = np.arange(-16, 16, dtype=np.int8)
+    blk[2:] = q.view(np.uint8)
+    np.testing.assert_allclose(G.dequant_q8_0(blk, 32), q * 0.25)
+
+
+def test_q4_k_handbuilt_block():
+    """d=1, dmin=0, all sub-block scales 1 -> dequant == raw nibbles."""
+    blk = np.zeros(144, np.uint8)
+    blk[0:2] = np.array([1.0], np.float16).view(np.uint8)
+    blk[2:4] = np.array([0.0], np.float16).view(np.uint8)
+    scales = np.zeros(12, np.uint8)
+    scales[0:4] = 1  # sc[0..3] = 1
+    scales[8:12] = 1  # sc[4..7] = 1, m[4..7] = 0
+    blk[4:16] = scales
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 16, 256).astype(np.uint8)
+    qs = np.zeros(128, np.uint8)
+    for chunk in range(4):
+        lo = vals[64 * chunk : 64 * chunk + 32]
+        hi = vals[64 * chunk + 32 : 64 * chunk + 64]
+        qs[32 * chunk : 32 * (chunk + 1)] = lo | (hi << 4)
+    blk[16:] = qs
+    np.testing.assert_allclose(G.dequant_q4_k(blk, 256), vals.astype(np.float32))
+
+
+def test_q6_k_handbuilt_block():
+    """All scales 1, d=1: v = q - 32 with the ql/qh bit split."""
+    blk = np.zeros(210, np.uint8)
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 64, 256).astype(np.uint8)
+    ql = np.zeros(128, np.uint8)
+    qh = np.zeros(64, np.uint8)
+    for half in range(2):
+        b = 128 * half
+        for i in range(32):
+            ql[64 * half + i] = (q[b + i] & 0xF) | ((q[b + 64 + i] & 0xF) << 4)
+            ql[64 * half + 32 + i] = (q[b + 32 + i] & 0xF) | ((q[b + 96 + i] & 0xF) << 4)
+            qh[32 * half + i] = (
+                (q[b + i] >> 4)
+                | ((q[b + 32 + i] >> 4) << 2)
+                | ((q[b + 64 + i] >> 4) << 4)
+                | ((q[b + 96 + i] >> 4) << 6)
+            )
+    blk[:128] = ql
+    blk[128:192] = qh
+    blk[192:208] = np.ones(16, np.int8).view(np.uint8)
+    blk[208:210] = np.array([1.0], np.float16).view(np.uint8)
+    np.testing.assert_allclose(G.dequant_q6_k(blk, 256), q.astype(np.float32) - 32)
+
+
+@pytest.mark.parametrize("codec", ["q4_0", "q8_0"])
+def test_quant_roundtrip_error_bounded(codec):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(1024).astype(np.float32) * 0.1
+    if codec == "q4_0":
+        back = G.dequant_q4_0(G.quant_q4_0(x), 1024)
+        tol = 0.04  # step/2 with absmax/-8 on N(0, 0.1) blocks is ~0.03
+    else:
+        back = G.dequant_q8_0(G.quant_q8_0(x), 1024)
+        tol = 0.002
+    assert np.abs(back - x).max() < tol
+
+
+def test_container_roundtrip():
+    with tempfile.TemporaryDirectory() as tmp:
+        p = Path(tmp) / "t.gguf"
+        w = np.arange(64, dtype=np.float32).reshape(8, 8)
+        G.write_gguf(
+            p,
+            {"a.weight": (w.tobytes(), w.shape, G.GGML_F32)},
+            {"general.architecture": "llama", "llama.block_count": 2,
+             "note": "hi", "pi": 3.5, "names": ["a", "b"]},
+        )
+        f = G.GGUFFile(p)
+        assert f.metadata["general.architecture"] == "llama"
+        assert f.metadata["llama.block_count"] == 2
+        assert f.metadata["names"] == ["a", "b"]
+        np.testing.assert_array_equal(f.get("a.weight"), w)
+
+
+def test_rope_permute_roundtrip():
+    from gptqmodel_tpu.models.gguf_model import _permute_rows, _unpermute_rows
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    np.testing.assert_array_equal(_unpermute_rows(_permute_rows(w, 4), 4), w)
+
+
+@pytest.mark.parametrize("qt", ["q4_0", "q8_0", "f16"])
+def test_model_export_import_roundtrip(qt):
+    """tiny llama -> export GGUF -> load_gguf -> forward fidelity. Q4_0/Q8_0
+    import as packed QuantLinears (fused kernel path)."""
+    from tests.test_transformer import _jax_logits, _tiny_llama_dir
+    from gptqmodel_tpu import GPTQModel
+    from gptqmodel_tpu.models.gguf_model import export_gguf
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "llama", intermediate_size=96)
+        spec, params, ids, dense_logits = _jax_logits(d)
+        gpath = Path(tmp) / f"m-{qt}.gguf"
+        export_gguf(gpath, spec, params, quant_type=qt)
+
+        m = GPTQModel.load_gguf(gpath)
+        assert m.spec.num_layers == spec.num_layers
+        q0 = m.params["model"]["layers"][0]["self_attn"]["q_proj"]
+        if qt in ("q4_0", "q8_0"):
+            assert isinstance(q0, QuantLinear)
+            assert q0.group_size == 32 and q0.bits == (4 if qt == "q4_0" else 8)
+        got = np.asarray(
+            forward_logits(m.spec, m.params, jnp.asarray(ids), dtype=jnp.float32)
+        )
+        rel = np.linalg.norm(got - dense_logits) / np.linalg.norm(dense_logits)
+        tol = {"q4_0": 0.2, "q8_0": 0.02, "f16": 2e-3}[qt]
+        assert rel < tol, (qt, rel)
+
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 3)
