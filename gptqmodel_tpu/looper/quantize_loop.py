@@ -548,6 +548,7 @@ def _quantize_group(
                 g_idx=res.g_idx, bias=None if bias is None else np.asarray(bias),
                 bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
                 planar=cfg.format == FORMAT.GPTQ_P,
+                a8=cfg.method == METHOD.QQQ,
             )
             replay_w = res.Wq[sl]
             if eora_rank > 0:

@@ -191,6 +191,7 @@ def _load_quant_linear(
         sym=mcfg.sym,
         v1=False,
         planar=planar,
+        a8=str(mcfg.method) == "qqq",
     )
 
 

@@ -27,7 +27,7 @@ from gptqmodel_tpu.ops import pack as packing
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -67,6 +67,8 @@ class QuantLinear:
     # split-plane (gptq_p) packing — native 5/6/7-bit layout, always v2
     # zeros (reference docs/gptq_planar.md)
     planar: bool = False
+    # QQQ W4A8 runtime: dynamic int8 activations + int8 matmul (sym weights)
+    a8: bool = False
 
     @property
     def n_groups(self) -> int:
@@ -85,6 +87,7 @@ def make_quant_linear(
     sym: bool = True,
     v1: bool = False,
     planar: bool = False,
+    a8: bool = False,
     scales_dtype=np.float16,
 ) -> QuantLinear:
     """Pack solver output into a QuantLinear (host-side, numpy)."""
@@ -112,6 +115,7 @@ def make_quant_linear(
         sym=sym,
         v1=v1,
         planar=planar,
+        a8=a8,
     )
 
 
@@ -166,3 +170,47 @@ def qlinear_forward_xla(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     if p.bias is not None:
         y = y + p.bias.astype(y.dtype)
     return y
+
+
+def qlinear_forward_a8(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
+    """QQQ W4A8 runtime (reference qqq.py / marlin-qqq kernel semantics,
+    TPU-natively): dynamic per-token symmetric int8 activations, int8xint8
+    MXU matmuls accumulated in int32 PER GROUP, then one f32 scale-combine:
+
+        y[m, n] = s_x[m] * sum_g  s_w[g, n] * (x8[m, g, :] . w8[g, :, n])
+
+    Weight codes are symmetric 4-bit (zero = 8), so ``w8 = codes - 8`` fits
+    int8 exactly. Compute-bound regimes (prefill) get the MXU's 2x int8
+    rate; decode stays on the weight-streaming dequant kernels.
+    """
+    assert p.sym and p.g_idx is None, "QQQ a8 path requires sym + contiguous groups"
+    lead = x.shape[:-1]
+    K = p.in_features
+    g = K if p.group_size in (-1, None) else p.group_size
+    G = K // g
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x2), axis=1) / 127.0, 1e-8)
+    x8 = jnp.clip(jnp.round(x2 / s_x[:, None]), -127, 127).astype(jnp.int8)
+
+    codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [K, N] int32
+    if p.rt_layout:  # post_init repacked for the dequant kernel; undo
+        perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
+        codes = codes[jnp.asarray(np.argsort(perm))]
+    zero = (2 ** p.bits) // 2
+    w8 = (codes - zero).astype(jnp.int8)
+    M = x8.shape[0]
+    acc = jax.lax.dot_general(
+        x8.reshape(M, G, g).transpose(1, 0, 2),  # [G, M, g]
+        w8.reshape(G, g, p.out_features),  # [G, g, N]
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [G, M, N]
+    sw = p.scales.astype(jnp.float32)  # [G, N]
+    y = jnp.einsum("gmn,gn->mn", acc.astype(jnp.float32), sw)
+    y = (y * s_x[:, None]).astype(x.dtype)
+    if p.lora_A is not None:
+        y = y + ((x2 @ p.lora_A.astype(jnp.float32))
+                 @ p.lora_B.astype(jnp.float32)).astype(x.dtype)
+    if p.bias is not None:
+        y = y + p.bias.astype(y.dtype)
+    return y.reshape(*lead, p.out_features)

@@ -98,6 +98,12 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     rows = 1
     for d in lead:
         rows *= int(d)
+    # QQQ W4A8: int8 compute wins in the compute-bound (prefill) regime;
+    # decode stays on the weight-streaming dequant kernels
+    if p.a8 and rows >= 32 and p.g_idx is None and p.sym:
+        from gptqmodel_tpu.ops.qlinear import qlinear_forward_a8
+
+        return qlinear_forward_a8(p, x)
     # rt-layout modules stay on pallas at any M: the XLA fallback would have
     # to materialize + un-permute the full dense weight (HBM-prohibitive on
     # big models); the rt kernel needs no materialization at all.
@@ -143,7 +149,7 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
-        rt_layout=rt_layout, rt_block_k=rt_bk,
+        a8=p.a8, rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 
 

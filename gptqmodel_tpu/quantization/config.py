@@ -24,6 +24,7 @@ class METHOD(str, Enum):
     AWQ = "awq"
     RTN = "rtn"
     FP8 = "fp8"
+    QQQ = "qqq"  # W4A8: sym 4-bit weights + dynamic int8 activations
 
     def __str__(self) -> str:  # serialize as plain string
         return self.value
@@ -93,6 +94,11 @@ class QuantizeConfig:
         self.format = FORMAT(self.format)
         if self.method != METHOD.FP8 and self.bits not in (2, 3, 4, 5, 6, 7, 8):
             raise ValueError(f"unsupported bits: {self.bits}")
+        if self.method == METHOD.QQQ:
+            # QQQ is W4A8: 4-bit symmetric weights (reference qqq.py:186)
+            if self.bits != 4:
+                raise ValueError("QQQ requires bits=4 (W4A8)")
+            self.sym = True
         if self.bits in (5, 6, 7) and self.format in (FORMAT.GPTQ, FORMAT.GPTQ_V2):
             # 5/6/7-bit have no continuous layout: auto-route to planar
             # (reference docs/gptq_planar.md "auto-route" semantics)
