@@ -368,7 +368,12 @@ def weight_only_quantize(
     """Calibration-free path for RTN / FP8 (reference WeightOnlyLooper,
     looper/weight_only_looper.py:669): stream layers, quantize every tree
     module directly, no forwards at all."""
-    from gptqmodel_tpu.ops.fp8 import dequantize_fp8, quantize_fp8
+    from gptqmodel_tpu.ops.fp8 import (
+        dequantize_fp4,
+        dequantize_fp8,
+        quantize_fp4,
+        quantize_fp8,
+    )
 
     t_start = time.perf_counter()
     model_dir = Path(model_dir)
@@ -399,6 +404,12 @@ def weight_only_quantize(
                 qmod = quantize_fp8(W)
                 qmod.bias = None if bias is None else np.asarray(bias)
                 loss = float(np.mean((np.asarray(dequantize_fp8(qmod)) - W) ** 2))
+            elif mcfg.method == METHOD.FP4:
+                qmod = quantize_fp4(W, group_size=mcfg.group_size)
+                qmod.bias = None if bias is None else np.asarray(bias)
+                loss = float(
+                    np.mean((np.asarray(dequantize_fp4(qmod)).T - W) ** 2)
+                )
             else:  # RTN
                 res = rtn_quantize(
                     W, bits=mcfg.bits, group_size=mcfg.group_size,

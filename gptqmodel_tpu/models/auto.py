@@ -243,10 +243,10 @@ class BaseQModel:
         from gptqmodel_tpu.quantization.config import METHOD
 
         if calibration is None:
-            if self.qcfg.method not in (METHOD.RTN, METHOD.FP8):
+            if self.qcfg.method not in (METHOD.RTN, METHOD.FP8, METHOD.FP4):
                 raise ValueError(
-                    f"{self.qcfg.method} needs calibration data; only RTN/FP8 "
-                    "are calibration-free"
+                    f"{self.qcfg.method} needs calibration data; only "
+                    "RTN/FP8/FP4 are calibration-free"
                 )
             result = weight_only_quantize(self.model_dir, self.qcfg)
             self.params = result.params

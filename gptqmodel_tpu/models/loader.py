@@ -117,6 +117,7 @@ def build_params_tree(
 
         is_quant = _QUANT_LEAVES.issubset(leaves.keys())
         is_fp8 = "weight_scale" in leaves and "weight" in leaves
+        is_fp4 = "qweight_fp4" in leaves
         parts = mod_path.split(".") if mod_path else []
         if is_quant:
             if qcfg is None:
@@ -124,6 +125,22 @@ def build_params_tree(
                     f"{mod_path} holds packed tensors but no QuantizeConfig given"
                 )
             value = _load_quant_linear(reader, leaves, qcfg, mod_path)
+            _insert_module(tree, parts[:-1], parts[-1], value)
+        elif is_fp4:
+            from gptqmodel_tpu.ops.fp8 import Fp4Linear
+
+            codes = reader.get(leaves["qweight_fp4"])
+            scales = reader.get(leaves["scales"])
+            in_f = codes.shape[0] * 2
+            g = in_f // scales.shape[0]
+            value = Fp4Linear(
+                codes_u8=codes,
+                scales=scales,
+                bias=reader.get(leaves["bias"]) if "bias" in leaves else None,
+                in_features=in_f,
+                out_features=codes.shape[1],
+                group_size=g,
+            )
             _insert_module(tree, parts[:-1], parts[-1], value)
         elif is_fp8:
             from gptqmodel_tpu.ops.fp8 import Fp8Linear

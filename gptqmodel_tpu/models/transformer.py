@@ -62,10 +62,12 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
         from gptqmodel_tpu.ops.registry import qlinear_forward
 
         return qlinear_forward(p, x)
-    from gptqmodel_tpu.ops.fp8 import Fp8Linear, fp8_forward
+    from gptqmodel_tpu.ops.fp8 import Fp4Linear, Fp8Linear, fp4_forward, fp8_forward
 
     if isinstance(p, Fp8Linear):
         return fp8_forward(p, x)
+    if isinstance(p, Fp4Linear):
+        return fp4_forward(p, x)
     w = p["weight"]
     y = x @ w.T.astype(x.dtype)
     b = p.get("bias")

@@ -51,11 +51,17 @@ def flatten_params(
     """
     if out is None:
         out = {}
-    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+    from gptqmodel_tpu.ops.fp8 import Fp4Linear, Fp8Linear
 
     if isinstance(tree, Fp8Linear):
         out[f"{prefix}.weight"] = np.asarray(tree.weight_u8)  # e4m3 bits
         out[f"{prefix}.weight_scale"] = np.asarray(tree.scale)
+        if tree.bias is not None:
+            out[f"{prefix}.bias"] = np.asarray(tree.bias)
+        return out
+    if isinstance(tree, Fp4Linear):
+        out[f"{prefix}.qweight_fp4"] = np.asarray(tree.codes_u8)  # e2m1 nibbles
+        out[f"{prefix}.scales"] = np.asarray(tree.scales)
         if tree.bias is not None:
             out[f"{prefix}.bias"] = np.asarray(tree.bias)
         return out
@@ -174,6 +180,9 @@ def save_quantized(
 
 
 def _write_shards(save_dir: Path, flat: dict, max_shard_size: int):
+    # safetensors save_file writes raw buffers: non-contiguous arrays would
+    # be silently scrambled — force C order defensively
+    flat = {k: np.ascontiguousarray(v) for k, v in flat.items()}
     sizes = {k: v.nbytes for k, v in flat.items()}
     total = sum(sizes.values())
     if total <= max_shard_size:

@@ -25,6 +25,7 @@ class METHOD(str, Enum):
     RTN = "rtn"
     FP8 = "fp8"
     QQQ = "qqq"  # W4A8: sym 4-bit weights + dynamic int8 activations
+    FP4 = "fp4"  # e2m1 weight-only with per-group scales
 
     def __str__(self) -> str:  # serialize as plain string
         return self.value
@@ -92,7 +93,7 @@ class QuantizeConfig:
     def __post_init__(self):
         self.method = METHOD(self.method)
         self.format = FORMAT(self.format)
-        if self.method != METHOD.FP8 and self.bits not in (2, 3, 4, 5, 6, 7, 8):
+        if self.method not in (METHOD.FP8, METHOD.FP4) and self.bits not in (2, 3, 4, 5, 6, 7, 8):
             raise ValueError(f"unsupported bits: {self.bits}")
         if self.method == METHOD.QQQ:
             # QQQ is W4A8: 4-bit symmetric weights (reference qqq.py:186)
@@ -105,6 +106,8 @@ class QuantizeConfig:
             self.format = FORMAT.GPTQ_P
         if self.method == METHOD.FP8:
             self.bits = 8  # nominal; e4m3 storage
+        if self.method == METHOD.FP4:
+            self.bits = 4  # nominal; e2m1 storage
         if self.group_size not in (-1,) and self.group_size <= 0:
             raise ValueError(f"invalid group_size: {self.group_size}")
         # NOTE: AWQ-method checkpoints are saved in the GPTQ pack layout
