@@ -91,7 +91,7 @@ def quantize_model(
     subsets = plan.build_subsets(n_experts)
 
     R = None
-    if qcfg.rotation:
+    if qcfg.rotation and qcfg.rotation.split("+")[0] in ("hadamard", "random"):
         from gptqmodel_tpu.quantization.rotation import (
             check_rotatable,
             rotate_base,
@@ -99,7 +99,7 @@ def quantize_model(
         )
 
         check_rotatable(spec)
-        R = rotation_matrix(spec.hidden_size, qcfg.rotation)
+        R = rotation_matrix(spec.hidden_size, qcfg.rotation.split("+")[0])
         rotate_base(spec, base, R)
         log.info("applied %s rotation to hidden stream", qcfg.rotation)
 
@@ -508,11 +508,38 @@ def _quantize_group(
     else:
         batches = [([m], c) for m, c in zip(grp.members, grp.cfgs)]
 
+    # online Hadamard (QuaRot set_had_K analog): the outlier-heavy inputs of
+    # the second-linear modules are rotated at runtime; quantize in the
+    # transformed space (W~ = W·T, H~ = T·H·T with T = I ⊗ H_b symmetric
+    # involution)
+    _ONLINE_LEAVES = {"down_proj", "w2", "fc2", "dense_4h_to_h", "c_proj"}
+    leaf = grp.members[0].rsplit(".", 1)[-1]
+    had_b = 0
+    if qcfg.rotation and "online" in qcfg.rotation and leaf in _ONLINE_LEAVES:
+        from gptqmodel_tpu.ops.hadamard import fht_np, largest_pow2_divisor
+
+        in_f_grp = int(H.shape[0])
+        had_b = largest_pow2_divisor(in_f_grp)
+        if had_b >= 2:
+            Hn = np.asarray(H, np.float64)
+            H = jnp.asarray(fht_np(fht_np(Hn, had_b).T, had_b).T.astype(np.float32))
+            if dxxt is not None:
+                Dn = np.asarray(dxxt, np.float64)
+                dxxt = jnp.asarray(
+                    fht_np(fht_np(Dn, had_b).T, had_b).T.astype(np.float32)
+                )
+        else:
+            had_b = 0
+
     for members, cfg in batches:
         t0 = time.perf_counter()
         Ws = [np.asarray(get_by_path(lp, m)["weight"], dtype=np.float32) for m in members]
         out_sizes = [w.shape[0] for w in Ws]
         W_cat = np.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0]
+        if had_b:
+            from gptqmodel_tpu.ops.hadamard import fht_np
+
+            W_cat = fht_np(W_cat.astype(np.float64), had_b).astype(np.float32)
 
         fallback = n_rows < max(qcfg.fallback_min_samples, 1)
         if cfg.mock_quantization or cfg.method == METHOD.RTN or fallback:
@@ -560,10 +587,13 @@ def _quantize_group(
                 bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
                 planar=cfg.format == FORMAT.GPTQ_P,
                 a8=cfg.method == METHOD.QQQ,
+                had_block=had_b,
             )
             replay_w = res.Wq[sl]
             if eora_rank > 0:
                 # EoRA from the same Hessian statistic (see quantization/eora.py)
+                # (with online had, all quantities live in the transformed
+                # space — A/B apply to fht(x), matching the runtime)
                 from gptqmodel_tpu.quantization.eora import compute_eora
 
                 delta = np.asarray(W_cat[sl]) - res.Wq[sl]
@@ -572,6 +602,12 @@ def _quantize_group(
                 qmod.lora_B = jnp.asarray(B, dtype=jnp.float32)
                 # replay matches inference: quantized weight + low-rank term
                 replay_w = res.Wq[sl] + (A @ B).T
+            if had_b:  # replay in the ORIGINAL space (T is an involution)
+                from gptqmodel_tpu.ops.hadamard import fht_np
+
+                replay_w = fht_np(
+                    replay_w.astype(np.float64), had_b
+                ).astype(np.float32)
             qlayer_mods[m] = qmod
             # true_sequential: subsequent subsets/replay see quantized weights
             dense["weight"] = jnp.asarray(replay_w, dtype=dense["weight"].dtype)

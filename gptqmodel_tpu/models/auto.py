@@ -115,6 +115,10 @@ def export_dequantized(
     def walk(tree, prefix=""):
         if isinstance(tree, QuantLinear):
             w = np.asarray(dequantize_weight(tree)).T  # back to [out, in]
+            if tree.had_block:  # online-had weights -> original space
+                from gptqmodel_tpu.ops.hadamard import fht_np
+
+                w = fht_np(w.astype(np.float64), tree.had_block).astype(w.dtype)
             if _is_conv1d(prefix):  # Conv1D modules store [in, out] on disk
                 w = w.T
             flat[f"{prefix}.weight"] = np.ascontiguousarray(w.astype(np_dtype))

@@ -190,6 +190,13 @@ def _load_quant_linear(
     if v1_on_disk:
         # convert to v2 (true zeros) once at load — runtime format
         qzeros = packing.convert_qzeros_v1_to_v2(qzeros, bits)
+    had_block = 0
+    if mcfg.rotation and "online" in mcfg.rotation and mod_path.rsplit(".", 1)[
+        -1
+    ] in ("down_proj", "w2", "fc2", "dense_4h_to_h", "c_proj"):
+        had_block = in_f & (-in_f)  # largest power-of-two divisor
+        if had_block < 2:
+            had_block = 0
     g = mcfg.group_size if mcfg.group_size > 0 else in_f
     if g_idx is not None and np.array_equal(
         g_idx, (np.arange(in_f) // g).astype(g_idx.dtype)
@@ -209,6 +216,7 @@ def _load_quant_linear(
         v1=False,
         planar=planar,
         a8=str(mcfg.method) == "qqq",
+        had_block=had_block,
     )
 
 

@@ -27,7 +27,7 @@ from gptqmodel_tpu.ops import pack as packing
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -69,6 +69,11 @@ class QuantLinear:
     planar: bool = False
     # QQQ W4A8 runtime: dynamic int8 activations + int8 matmul (sym weights)
     a8: bool = False
+    # online-Hadamard block (QuaRot online transform, reference set_had_K
+    # qlinear/__init__.py:485): >0 means the PACKED weights live in the
+    # blockwise-Hadamard-transformed input space and the forward applies
+    # fht(x, had_block) first (done by registry.qlinear_forward)
+    had_block: int = 0
 
     @property
     def n_groups(self) -> int:
@@ -88,6 +93,7 @@ def make_quant_linear(
     v1: bool = False,
     planar: bool = False,
     a8: bool = False,
+    had_block: int = 0,
     scales_dtype=np.float16,
 ) -> QuantLinear:
     """Pack solver output into a QuantLinear (host-side, numpy)."""
@@ -116,6 +122,7 @@ def make_quant_linear(
         v1=v1,
         planar=planar,
         a8=a8,
+        had_block=had_block,
     )
 
 

@@ -93,6 +93,10 @@ PALLAS_MAX_M = 256
 
 
 def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
+    if p.had_block:  # online rotation: weights live in the transformed space
+        from gptqmodel_tpu.ops.hadamard import fht
+
+        x = fht(x, p.had_block)
     kernel = select_kernel(p)
     lead = x.shape[:-1]
     rows = 1
@@ -149,7 +153,7 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
-        a8=p.a8, rt_layout=rt_layout, rt_block_k=rt_bk,
+        a8=p.a8, had_block=p.had_block, rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 
 

@@ -73,7 +73,9 @@ class QuantizeConfig:
     dynamic: Optional[dict[str, Optional[dict[str, Any]]]] = None
     # adapter generation: {"name": "eora", "rank": N} (reference adapter=Lora(...))
     adapter: Optional[dict[str, Any]] = None
-    # QuaRot-style orthogonal rotation pre-quant: "hadamard" | "random" | None
+    # QuaRot-style orthogonal rotation pre-quant: "hadamard" | "random" |
+    # "online" (runtime blockwise-Hadamard on down-proj activations, the
+    # reference set_had_K analog) | "hadamard+online" | "random+online"
     rotation: Optional[str] = None
     # GPTAQ (GPTQ v2) asymmetric-error correction: {"alpha": 0.25}; needs a
     # parallel native-activation stream (reference config.py:1231, gptaq.py)
@@ -108,6 +110,10 @@ class QuantizeConfig:
             self.bits = 8  # nominal; e4m3 storage
         if self.method == METHOD.FP4:
             self.bits = 4  # nominal; e2m1 storage
+        if self.rotation is not None and self.rotation not in (
+            "hadamard", "random", "online", "hadamard+online", "random+online"
+        ):
+            raise ValueError(f"unknown rotation mode: {self.rotation}")
         if self.group_size not in (-1,) and self.group_size <= 0:
             raise ValueError(f"invalid group_size: {self.group_size}")
         # NOTE: AWQ-method checkpoints are saved in the GPTQ pack layout
