@@ -38,19 +38,28 @@ _NEG = float(np.finfo(np.float32).min)
 
 def init_kv_cache(
     spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16,
-    kv_quant: bool = False,
+    kv_quant: bool | str = False,
 ):
     """Per-layer {"k","v"} [B, Hkv, max_len, D]; physical write pointer is
-    threaded separately (uniform across the batch). ``kv_quant`` stores K/V
-    as int8 with per-(b,h,pos) scales — half the cache HBM. MLA models
-    (deepseek) have distinct k (nope+rope) and v (v_head_dim) dims."""
+    threaded separately (uniform across the batch). ``kv_quant``:
+    True/"int8" stores K/V as int8 with per-(b,h,pos) scales (half the cache
+    HBM); "int4" packs two nibbles per byte (quarter — the PAPERS.md 2-4x
+    longer-context lineage). MLA models (deepseek) have distinct k
+    (nope+rope) and v (v_head_dim) dims."""
     k_shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
     v_dim = spec.v_head_dim if spec.mla else spec.head_dim
     v_shape = (batch, spec.num_kv_heads, max_len, v_dim)
+    mode = {True: "int8", False: None}.get(kv_quant, kv_quant)
+    assert mode in (None, "int8", "int4"), kv_quant
     caches = []
     for _ in range(spec.num_layers):
         c = {"pos": jnp.int32(0)}
-        if kv_quant:
+        if mode == "int4":
+            c["k"] = jnp.zeros(k_shape[:3] + (k_shape[3] // 2,), jnp.uint8)
+            c["v"] = jnp.zeros(v_shape[:3] + (v_shape[3] // 2,), jnp.uint8)
+            c["k_s"] = jnp.zeros(k_shape[:3], jnp.float32)
+            c["v_s"] = jnp.zeros(v_shape[:3], jnp.float32)
+        elif mode == "int8":
             c["k"] = jnp.zeros(k_shape, jnp.int8)
             c["v"] = jnp.zeros(v_shape, jnp.int8)
             c["k_s"] = jnp.zeros(k_shape[:3], jnp.float32)

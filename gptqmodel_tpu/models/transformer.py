@@ -260,6 +260,27 @@ def _kv_quantize(t: jnp.ndarray):
     return q, s
 
 
+def _kv_quantize_i4(t: jnp.ndarray):
+    """int4 KV: absmax to [-7, 7], packed two-per-byte along D
+    ([B,H,T,D] -> uint8 [B,H,T,D/2] nibbles lo=even, hi=odd; 4x less cache
+    HBM than bf16)."""
+    tf = t.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(tf / s[..., None]), -7, 7).astype(jnp.int32) + 8
+    lo = q[..., 0::2]
+    hi = q[..., 1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8), s
+
+
+def _kv_dequantize_i4(packed: jnp.ndarray, s: jnp.ndarray, dtype):
+    """uint8 [B,H,L,D/2] + scales [B,H,L] -> [B,H,L,D]."""
+    u = packed.astype(jnp.int32)
+    lo = (u & 0xF) - 8
+    hi = (u >> 4) - 8
+    q = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
+
+
 def _tap(taps, tap_paths, path, x, mask=None):
     if taps is not None and path in tap_paths:
         taps[path] = x if mask is None else (x, mask)
@@ -268,11 +289,16 @@ def _tap(taps, tap_paths, path, x, mask=None):
 def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
     """Write current k/v [B, H, T, D] into the cache and read back the full
     span. Handles a uniform scalar write pointer (prefill / batch decode) or
-    per-slot pointers (continuous batching, T == 1), and the int8 KV layout
-    ("k_s"/"v_s" per-(b,h,pos) scales). Returns (k_full, v_full, cache)."""
+    per-slot pointers (continuous batching, T == 1), and the int8/int4 KV
+    layouts ("k_s"/"v_s" per-(b,h,pos) scales; int4 packs two-per-byte along
+    D). Returns (k_full, v_full, cache)."""
     pos = cache["pos"]
     kv_q = "k_s" in cache
-    if kv_q:
+    kv_i4 = kv_q and cache["k"].dtype == jnp.uint8
+    if kv_i4:
+        k_store, k_sc = _kv_quantize_i4(k)
+        v_store, v_sc = _kv_quantize_i4(v)
+    elif kv_q:
         k_store, k_sc = _kv_quantize(k)
         v_store, v_sc = _kv_quantize(v)
     else:
@@ -296,7 +322,10 @@ def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
         if kv_q:
             cache["k_s"] = upd(cache["k_s"], k_sc)
             cache["v_s"] = upd(cache["v_s"], v_sc)
-    if kv_q:
+    if kv_i4:
+        k = _kv_dequantize_i4(cache["k"], cache["k_s"], dtype)
+        v = _kv_dequantize_i4(cache["v"], cache["v_s"], dtype)
+    elif kv_q:
         k = cache["k"].astype(dtype) * cache["k_s"][..., None].astype(dtype)
         v = cache["v"].astype(dtype) * cache["v_s"][..., None].astype(dtype)
     else:
@@ -311,6 +340,8 @@ def _fused_decode_attention(spec, q, cache, attn_bias, scale, rep, hd):
 
     ab = attention_backend()
     if ab == "xla" or attn_bias is None or spec.attn_softcap:
+        return None
+    if cache["k"].dtype == jnp.uint8:  # int4 KV: XLA path (kernel later)
         return None
     S = cache["k"].shape[2]
     from gptqmodel_tpu.ops import pallas_attention
