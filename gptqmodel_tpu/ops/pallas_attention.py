@@ -41,7 +41,9 @@ def _decode_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [rep, L]
-    logits = logits + bias_ref[0][None, :]
+    # bias block is the full [B, L] (Mosaic: a (1, L) block would violate
+    # the sublane-divisibility rule); pick this cell's row by grid index
+    logits = logits + bias_ref[pl.program_id(0)][None, :]
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=1, keepdims=True)
@@ -62,7 +64,7 @@ def _decode_attn_kernel_i8(
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale * ks[None, :]
-    logits = logits + bias_ref[0][None, :]
+    logits = logits + bias_ref[pl.program_id(0)][None, :]
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=1, keepdims=True)
@@ -98,7 +100,7 @@ def decode_attention(
     kv_spec = pl.BlockSpec(
         (1, 1, L, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
     )
-    bias_spec = pl.BlockSpec((1, L), lambda b, h: (b, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((B, L), lambda b, h: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (1, 1, rep, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
     )
