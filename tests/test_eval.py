@@ -1,0 +1,72 @@
+"""Eval harness tests: choice-task scoring + quality floors.
+
+The synthetic task is constructed so the fp model provably prefers the gold
+choice (we pick gold = the model's own argmax continuation), making accuracy
+deterministic without external datasets.
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.test_e2e_quantize import _calib, _make_tiny
+
+
+def _make_task(model, n=8, ctx_len=12, seed=0):
+    """Synthetic choice task: gold = model's own greedy next tokens."""
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(n):
+        ctx = rng.integers(1, 120, size=(ctx_len,)).astype(np.int32)
+        logits = np.asarray(
+            forward_logits(model.spec, model.params, jnp.asarray(ctx[None]))
+        )[0, -1]
+        order = np.argsort(-logits)
+        gold = [int(order[0])]
+        distractors = [[int(order[-1])], [int(order[-2])], [int(order[-3])]]
+        choices = distractors[:1] + [gold] + distractors[1:]
+        samples.append({
+            "context_ids": ctx.tolist(),
+            "choice_ids": choices,
+            "answer": 1,
+        })
+    return samples
+
+
+def test_choice_task_fp_model_is_perfect():
+    from gptqmodel_tpu import GPTQModel
+    from gptqmodel_tpu.utils.eval import evaluate_choice_task
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        m = GPTQModel.load(src)
+        m._load_params()
+        task = _make_task(m)
+        res = evaluate_choice_task(m, task)
+        assert res["n"] == 8
+        assert res["acc"] == 1.0  # gold is the model's own argmax
+
+
+def test_choice_task_quantized_floor():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.utils.eval import assert_quality_floor, evaluate_choice_task
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        fp = GPTQModel.load(src)
+        fp._load_params()
+        task = _make_task(fp, n=12)
+
+        q = GPTQModel.load(src, QuantizeConfig(bits=8, group_size=32))
+        q.quantize(_calib(8), batch_size=4)
+        res = evaluate_choice_task(q, task)
+        # 8-bit barely perturbs logits: quality floor holds vs fp baseline
+        assert_quality_floor(res["acc"], 1.0, floor_pct=20.0)
+
+        with pytest.raises(AssertionError, match="quality regression"):
+            assert_quality_floor(0.5, 1.0, floor_pct=4.0)
