@@ -542,6 +542,7 @@ def _quantize_group(
             W_cat = fht_np(W_cat.astype(np.float64), had_b).astype(np.float32)
 
         fallback = n_rows < max(qcfg.fallback_min_samples, 1)
+        paro_attach = None
         if cfg.mock_quantization or cfg.method == METHOD.RTN or fallback:
             row_scale = None
             if fallback and qcfg.fallback_smooth:
@@ -557,6 +558,43 @@ def _quantize_group(
             if row_scale is not None:  # fold rms_row factor back
                 res.scales = res.scales * row_scale[None, :]
                 res.Wq = res.Wq * row_scale[:, None]
+        elif cfg.method == METHOD.PAROQUANT:
+            # learned pairwise-rotation quantization (quantization/paroquant)
+            from gptqmodel_tpu.quantization.gptq import GPTQResult
+            from gptqmodel_tpu.quantization.paroquant import (
+                apply_paro,
+                paroquant_optimize,
+            )
+
+            pq = qcfg.paroquant or {}
+            pres = paroquant_optimize(
+                W_cat, np.asarray(H),
+                bits=cfg.bits, group_size=cfg.group_size,
+                rot_group=int(pq.get("rot_group", 128)),
+                rounds=int(pq.get("rounds", 4)),
+                steps=int(pq.get("steps", 64)),
+                lr=float(pq.get("lr", 5e-3)),
+                scale_lr=float(pq.get("scale_lr", 1e-3)),
+                nsamples=int(n_rows),
+            )
+            rg = min(int(pq.get("rot_group", 128)), W_cat.shape[1])
+            while W_cat.shape[1] % rg:
+                rg //= 2
+            # replay weights back in the ORIGINAL input space
+            w_orig = np.asarray(
+                apply_paro(
+                    jnp.asarray(pres.Wq_t), jnp.asarray(pres.theta), None,
+                    rg, inverse=True,
+                )
+            ) * pres.chan_scales[None, :]
+            res = GPTQResult(
+                Q=pres.Q, Wq=w_orig, scales=pres.scales, zeros=pres.zeros,
+                g_idx=np.arange(W_cat.shape[1], dtype=np.int32)
+                // (cfg.group_size if cfg.group_size > 0 else W_cat.shape[1]),
+                perm=None, avg_loss=pres.avg_loss, damp=0.0,
+                nsamples=int(n_rows),
+            )
+            paro_attach = (pres, rg)
         else:
             res = gptq_quantize(
                 W_cat, H,
@@ -575,6 +613,8 @@ def _quantize_group(
         eora_rank = 0
         if qcfg.adapter and qcfg.adapter.get("name", "eora") == "eora":
             eora_rank = int(qcfg.adapter.get("rank", 64))
+        if cfg.method == METHOD.PAROQUANT:
+            eora_rank = 0  # adapters live in input space; paro transforms it
         row0 = 0
         for m, out_f in zip(members, out_sizes):
             sl = slice(row0, row0 + out_f)
@@ -589,6 +629,11 @@ def _quantize_group(
                 a8=cfg.method == METHOD.QQQ,
                 had_block=had_b,
             )
+            if paro_attach is not None:
+                pres_, rg_ = paro_attach
+                qmod.rot_theta = jnp.asarray(pres_.theta)
+                qmod.rot_scales = jnp.asarray(pres_.chan_scales)
+                qmod.rot_group = rg_
             replay_w = res.Wq[sl]
             if eora_rank > 0:
                 # EoRA from the same Hessian statistic (see quantization/eora.py)

@@ -202,12 +202,25 @@ def _load_quant_linear(
         g_idx, (np.arange(in_f) // g).astype(g_idx.dtype)
     ):
         g_idx = None
+    rot_theta = reader.get(leaves["paro_theta"]) if "paro_theta" in leaves else None
+    rot_scales = (
+        reader.get(leaves["paro_scales"]) if "paro_scales" in leaves else None
+    )
+    rot_group = 0
+    if rot_theta is not None:
+        rot_group = int((mcfg.paroquant or {}).get("rot_group", 128))
+        rot_group = min(rot_group, in_f)
+        while in_f % rot_group:
+            rot_group //= 2
     return QuantLinear(
         qweight=qweight,
         qzeros=qzeros,
         scales=scales,
         g_idx=g_idx,
         bias=bias,
+        rot_theta=rot_theta,
+        rot_scales=rot_scales,
+        rot_group=rot_group,
         bits=bits,
         group_size=mcfg.group_size,
         in_features=in_f,

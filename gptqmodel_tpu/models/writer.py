@@ -86,6 +86,9 @@ def flatten_params(
             else (np.arange(tree.in_features, dtype=np.int32) // g)
         )
         out[f"{prefix}.g_idx"] = g_idx
+        if tree.rot_theta is not None:  # ParoQuant transform params
+            out[f"{prefix}.paro_theta"] = np.asarray(tree.rot_theta)
+            out[f"{prefix}.paro_scales"] = np.asarray(tree.rot_scales)
         if tree.bias is not None:
             out[f"{prefix}.bias"] = np.asarray(tree.bias)
         return out

@@ -26,8 +26,8 @@ from gptqmodel_tpu.ops import pack as packing
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block"],
+    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B", "rot_theta", "rot_scales"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block", "rot_group"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -54,6 +54,11 @@ class QuantLinear:
     # saved as a sidecar in HF-adapter format, not in the base checkpoint
     lora_A: jnp.ndarray | None = None
     lora_B: jnp.ndarray | None = None
+    # ParoQuant learned input transform (reference paroquant/optimization.py):
+    # runtime applies channel scales + pairwise Givens rotations to x before
+    # the packed matmul (pairs derived from the round-robin template)
+    rot_theta: jnp.ndarray | None = None  # [rounds, in/2]
+    rot_scales: jnp.ndarray | None = None  # [in]
     bits: int = 4
     group_size: int = 128
     in_features: int = 0
@@ -74,6 +79,8 @@ class QuantLinear:
     # blockwise-Hadamard-transformed input space and the forward applies
     # fht(x, had_block) first (done by registry.qlinear_forward)
     had_block: int = 0
+    # ParoQuant rotation group (0 = no paro transform)
+    rot_group: int = 0
 
     @property
     def n_groups(self) -> int:

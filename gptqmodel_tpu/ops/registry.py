@@ -97,6 +97,10 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
         from gptqmodel_tpu.ops.hadamard import fht
 
         x = fht(x, p.had_block)
+    if p.rot_theta is not None:  # ParoQuant learned input transform
+        from gptqmodel_tpu.quantization.paroquant import apply_paro
+
+        x = apply_paro(x, p.rot_theta, p.rot_scales, p.rot_group)
     kernel = select_kernel(p)
     lead = x.shape[:-1]
     rows = 1
@@ -151,9 +155,11 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
     return QuantLinear(
         qweight=qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
+        rot_theta=p.rot_theta, rot_scales=p.rot_scales,
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
-        a8=p.a8, had_block=p.had_block, rt_layout=rt_layout, rt_block_k=rt_bk,
+        a8=p.a8, had_block=p.had_block, rot_group=p.rot_group,
+        rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 
 

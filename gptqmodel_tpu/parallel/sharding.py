@@ -107,6 +107,8 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
             zvals=None if tree.zvals is None else spec["zvals"],
             lora_A=None if tree.lora_A is None else P(),
             lora_B=None if tree.lora_B is None else P(),
+            rot_theta=None if tree.rot_theta is None else P(),
+            rot_scales=None if tree.rot_scales is None else P(),
             bits=tree.bits, group_size=tree.group_size,
             in_features=tree.in_features, out_features=tree.out_features,
             sym=tree.sym, v1=tree.v1,
@@ -167,7 +169,7 @@ def _tree_zip_map(fn, tree, specs):
     if isinstance(tree, QuantLinear):
         kw = {}
         for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zvals",
-                  "lora_A", "lora_B"):
+                  "lora_A", "lora_B", "rot_theta", "rot_scales"):
             kw[f] = fn(getattr(tree, f), getattr(specs, f) if getattr(specs, f) is not None else P())
         return QuantLinear(
             **kw, bits=tree.bits, group_size=tree.group_size,

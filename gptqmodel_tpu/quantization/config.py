@@ -26,6 +26,7 @@ class METHOD(str, Enum):
     FP8 = "fp8"
     QQQ = "qqq"  # W4A8: sym 4-bit weights + dynamic int8 activations
     FP4 = "fp4"  # e2m1 weight-only with per-group scales
+    PAROQUANT = "paroquant"  # learned pairwise-rotation quantization
 
     def __str__(self) -> str:  # serialize as plain string
         return self.value
@@ -84,6 +85,9 @@ class QuantizeConfig:
     # (reference FOEMConfig config.py:1246; α=0,β=0 ≡ GPTQ, α>0 adds the
     # GPTAQ P-term and needs the native stream)
     foem: Optional[dict[str, Any]] = None
+    # ParoQuant options: {"rounds": 4, "rot_group": 128, "steps": 64,
+    # "lr": 5e-3} (reference ParoConfig config.py:3346)
+    paroquant: Optional[dict[str, Any]] = None
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     # weight smoothing applied on the failsafe path before RTN:
