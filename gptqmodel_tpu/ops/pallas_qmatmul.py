@@ -201,8 +201,21 @@ def rt_supported(bits: int, group_size: int, K: int) -> bool:
     return g % 128 == 0 and K % (8 * g) == 0
 
 
-def rt_block_k_for(K: int, group_size: int) -> int:
-    return 8 * (group_size if group_size > 0 else K)
+def rt_block_k_for(K: int, group_size: int, groups_per_tile: int = 0) -> int:
+    """Repack/kernel K-tile: ``groups_per_tile`` groups (>= 8 for the Mosaic
+    sublane rule on the scales block). Bigger tiles cut grid/DMA overhead —
+    0 resolves the default from GPTQ_TPU_RT_GROUPS (8)."""
+    import os
+
+    g = group_size if group_size > 0 else K
+    gpt = groups_per_tile or int(os.environ.get("GPTQ_TPU_RT_GROUPS", "8"))
+    gpt = max(8, gpt)
+    while gpt > 8 and (K % (gpt * g) != 0):
+        gpt //= 2
+    gpt = max(8, gpt)
+    if K % (gpt * g) != 0:
+        gpt = 8
+    return gpt * g
 
 
 def _plane_permute_x(x: jnp.ndarray, kt: int, pf: int, bits: int) -> jnp.ndarray:
@@ -234,7 +247,10 @@ def _pick_block_k(K: int, g: int, requested: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "block_m", "block_n", "block_k", "rt", "interpret"),
+    static_argnames=(
+        "bits", "group_size", "block_m", "block_n", "block_k", "rt",
+        "rt_block_k", "interpret",
+    ),
 )
 def qmatmul(
     x: jnp.ndarray,  # [M, K] (bf16/f32)
@@ -248,11 +264,12 @@ def qmatmul(
     block_n: int = 0,
     block_k: int = 0,
     rt: bool = False,
+    rt_block_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused dequant-matmul ``y = x @ dequant(qweight)`` for contiguous
     groups. ``rt=True`` expects the group-aligned repacked layout
-    (pack.repack_rt with block_k = rt_block_k_for)."""
+    (pack.repack_rt with the SAME tile: pass the module's rt_block_k)."""
     M, K = x.shape
     pf = 32 // bits
     N = qweight.shape[1]
@@ -261,7 +278,11 @@ def qmatmul(
     assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
     assert G * g == K, (G, g, K)
 
-    bk = rt_block_k_for(K, group_size) if rt else _pick_block_k(K, g, block_k)
+    bk = (
+        (rt_block_k or rt_block_k_for(K, group_size))
+        if rt
+        else _pick_block_k(K, g, block_k)
+    )
     bm = block_m or (8 if M <= 8 else (128 if M >= 128 else _round_up(M, 8)))
     # decode (small M): wide N tiles amortize per-block overheads (measured
     # on v5e: bn=1024 beats 256 by ~20% at M<=8); cap by VMEM appetite

@@ -123,6 +123,7 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     y = pallas_qmatmul.qmatmul(
         x2, p.qweight, p.scales, p.zvals,
         bits=p.bits, group_size=p.group_size, rt=p.rt_layout,
+        rt_block_k=p.rt_block_k,
         interpret=(kernel == "pallas_interpret"),
     )
     y = y.reshape(*lead, p.out_features)
