@@ -102,7 +102,39 @@ def build_params_tree(
     """
     tree: dict = {}
     modules = _group_module_tensors(reader.names())
+
+    # bitsandbytes NF4 modules: {mod}.weight (packed) + a {mod}.weight.*
+    # subtree (absmax/quant_map/quant_state...) — collect them first
+    bnb_bases = {
+        mp[: -len(".weight")]
+        for mp, lv in modules.items()
+        if mp.endswith(".weight") and "quant_map" in lv
+    }
+    skip_paths = set()
+    for base in sorted(bnb_bases):
+        consumed = [
+            mp for mp in modules
+            if mp == base or mp.startswith(base + ".weight")
+        ]
+        skip_paths.update(consumed)
+        m = _LAYER_RE.match(base)
+        path = base
+        if m is not None:
+            if skip_layers:
+                continue
+            if layer_filter is not None:
+                if int(m.group(2)) != layer_filter:
+                    continue
+                path = m.group(3)
+        elif layer_filter is not None:
+            continue
+        value = _load_bnb4(reader, modules, base)
+        parts = path.split(".")
+        _insert_module(tree, parts[:-1], parts[-1], value)
+
     for mod_path, leaves in modules.items():
+        if mod_path in skip_paths:
+            continue
         m = _LAYER_RE.match(mod_path)
         if m is not None:
             layer_idx = int(m.group(2))
@@ -246,3 +278,40 @@ def _listify_layers(tree: dict):
                         _listify_layers(sub)
             else:
                 _listify_layers(val)
+
+
+def _load_bnb4(reader: CheckpointReader, modules: dict, base: str):
+    """Reconstruct a Bnb4Linear from bitsandbytes-serialized tensors."""
+    from gptqmodel_tpu.ops.bnb import (
+        dequant_nested_absmax,
+        make_bnb4_linear,
+        parse_quant_state,
+    )
+
+    st = modules[base + ".weight"]
+    packed = reader.get(modules[base]["weight"])
+    quant_map = reader.get(st["quant_map"])
+    absmax = reader.get(st["absmax"])
+    state = {}
+    qs_mod = modules.get(base + ".weight.quant_state", {})
+    for leaf, tname in qs_mod.items():
+        if leaf.startswith("bitsandbytes__"):
+            state = parse_quant_state(reader.get(tname))
+    if absmax.dtype == np.uint8:  # double-quantized
+        absmax = dequant_nested_absmax(
+            absmax,
+            reader.get(st["nested_quant_map"]),
+            reader.get(st["nested_absmax"]),
+            float(state.get("nested_offset", 0.0)),
+            int(state.get("nested_blocksize", 256)),
+        )
+    shape = tuple(state.get("shape") or ())
+    if not shape:
+        raise ValueError(f"bnb module {base}: quant_state missing shape")
+    bias = (
+        reader.get(modules[base]["bias"]) if "bias" in modules[base] else None
+    )
+    return make_bnb4_linear(
+        packed, absmax, quant_map, shape,
+        blocksize=int(state.get("blocksize", 64)), bias=bias,
+    )

@@ -68,6 +68,10 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
         return fp8_forward(p, x)
     if isinstance(p, Fp4Linear):
         return fp4_forward(p, x)
+    from gptqmodel_tpu.ops.bnb import Bnb4Linear, bnb4_forward
+
+    if isinstance(p, Bnb4Linear):
+        return bnb4_forward(p, x)
     w = p["weight"]
     y = x @ w.T.astype(x.dtype)
     b = p.get("bias")

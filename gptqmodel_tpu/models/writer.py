@@ -59,6 +59,25 @@ def flatten_params(
         if tree.bias is not None:
             out[f"{prefix}.bias"] = np.asarray(tree.bias)
         return out
+    from gptqmodel_tpu.ops.bnb import Bnb4Linear
+
+    if isinstance(tree, Bnb4Linear):
+        import json as _json
+
+        out[f"{prefix}.weight"] = np.asarray(tree.codes_u8).reshape(-1, 1)
+        out[f"{prefix}.weight.absmax"] = np.asarray(tree.absmax)
+        out[f"{prefix}.weight.quant_map"] = np.asarray(tree.quant_map)
+        state = {
+            "blocksize": tree.blocksize, "quant_type": "nf4",
+            "shape": [tree.out_features, tree.in_features],
+            "dtype": "bfloat16",
+        }
+        out[f"{prefix}.weight.quant_state.bitsandbytes__nf4"] = np.frombuffer(
+            _json.dumps(state).encode(), np.uint8
+        ).copy()
+        if tree.bias is not None:
+            out[f"{prefix}.bias"] = np.asarray(tree.bias)
+        return out
     if isinstance(tree, Fp4Linear):
         out[f"{prefix}.qweight_fp4"] = np.asarray(tree.codes_u8)  # e2m1 nibbles
         out[f"{prefix}.scales"] = np.asarray(tree.scales)

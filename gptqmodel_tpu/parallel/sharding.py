@@ -84,7 +84,20 @@ def _quant_spec(leaf_name: str, model_axis: str) -> QuantLinear:
 
 def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
     """Mirror the params pytree with PartitionSpecs (QuantLinear-aware)."""
-    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+    import dataclasses as _dc
+
+    from gptqmodel_tpu.ops.bnb import Bnb4Linear
+    from gptqmodel_tpu.ops.fp8 import Fp4Linear, Fp8Linear
+
+    if isinstance(tree, (Fp4Linear, Bnb4Linear)):
+        # replicated: 1-D/packed layouts don't shard cleanly; correctness first
+        return _dc.replace(
+            tree, **{
+                f.name: (None if getattr(tree, f.name) is None else P())
+                for f in _dc.fields(tree)
+                if f.name in ("codes_u8", "absmax", "quant_map", "scales", "bias")
+            }
+        )
 
     if isinstance(tree, Fp8Linear):
         col = _leaf_name in COL_PARALLEL or _leaf_name == "lm_head"
@@ -156,7 +169,19 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
 
 
 def _tree_zip_map(fn, tree, specs):
-    from gptqmodel_tpu.ops.fp8 import Fp8Linear
+    import dataclasses as _dc
+
+    from gptqmodel_tpu.ops.bnb import Bnb4Linear
+    from gptqmodel_tpu.ops.fp8 import Fp4Linear, Fp8Linear
+
+    if isinstance(tree, (Fp4Linear, Bnb4Linear)):
+        kw = {}
+        for f in _dc.fields(tree):
+            if f.name in ("codes_u8", "absmax", "quant_map", "scales", "bias"):
+                val = getattr(tree, f.name)
+                sp = getattr(specs, f.name)
+                kw[f.name] = fn(val, sp if sp is not None else P())
+        return _dc.replace(tree, **kw)
 
     if isinstance(tree, Fp8Linear):
         return Fp8Linear(
