@@ -99,6 +99,9 @@ def packed_model_bytes(spec, bits=4, group_size=128) -> int:
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_CPU") == "1":  # CI sanity without touching the
+        jax.config.update("jax_platforms", "cpu")  # (single-lease!) TPU
     import jax.numpy as jnp
 
     backend = jax.default_backend()
@@ -133,10 +136,11 @@ def main():
 
     prefill = make_prefill_fn(spec, jnp.bfloat16)
     decode = make_decode_fn(spec, jnp.bfloat16)
-    kv_quant = os.environ.get("BENCH_KV") == "int8"
+    kv_quant = os.environ.get("BENCH_KV", "")
+    kv_quant = kv_quant if kv_quant in ("int8", "int4") else False
     caches = init_kv_cache(spec, B, max_len, jnp.bfloat16, kv_quant=kv_quant)
     if kv_quant:
-        _log("int8 KV cache enabled")
+        _log(f"{kv_quant} KV cache enabled")
 
     ids = jnp.asarray(np.ones((B, T), np.int32))
     lens = jnp.full((B,), T, jnp.int32)
