@@ -92,6 +92,23 @@ _GEMMA2_TREE = (
     },
 )
 
+_QWEN2_MOE_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp:moe:?": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            "shared_expert": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            "shared_expert_gate": ("shared_expert_gate:!",),
+        },
+    },
+)
+
 _MIXTRAL_TREE = (
     "model",
     "layers",
@@ -212,6 +229,7 @@ REGISTRY: dict[str, ModelDef] = {
     ),
     "qwen3": ModelDef(_QWEN3_TREE),
     "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
+    "qwen2_moe": ModelDef(_QWEN2_MOE_TREE, dynamic_expert_index="num_experts"),
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
     "gemma": ModelDef(_LLAMA_TREE),
     "gemma2": ModelDef(_GEMMA2_TREE),

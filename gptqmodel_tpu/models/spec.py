@@ -85,6 +85,7 @@ _LLAMA_FAMILY = {
     "qwen2",
     "qwen3",
     "qwen3_moe",
+    "qwen2_moe",
     "mixtral",
     "gemma",
     "gemma2",
@@ -185,15 +186,15 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
 
     if mt == "qwen3" or mt == "qwen3_moe":
         common["qk_norm"] = True
-    if mt == "qwen2":
+    if mt in ("qwen2", "qwen2_moe"):
         common["attention_bias"] = True  # qwen2 has qkv bias w/o config flag
 
-    if mt == "qwen3_moe":
+    if mt in ("qwen3_moe", "qwen2_moe"):
         common.update(
             num_experts=cfg.get("num_experts", 0),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
-            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            norm_topk_prob=cfg.get("norm_topk_prob", mt == "qwen3_moe"),
         )
     if mt == "mixtral":
         common.update(

@@ -631,6 +631,12 @@ def moe_mlp(
 
     if "experts_stacked" in mp and taps is None:  # ragged inference path
         out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
+        if "shared_expert" in mp:
+            se = gated_mlp(spec, mp["shared_expert"], x)
+            gl = apply_linear(mp["shared_expert_gate"], x)
+            out = out + jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
+                x.dtype
+            ) * se
         return out.reshape(B, T, D)
 
     # routing weight per (token, expert): [N, E]
@@ -655,6 +661,15 @@ def moe_mlp(
         else:
             y = gated_mlp(spec, experts[e], x)
         out = out + y * we[:, None].astype(x.dtype)
+    if "shared_expert" in mp:  # qwen2_moe: sigmoid-gated always-on expert
+        se = gated_mlp(
+            spec, mp["shared_expert"], x, prefix=f"{prefix}.shared_expert",
+            taps=taps, tap_paths=tap_paths,
+        )
+        gate_logit = apply_linear(mp["shared_expert_gate"], x)  # [N, 1]
+        out = out + jax.nn.sigmoid(gate_logit.astype(jnp.float32)).astype(
+            x.dtype
+        ) * se
     return out.reshape(B, T, D)
 
 

@@ -165,6 +165,46 @@ def test_forward_parity_qwen3_moe():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
 
 
+def test_forward_parity_qwen2_moe():
+    """qwen2_moe: sigmoid-gated shared expert on top of top-k routing,
+    norm_topk_prob=False, qkv bias."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "qwen2_moe",
+            num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+            shared_expert_intermediate_size=64, decoder_sparse_step=1,
+            norm_topk_prob=False, mlp_only_layers=[],
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.attention_bias and not spec.norm_topk_prob
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_qwen2_moe_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "qwen2_moe",
+            num_experts=2, num_experts_per_tok=1, moe_intermediate_size=32,
+            shared_expert_intermediate_size=64, decoder_sparse_step=1,
+            norm_topk_prob=False, mlp_only_layers=[],
+        )
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 4 attn + 2 experts x 3 + shared_expert x 3 per layer
+        assert len(rows) == 2 * (4 + 2 * 3 + 3), len(rows)
+        mods = {r["module"] for r in rows}
+        assert "mlp.shared_expert.up_proj" in mods
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
 def test_forward_parity_gemma2():
     """gemma2 flags: softcaps, pre/post-FFN norms, rms offset, query scale.
     (Sliding-window alternation not exercised: T << window.)"""
