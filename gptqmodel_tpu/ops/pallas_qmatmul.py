@@ -190,6 +190,71 @@ def _qmm_rt_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _qmm_rt_sym_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, bits, kt, nt, gpk, zero_const
+):
+    """rt kernel for UNIFORM zero points (sym quant): the zvals input
+    disappears entirely (zs = const·s computed in-kernel) and scales ride as
+    bf16 — cuts the non-code HBM bytes from 12.5% of packed to ~3%
+    ((G,N) f32 ×2 -> (G,N) bf16 ×1). The bf16 scale rounding (~0.4% rel) is
+    the same order as the bf16 dequant the convert path already does."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pf = 32 // bits
+    R = kt // pf
+    g = kt // gpk
+    u = qw_ref[:].astype(jnp.uint32)
+    x = x_ref[:].astype(jnp.bfloat16)
+    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
+
+    acc = acc_ref[:]
+    if bits == 8:
+        gpp = R // g
+        zs = jnp.float32(zero_const) * sf
+        for a in range(pf):
+            t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
+                0x4B000000
+            )
+            wf = pltpu.bitcast(t.astype(jnp.int32), jnp.float32) - jnp.float32(
+                8388608.0
+            )
+            wa = wf.astype(jnp.bfloat16)
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g : (g_abs + 1) * g]
+                P = jnp.dot(
+                    xg, wa[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.float32,
+                )
+                X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
+                acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
+    else:
+        gpp = (2 * R) // g
+        fmask, magic = _MAGIC_BF16[bits]
+        zs = jnp.float32(zero_const + _MAGIC_OFFSET) * sf
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g : (g_abs + 1) * g]
+                P = jnp.dot(
+                    xg, wa[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+                )
+                X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
+                acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def rt_supported(bits: int, group_size: int, K: int) -> bool:
     """rt layout contract: magic bits (bf16 for 2/4, f32 for 8),
     128-lane-aligned groups, tiles of >= 8 groups (Mosaic sublane rule for
@@ -252,7 +317,7 @@ def _pick_block_k(K: int, g: int, requested: int) -> int:
     jax.jit,
     static_argnames=(
         "bits", "group_size", "block_m", "block_n", "block_k", "rt",
-        "rt_block_k", "interpret",
+        "rt_block_k", "zero_const", "interpret",
     ),
 )
 def qmatmul(
@@ -268,6 +333,7 @@ def qmatmul(
     block_k: int = 0,
     rt: bool = False,
     rt_block_k: int = 0,
+    zero_const: float = -1.0,  # >= 0: uniform zero point (sym) — zvals-free
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused dequant-matmul ``y = x @ dequant(qweight)`` for contiguous
@@ -319,6 +385,17 @@ def qmatmul(
 
     if rt:
         assert rt_supported(bits, group_size, K), (bits, group_size, K)
+        if zero_const >= 0.0:  # sym fast path: no zvals input, bf16 scales
+            kernel = functools.partial(
+                _qmm_rt_sym_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk,
+                zero_const=float(zero_const),
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[x_spec, qw_spec, sz_spec],
+                **common,
+            )(x, qweight, scales.astype(jnp.bfloat16))
         kernel = functools.partial(
             _qmm_rt_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk
         )

@@ -27,7 +27,7 @@ from gptqmodel_tpu.ops import pack as packing
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B", "rot_theta", "rot_scales"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block", "rot_group"],
+    meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block", "rot_group", "zero_const"],
 )
 @dataclasses.dataclass
 class QuantLinear:
@@ -81,6 +81,9 @@ class QuantLinear:
     had_block: int = 0
     # ParoQuant rotation group (0 = no paro transform)
     rot_group: int = 0
+    # uniform zero point (sym quant), set by post_init when every zero is
+    # equal: enables the zvals-free rt kernel variant (-1 = non-uniform)
+    zero_const: float = -1.0
 
     @property
     def n_groups(self) -> int:

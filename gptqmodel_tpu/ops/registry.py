@@ -124,6 +124,7 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
         x2, p.qweight, p.scales, p.zvals,
         bits=p.bits, group_size=p.group_size, rt=p.rt_layout,
         rt_block_k=p.rt_block_k,
+        zero_const=p.zero_const if p.rt_layout else -1.0,
         interpret=(kernel == "pallas_interpret"),
     )
     y = y.reshape(*lead, p.out_features)
@@ -144,6 +145,8 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         np.asarray(p.qzeros), p.bits, v1=p.v1, planar=p.planar
     )
     zvals = zeros.astype(np.float32)
+    # uniform zeros (sym quant) -> the kernel can drop the zvals input
+    zero_const = float(zeros.flat[0]) if (zeros == zeros.flat[0]).all() else -1.0
     qweight, rt_layout, rt_bk = p.qweight, False, 0
     if p.g_idx is None and not p.planar and pallas_qmatmul.rt_supported(
         p.bits, p.group_size, p.in_features
@@ -160,7 +163,7 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
         a8=p.a8, had_block=p.had_block, rot_group=p.rot_group,
-        rt_layout=rt_layout, rt_block_k=rt_bk,
+        zero_const=zero_const, rt_layout=rt_layout, rt_block_k=rt_bk,
     )
 
 

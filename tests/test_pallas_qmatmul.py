@@ -164,6 +164,31 @@ def test_rt_kernel_matches_xla(bits):
         assert rel < 8e-3, (M, rel)
 
 
+@pytest.mark.parametrize("bits", [4, 8])
+def test_rt_sym_fast_path_matches_xla(bits):
+    """Uniform zeros (sym quant) route through the zvals-free bf16-scales
+    kernel variant (post_init sets zero_const); must still match XLA."""
+    rng = np.random.default_rng(5)
+    K, N, g = 1024, 256, 128
+    codes = rng.integers(0, 2**bits, size=(N, K), dtype=np.int64)
+    scales = rng.uniform(0.005, 0.05, size=(K // g, N)).astype(np.float16)
+    zeros = np.full((K // g, N), 2 ** (bits - 1), np.int64)  # uniform (sym)
+    p = make_quant_linear(Q=codes, scales=scales, zeros=zeros, g_idx=None,
+                          bias=None, bits=bits, group_size=g, sym=True)
+    p = registry.post_init_module(p)
+    assert p.zero_const == float(2 ** (bits - 1))
+    assert p.rt_layout
+    x = jnp.asarray(rng.standard_normal((8, K)), dtype=jnp.bfloat16)
+    ref = np.asarray(qlinear_forward_xla(p, x), np.float32)
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), np.float32)
+    finally:
+        registry.set_backend("auto")
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-2, rel  # bf16 scales add ~0.4% on top of bf16 dequant
+
+
 def test_rt_layout_export_is_interchange():
     """Saving an rt-repacked module must write the interchange layout."""
     from gptqmodel_tpu.models.writer import flatten_params
