@@ -52,6 +52,7 @@ def build_quant_params_on_device(spec, bits=4, group_size=128):
             # all-zero codes are rt-layout-invariant; flag the fast path
             rt_layout=rt,
             rt_block_k=rt_block_k_for(in_f, group_size) if rt else 0,
+            zero_const=0.0,  # uniform zeros -> zvals-free sym kernel variant
         )
 
     h = spec.hidden_size
