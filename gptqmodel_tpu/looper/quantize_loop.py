@@ -606,6 +606,24 @@ def _quantize_group(
                 dxxt=dxxt, gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
                 static_groups=cfg.static_groups,
             )
+        if not np.isfinite(res.avg_loss):
+            # NaN-loss recovery (reference gptq.py:1268: retry with mock /
+            # raise): fall back to RTN on the ORIGINAL weights, recorded as
+            # a fallback row
+            log.warning(
+                "NaN loss for %s — falling back to RTN", ",".join(members)
+            )
+            Ws0 = [
+                np.asarray(get_by_path(lp, m)["weight"], np.float32)
+                for m in members
+            ]
+            res = rtn_quantize(
+                np.concatenate(Ws0, axis=0) if len(Ws0) > 1 else Ws0[0],
+                bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+            )
+            paro_attach = None
+            had_b = 0
+            fallback = True
         solve_t = time.perf_counter() - t0
         durations["solve"] += solve_t
 
