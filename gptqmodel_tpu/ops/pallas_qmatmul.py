@@ -354,8 +354,14 @@ def qmatmul(
     )
     bm = block_m or (8 if M <= 8 else (128 if M >= 128 else _round_up(M, 8)))
     # decode (small M): wide N tiles amortize per-block overheads (measured
-    # on v5e: bn=1024 beats 256 by ~20% at M<=8); cap by VMEM appetite
-    bn = min(block_n or (1024 if M <= 16 else 512), N)
+    # on v5e: bn=1024 beats 256 by ~20% at M<=8; 2048 ~3% over 1024 on the
+    # down-proj shape); env override for experiments
+    import os
+
+    bn_default = int(os.environ.get("GPTQ_TPU_BN", "0")) or (
+        1024 if M <= 16 else 512
+    )
+    bn = min(block_n or bn_default, N)
     gpk = bk // g
 
     grid = (_cdiv(N, bn), _cdiv(M, bm), _cdiv(K, bk))
