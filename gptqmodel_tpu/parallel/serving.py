@@ -21,8 +21,6 @@ XLA path, which GSPMD partitions across heads automatically.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
