@@ -50,6 +50,29 @@ def pack_factor(bits: int) -> int:
 # --------------------------------------------------------------------------
 
 
+_NATIVE_PACK_MIN_ELEMS = 1 << 20  # below this, numpy wins on call overhead
+
+
+def _native_pack(codes_u32: np.ndarray, bits: int, planar: bool):
+    """Threaded C++ packer (csrc/pack.cpp); None -> numpy fallback."""
+    import ctypes
+    import os
+
+    from gptqmodel_tpu.utils.cpp import pack_ext
+
+    lib = pack_ext()
+    if lib is None:
+        return None
+    n, m = codes_u32.shape
+    src = np.ascontiguousarray(codes_u32.view(np.int32))
+    out = np.empty((n * bits // 32, m), np.int32)
+    threads = min(os.cpu_count() or 1, 16)
+    fn = lib.pack_axis0_planar if planar else lib.pack_axis0_cont
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn(src.ctypes.data_as(i32p), out.ctypes.data_as(i32p), n, m, bits, threads)
+    return out
+
+
 def _pack_axis0_np(codes: np.ndarray, bits: int) -> np.ndarray:
     """Pack uint codes along axis 0. [n, m] -> [n*bits/32, m] int32."""
     codes = np.ascontiguousarray(codes, dtype=np.uint32)
@@ -57,6 +80,10 @@ def _pack_axis0_np(codes: np.ndarray, bits: int) -> np.ndarray:
     if bits in (2, 4, 8):
         pf = 32 // bits
         assert n % pf == 0, f"rows {n} not divisible by pack_factor {pf}"
+        if codes.size >= _NATIVE_PACK_MIN_ELEMS:
+            out = _native_pack(codes, bits, planar=False)
+            if out is not None:
+                return out
         c = codes.reshape(n // pf, pf, m)
         shifts = (np.arange(pf, dtype=np.uint32) * bits)[None, :, None]
         out = np.bitwise_or.reduce(c << shifts, axis=1)
@@ -231,6 +258,10 @@ def planar_pack_axis0(codes: np.ndarray, bits: int) -> np.ndarray:
     codes = np.ascontiguousarray(codes, dtype=np.uint32)
     n, m = codes.shape
     assert n % 32 == 0, f"planar packing needs rows % 32 == 0, got {n}"
+    if codes.size >= _NATIVE_PACK_MIN_ELEMS:
+        out = _native_pack(codes, bits, planar=True)
+        if out is not None:
+            return out
     blocks = n // 32
     x = codes.reshape(blocks, 32, m)
     out = np.zeros((blocks, bits, m), dtype=np.uint32)
