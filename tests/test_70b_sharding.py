@@ -1,0 +1,127 @@
+"""Llama-3-70B-scale TP sharding validation (BASELINE config 5) — shape-only.
+
+70B params can't materialize here; the test builds the FULL abstract params
+tree (ShapeDtypeStructs) for the real 70B geometry, checks every tensor's
+PartitionSpec divides the 8-way model axis, and traces the whole decode step
+via eval_shape — validating that the sharded serving program is well-formed
+at target scale without allocating anything.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptqmodel_tpu.models.spec import ModelSpec
+from gptqmodel_tpu.ops.qlinear import QuantLinear
+from gptqmodel_tpu.parallel.sharding import param_pspecs
+
+
+def llama70b_spec(layers=80):
+    return ModelSpec(
+        model_type="llama", vocab_size=128256, hidden_size=8192,
+        intermediate_size=28672, num_layers=layers, num_heads=64,
+        num_kv_heads=8, head_dim=128, rope_theta=500000.0,
+        max_position_embeddings=8192,
+    )
+
+
+def _abstract_ql(out_f, in_f, bits=4, g=128):
+    pf = 32 // bits
+    S = jax.ShapeDtypeStruct
+    return QuantLinear(
+        qweight=S((in_f // pf, out_f), jnp.int32),
+        qzeros=S((in_f // g, out_f // pf), jnp.int32),
+        scales=S((in_f // g, out_f), jnp.bfloat16),
+        g_idx=None, bias=None,
+        zvals=S((in_f // g, out_f), jnp.float32),
+        bits=bits, group_size=g, in_features=in_f, out_features=out_f,
+    )
+
+
+def _abstract_params(spec):
+    S = jax.ShapeDtypeStruct
+    h, q = spec.hidden_size, spec.num_heads * spec.head_dim
+    kv = spec.num_kv_heads * spec.head_dim
+    layer = {
+        "input_layernorm": {"weight": S((h,), jnp.bfloat16)},
+        "post_attention_layernorm": {"weight": S((h,), jnp.bfloat16)},
+        "self_attn": {
+            "q_proj": _abstract_ql(q, h), "k_proj": _abstract_ql(kv, h),
+            "v_proj": _abstract_ql(kv, h), "o_proj": _abstract_ql(h, q),
+        },
+        "mlp": {
+            "gate_proj": _abstract_ql(spec.intermediate_size, h),
+            "up_proj": _abstract_ql(spec.intermediate_size, h),
+            "down_proj": _abstract_ql(h, spec.intermediate_size),
+        },
+    }
+    return {
+        "model": {
+            "embed_tokens": {"weight": S((spec.vocab_size, h), jnp.bfloat16)},
+            "layers": [dict(layer) for _ in range(spec.num_layers)],
+            "norm": {"weight": S((h,), jnp.bfloat16)},
+        },
+        "lm_head": _abstract_ql(spec.vocab_size, h),
+    }
+
+
+def test_70b_tp8_shardings_divide():
+    spec = llama70b_spec()
+    params = _abstract_params(spec)
+    specs = param_pspecs(params)
+    tp = 8
+
+    problems = []
+
+    def walk(p_node, s_node, path=""):
+        if isinstance(p_node, QuantLinear):
+            for f in ("qweight", "qzeros", "scales", "zvals"):
+                leaf = getattr(p_node, f)
+                sp = getattr(s_node, f)
+                for dim, ax in zip(leaf.shape, tuple(sp)):
+                    if ax is not None and dim % tp:
+                        problems.append((f"{path}.{f}", leaf.shape, sp))
+            return
+        if isinstance(p_node, dict):
+            for k in p_node:
+                if isinstance(p_node[k], (dict, list, QuantLinear)):
+                    walk(p_node[k], s_node[k], f"{path}.{k}")
+                else:
+                    leaf, sp = p_node[k], s_node[k]
+                    for dim, ax in zip(leaf.shape, tuple(sp)):
+                        if ax is not None and dim % tp:
+                            problems.append((f"{path}.{k}", leaf.shape, sp))
+        elif isinstance(p_node, list):
+            for i, v in enumerate(p_node):
+                walk(v, s_node[i], f"{path}.{i}")
+
+    walk(params, specs)
+    assert not problems, problems
+    # kv heads shard the mesh model axis in the serving engine
+    assert spec.num_kv_heads % tp == 0
+
+
+def test_70b_decode_traces_abstractly():
+    """Full 80-layer decode step traces with zero allocation (eval_shape)."""
+    from gptqmodel_tpu.inference.engine import make_decode_fn
+
+    spec = llama70b_spec(layers=80)
+    params = _abstract_params(spec)
+    B, max_len = 8, 64
+    S = jax.ShapeDtypeStruct
+    caches = [
+        {"pos": S((), jnp.int32),
+         "k": S((B, spec.num_kv_heads, max_len, spec.head_dim), jnp.bfloat16),
+         "v": S((B, spec.num_kv_heads, max_len, spec.head_dim), jnp.bfloat16)}
+        for _ in range(spec.num_layers)
+    ]
+    decode = make_decode_fn(spec, jnp.bfloat16)
+    out = jax.eval_shape(
+        decode, params, S((B,), jnp.int32), S((B,), jnp.int32),
+        S((), jnp.int32), S((B, max_len), jnp.bool_), caches,
+    )
+    logits, new_caches, key_valid = out
+    assert logits.shape == (B, spec.vocab_size)
+    assert len(new_caches) == 80
