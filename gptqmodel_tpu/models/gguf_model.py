@@ -203,10 +203,12 @@ def load_gguf(path: str | Path):
     return spec, params, f.metadata
 
 
-_GG_QUANT = {
-    "q4_0": (G.GGML_Q4_0, G.quant_q4_0),
-    "q8_0": (G.GGML_Q8_0, G.quant_q8_0),
-    "f16": (G.GGML_F16, None),
+_GG_QUANT = {  # name -> (ggml type, encoder, block elems)
+    "q4_0": (G.GGML_Q4_0, G.quant_q4_0, 32),
+    "q8_0": (G.GGML_Q8_0, G.quant_q8_0, 32),
+    "q4_k": (G.GGML_Q4_K, G.quant_q4_k, 256),
+    "q6_k": (G.GGML_Q6_K, G.quant_q6_k, 256),
+    "f16": (G.GGML_F16, None, 1),
 }
 
 
@@ -223,7 +225,7 @@ def export_gguf(
     from gptqmodel_tpu.models.writer import flatten_params
     from gptqmodel_tpu.ops.qlinear import dequantize_weight
 
-    ttype_q, quant_fn = _GG_QUANT[quant_type]
+    ttype_q, quant_fn, blk_elems = _GG_QUANT[quant_type]
 
     # flatten with QuantLinear -> dense
     flat: dict[str, np.ndarray] = {}
@@ -276,7 +278,7 @@ def export_gguf(
         quantize = (
             w.ndim == 2 and quant_fn is not None
             and ("proj" in hf_name or hf_name == "lm_head.weight")
-            and w.shape[1] % 32 == 0
+            and w.shape[1] % blk_elems == 0
         )
         if quantize:
             tensors[gname] = (quant_fn(w).tobytes(), w.shape, ttype_q)

@@ -166,6 +166,83 @@ def dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
+def _q4k_pack_scales(sc: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Inverse of _q4k_scales: (nb, 8) 6-bit scales/mins -> 12 bytes/block."""
+    sc = sc.astype(np.uint16)
+    m = m.astype(np.uint16)
+    out = np.zeros((len(sc), 12), np.uint16)
+    for j in range(4):
+        out[:, j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        out[:, j + 4] = (m[:, j] & 63) | ((m[:, j + 4] >> 4) << 6)
+        out[:, j + 8] = (sc[:, j + 4] & 0xF) | ((m[:, j + 4] & 0xF) << 4)
+    return out.astype(np.uint8)
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    """Encode Q4_K super-blocks (simplified min/max sub-block affine; the
+    llama.cpp encoder adds a local search, format identical)."""
+    x = x.reshape(-1, 256).astype(np.float32)
+    nb = len(x)
+    sub = x.reshape(nb, 8, 32)
+    mn = sub.min(axis=2)
+    mx = sub.max(axis=2)
+    m_full = np.maximum(0.0, -mn)  # stored min term is subtractive
+    s_full = np.maximum(mx + m_full, 1e-12) / 15.0
+    d = np.maximum(s_full.max(axis=1), 1e-12) / 63.0
+    dmin = np.maximum(m_full.max(axis=1), 1e-12) / 63.0
+    sc = np.clip(np.round(s_full / d[:, None]), 0, 63)
+    m = np.clip(np.round(m_full / dmin[:, None]), 0, 63)
+    eff_s = np.maximum(d[:, None] * sc, 1e-12)
+    eff_m = dmin[:, None] * m
+    q = np.clip(
+        np.round((sub + eff_m[:, :, None]) / eff_s[:, :, None]), 0, 15
+    ).astype(np.uint8)
+    out = np.zeros((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _q4k_pack_scales(sc, m)
+    flat = q.reshape(nb, 256)
+    for chunk in range(4):
+        lo = flat[:, 64 * chunk : 64 * chunk + 32]
+        hi = flat[:, 64 * chunk + 32 : 64 * chunk + 64]
+        out[:, 16 + 32 * chunk : 16 + 32 * (chunk + 1)] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    """Encode Q6_K super-blocks (per-16 int8 sub-scales, 6-bit codes)."""
+    x = x.reshape(-1, 256).astype(np.float32)
+    nb = len(x)
+    sub = x.reshape(nb, 16, 16)
+    a = np.abs(sub).max(axis=2)  # [nb, 16]
+    s_full = np.maximum(a, 1e-12) / 31.0
+    d = np.maximum(s_full.max(axis=1), 1e-12) / 127.0
+    sc = np.clip(np.round(s_full / d[:, None]), 1, 127).astype(np.int8)
+    eff = d[:, None] * sc.astype(np.float32)
+    q = np.clip(
+        np.round(sub / eff[:, :, None]) + 32, 0, 63
+    ).astype(np.uint8).reshape(nb, 256)
+    out = np.zeros((nb, 210), np.uint8)
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 64), np.uint8)
+    for half in range(2):
+        b = 128 * half
+        q0 = q[:, b : b + 32]
+        q1 = q[:, b + 32 : b + 64]
+        q2 = q[:, b + 64 : b + 96]
+        q3 = q[:, b + 96 : b + 128]
+        ql[:, 64 * half : 64 * half + 32] = (q0 & 0xF) | ((q2 & 0xF) << 4)
+        ql[:, 64 * half + 32 : 64 * half + 64] = (q1 & 0xF) | ((q3 & 0xF) << 4)
+        qh[:, 32 * half : 32 * (half + 1)] = (
+            (q0 >> 4) | ((q1 >> 4) << 2) | ((q2 >> 4) << 4) | ((q3 >> 4) << 6)
+        )
+    out[:, :128] = ql
+    out[:, 128:192] = qh
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
 def dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
     """Q6_K: 210-byte super-blocks of 256 — ql[128], qh[64], int8 scales[16],
     d f16; q = (4-bit low) | (2-bit high << 4) - 32, v = d*sc[i/16]*q."""

@@ -80,17 +80,41 @@ def test_q6_k_handbuilt_block():
     np.testing.assert_allclose(G.dequant_q6_k(blk, 256), q.astype(np.float32) - 32)
 
 
-@pytest.mark.parametrize("codec", ["q4_0", "q8_0"])
+@pytest.mark.parametrize("codec", ["q4_0", "q8_0", "q4_k", "q6_k"])
 def test_quant_roundtrip_error_bounded(codec):
     rng = np.random.default_rng(2)
     x = rng.standard_normal(1024).astype(np.float32) * 0.1
-    if codec == "q4_0":
-        back = G.dequant_q4_0(G.quant_q4_0(x), 1024)
-        tol = 0.04  # step/2 with absmax/-8 on N(0, 0.1) blocks is ~0.03
-    else:
-        back = G.dequant_q8_0(G.quant_q8_0(x), 1024)
-        tol = 0.002
+    enc = getattr(G, f"quant_{codec}")
+    dec = getattr(G, f"dequant_{codec}")
+    back = dec(enc(x), 1024)
+    # step/2 bounds on N(0, 0.1) blocks; K-quants add 6-bit scale rounding
+    tol = {"q4_0": 0.04, "q8_0": 0.002, "q4_k": 0.05, "q6_k": 0.02}[codec]
     assert np.abs(back - x).max() < tol
+
+
+@pytest.mark.parametrize("codec", ["q4_k", "q6_k"])
+def test_kquant_encode_exact_on_grid(codec):
+    """Values already on the quantization grid survive encode->decode
+    near-exactly (scale quantization only introduces f16/6-bit rounding)."""
+    rng = np.random.default_rng(5)
+    if codec == "q4_k":
+        # per-32 sub-block affine grid: s*q - m with q in 0..15. Pin the full
+        # code range in every sub-block so the 6-bit scale/min codes are exact
+        # (only f16 rounding of d/dmin remains).
+        s, m = 0.25, 0.5
+        q = rng.integers(0, 16, 512).reshape(-1, 32)
+        q[:, 0], q[:, 1] = 0, 15
+        x = (s * q.reshape(-1) - m).astype(np.float32)
+        back = G.dequant_q4_k(G.quant_q4_k(x), 512)
+    else:
+        # symmetric grid q in -31..31 (encoder clips to ±31); pin max |q|
+        # per 16-elem sub-block so the int8 sub-scale code is exact.
+        s = 0.125
+        q = rng.integers(-31, 32, 512).reshape(-1, 16)
+        q[:, 0] = 31
+        x = (s * q.reshape(-1)).astype(np.float32)
+        back = G.dequant_q6_k(G.quant_q6_k(x), 512)
+    np.testing.assert_allclose(back, x, atol=5e-3)
 
 
 def test_container_roundtrip():
@@ -118,7 +142,7 @@ def test_rope_permute_roundtrip():
     np.testing.assert_array_equal(_unpermute_rows(_permute_rows(w, 4), 4), w)
 
 
-@pytest.mark.parametrize("qt", ["q4_0", "q8_0", "f16"])
+@pytest.mark.parametrize("qt", ["q4_0", "q8_0", "q4_k", "q6_k", "f16"])
 def test_model_export_import_roundtrip(qt):
     """tiny llama -> export GGUF -> load_gguf -> forward fidelity. Q4_0/Q8_0
     import as packed QuantLinears (fused kernel path)."""
@@ -144,7 +168,8 @@ def test_model_export_import_roundtrip(qt):
             forward_logits(m.spec, m.params, jnp.asarray(ids), dtype=jnp.float32)
         )
         rel = np.linalg.norm(got - dense_logits) / np.linalg.norm(dense_logits)
-        tol = {"q4_0": 0.2, "q8_0": 0.02, "f16": 2e-3}[qt]
+        tol = {"q4_0": 0.2, "q8_0": 0.02, "q4_k": 0.2, "q6_k": 0.05,
+               "f16": 2e-3}[qt]
         assert rel < tol, (qt, rel)
 
         gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
