@@ -81,13 +81,14 @@ def quantize_model(
     model_dir = Path(model_dir)
     hf_cfg = load_hf_config(model_dir)
     spec = spec_from_hf_config(hf_cfg)
-    mdef = get_model_def(spec.model_type)
     reader = CheckpointReader(model_dir)
+    mdef = get_model_def(spec.model_type, tensor_names=reader.names())
 
     conv1d = mdef.conv1d_suffixes
     base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
-    n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
+    n_experts = (hf_cfg.get(mdef.dynamic_expert_index)
+                 if mdef.dynamic_expert_index else mdef.detected_num_experts)
     subsets = plan.build_subsets(n_experts)
 
     R = None
@@ -379,12 +380,13 @@ def weight_only_quantize(
     model_dir = Path(model_dir)
     hf_cfg = load_hf_config(model_dir)
     spec = spec_from_hf_config(hf_cfg)
-    mdef = get_model_def(spec.model_type)
     reader = CheckpointReader(model_dir)
+    mdef = get_model_def(spec.model_type, tensor_names=reader.names())
     conv1d = mdef.conv1d_suffixes
     base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
-    n_experts = hf_cfg.get(mdef.dynamic_expert_index) if mdef.dynamic_expert_index else None
+    n_experts = (hf_cfg.get(mdef.dynamic_expert_index)
+                 if mdef.dynamic_expert_index else mdef.detected_num_experts)
     modules = [m for s in plan.build_subsets(n_experts) for m in s]
 
     quant_log: list[dict] = []

@@ -29,6 +29,9 @@ class ModelDef:
     # and transposed back on save (reference packs Conv1D via Q.t(),
     # gptq.py:1280)
     conv1d_suffixes: tuple = ()
+    # expert count inferred from checkpoint tensor names (auto-detected
+    # trees only; registered archs read dynamic_expert_index from config)
+    detected_num_experts: int | None = None
 
     def tree_for(self, method) -> tuple:
         """Resolve the module tree for a quant method (override or default)."""
@@ -246,10 +249,24 @@ REGISTRY: dict[str, ModelDef] = {
 }
 
 
-def get_model_def(model_type: str) -> ModelDef:
+def get_model_def(model_type: str, tensor_names=None) -> ModelDef:
+    """Resolve a ModelDef; unknown archs auto-detect from tensor names.
+
+    ``tensor_names``: optional iterable of checkpoint tensor names. When the
+    model_type has no registered definition, the module tree is inferred
+    structurally from the names (models/tree_detect.py) — the analog of the
+    reference's per-arch definition lookup (gptqmodel/models/auto.py), which
+    raises on unknown archs. Final fallback: the llama tree.
+    """
     if model_type in REGISTRY:
         return REGISTRY[model_type]
-    # unknown arch: llama-shaped fallback (auto-detection analog)
+    if tensor_names is not None:
+        from gptqmodel_tpu.models.tree_detect import detect_model_def
+
+        mdef = detect_model_def(tensor_names)
+        if mdef is not None:
+            return mdef
+    # unknown arch: llama-shaped fallback
     return ModelDef(_LLAMA_TREE)
 
 
