@@ -127,11 +127,16 @@ def main():
     bits, g = 4, 128
     t0 = time.time()
     params = build_quant_params_on_device(spec, bits, g)
-    if os.environ.get("BENCH_FUSE") == "1":
+    if os.environ.get("BENCH_FUSE") == "1" or os.environ.get("BENCH_MLP") == "fused":
         from gptqmodel_tpu.models.optimize import fuse_projections
 
         params = fuse_projections(spec, params)
         _log("projections fused")
+    if os.environ.get("BENCH_MLP") == "fused":
+        from gptqmodel_tpu.models.optimize import enable_fused_mlp
+
+        params = enable_fused_mlp(spec, params)
+        _log("fused-MLP kernel enabled")
     _log(f"params built on device in {time.time()-t0:.1f}s "
          f"({packed_model_bytes(spec, bits, g)/1e9:.2f} GB packed)")
 

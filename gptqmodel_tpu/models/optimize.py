@@ -62,6 +62,13 @@ def _concat_quant(mods: list[QuantLinear]) -> QuantLinear:
         v1=a.v1,
         rt_layout=a.rt_layout,
         rt_block_k=a.rt_block_k,
+        # keep the sym fast path: a uniform zero point survives fusion iff
+        # every member shares it (dropping this silently demotes fused
+        # modules to the slower zvals kernel)
+        zero_const=(
+            a.zero_const
+            if all(m.zero_const == a.zero_const for m in mods) else -1.0
+        ),
     )
 
 
@@ -106,6 +113,53 @@ def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
             n_stacked += 1
     if n_stacked:
         log.info("stacked %d MoE expert groups for ragged dispatch", n_stacked)
+    return params
+
+
+def enable_fused_mlp(spec: ModelSpec, params: dict) -> dict:
+    """In-place: prepare layer MLPs for the fused single-kernel path
+    (ops/pallas_qmlp): requires a fused ``gate_up_proj`` (run
+    fuse_projections first) and the down projection repacked to the kernel's
+    8-group F-tile. Ineligible layers are left untouched (the per-projection
+    path still works)."""
+    from gptqmodel_tpu.ops.pack import repack_rt, unrepack_rt
+    from gptqmodel_tpu.ops.pallas_qmlp import qmlp_supported
+    from gptqmodel_tpu.models.transformer import model_layers
+
+    n_enabled = 0
+    for lp in model_layers(spec, params):
+        mlp = lp.get("mlp")
+        if not isinstance(mlp, dict):
+            continue
+        gu, down = mlp.get("gate_up_proj"), mlp.get("down_proj")
+        if not (isinstance(gu, QuantLinear) and isinstance(down, QuantLinear)):
+            continue
+        if not (gu.rt_layout and down.rt_layout
+                and gu.zero_const >= 0 and down.zero_const >= 0):
+            continue
+        g = down.group_size if down.group_size > 0 else down.in_features
+        bf = 8 * g
+        if down.rt_block_k != bf:
+            if down.in_features % bf:
+                continue
+            qw = unrepack_rt(
+                np.asarray(down.qweight), down.bits, down.rt_block_k
+            )
+            import dataclasses
+
+            mlp["down_proj"] = down = dataclasses.replace(
+                down,
+                qweight=jnp.asarray(repack_rt(qw, down.bits, bf)),
+                rt_block_k=bf,
+            )
+        if qmlp_supported(
+            bits=gu.bits, group_size=gu.group_size, D=gu.in_features,
+            F=gu.out_features // 2, gu_rt_block_k=gu.rt_block_k,
+            d_rt_block_k=down.rt_block_k, M=8,
+        ):
+            n_enabled += 1
+    if n_enabled:
+        log.info("fused-MLP kernel enabled on %d layers", n_enabled)
     return params
 
 

@@ -561,6 +561,15 @@ def gated_mlp(
     row_mask=None,
 ):
     if "gate_up_proj" in mp:  # phi3-style fused projection
+        if taps is None and isinstance(mp["gate_up_proj"], QuantLinear) \
+                and isinstance(mp.get("down_proj"), QuantLinear):
+            from gptqmodel_tpu.ops.registry import qmlp_forward
+
+            y = qmlp_forward(
+                mp["gate_up_proj"], mp["down_proj"], h, spec.hidden_act
+            )
+            if y is not None:  # single fused MLP kernel (decode fast path)
+                return y
         _tap(taps, tap_paths, f"{prefix}.gate_up_proj", h, row_mask)
         gu = apply_linear(mp["gate_up_proj"], h)
         g, u = jnp.split(gu, 2, axis=-1)

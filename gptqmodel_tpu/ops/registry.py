@@ -135,6 +135,54 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def qmlp_forward(gu: QuantLinear, down: QuantLinear, x: jnp.ndarray, act: str):
+    """Fused gate_up+act+down MLP in one Pallas kernel (pallas_qmlp.qmlp).
+
+    Returns the MLP output, or None when the contract doesn't hold (caller
+    falls back to the per-projection path). Eligibility mirrors
+    select_kernel's sym rt fast path, plus the fused-kernel layout contract
+    (down repacked to 8-group tiles — optimize.enable_fused_mlp)."""
+    if _BACKEND == "xla":
+        return None
+    if _BACKEND == "auto" and not _on_tpu():
+        return None
+    if not (gu.rt_layout and down.rt_layout):
+        return None
+    if gu.zero_const < 0 or down.zero_const < 0:
+        return None
+    if gu.bias is not None or gu.lora_A is not None or down.lora_A is not None:
+        return None
+    if gu.bits != down.bits or gu.group_size != down.group_size:
+        return None
+    if gu.had_block or down.had_block or gu.rot_theta is not None \
+            or down.rot_theta is not None or gu.a8 or down.a8:
+        return None
+    if act not in ("silu", "gelu", "gelu_pytorch_tanh", "gelu_new", "relu"):
+        return None
+    from gptqmodel_tpu.ops import pallas_qmlp
+
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    D = gu.in_features
+    F = gu.out_features // 2
+    if not pallas_qmlp.qmlp_supported(
+        bits=gu.bits, group_size=gu.group_size, D=D, F=F,
+        gu_rt_block_k=gu.rt_block_k, d_rt_block_k=down.rt_block_k, M=rows,
+    ):
+        return None
+    y = pallas_qmlp.qmlp(
+        x.reshape(-1, D), gu.qweight, gu.scales, down.qweight, down.scales,
+        bits=gu.bits, group_size=gu.group_size, kt_gu=gu.rt_block_k,
+        zc_gu=gu.zero_const, zc_d=down.zero_const, act=act,
+        interpret=(_BACKEND == "pallas_interpret"),
+    ).reshape(*lead, down.out_features)
+    if down.bias is not None:
+        y = y + down.bias.astype(y.dtype)
+    return y
+
+
 def post_init_module(p: QuantLinear) -> QuantLinear:
     """Prepare runtime state for the fast kernel: float zero points, and —
     when the contract allows — the group-aligned rt repack of qweight
