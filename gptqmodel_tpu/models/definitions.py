@@ -216,6 +216,68 @@ _BLOOM_TREE = (
     },
 )
 
+_GPT_NEOX_TREE = (
+    "gpt_neox",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "attention": ("query_key_value:0", "dense:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("dense_h_to_4h:0", "dense_4h_to_h:1"),
+    },
+)
+
+_GPTJ_TREE = (
+    "transformer",
+    "h",
+    "#",
+    {
+        "ln_1": ("ln_1:!",),
+        "attn": ("q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1"),
+        "mlp": ("fc_in:0", "fc_out:1"),
+    },
+)
+
+# falcon layer-norm naming varies by generation (input_layernorm for 7b/rw,
+# ln_attn/ln_mlp for new-arch 40b/180b); absent modules skip.
+_FALCON_TREE = (
+    "transformer",
+    "h",
+    "#",
+    {
+        "input_layernorm:?": ("input_layernorm:!",),
+        "ln_attn:?": ("ln_attn:!",),
+        "ln_mlp:?": ("ln_mlp:!",),
+        "post_attention_layernorm:?": ("post_attention_layernorm:!",),
+        "self_attention": ("query_key_value:0", "dense:1"),
+        "mlp": ("dense_h_to_4h:0", "dense_4h_to_h:1"),
+    },
+)
+
+_PHI_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "dense:1"),
+        "mlp": ("fc1:0", "fc2:1"),
+    },
+)
+
+_STABLELM_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
 REGISTRY: dict[str, ModelDef] = {
     "llama": ModelDef(_LLAMA_TREE),
     "mistral": ModelDef(_LLAMA_TREE),
@@ -246,6 +308,15 @@ REGISTRY: dict[str, ModelDef] = {
     "bloom": ModelDef(_BLOOM_TREE, pre_lm_head_norm="transformer.ln_f"),
     "deepseek_v2": ModelDef(_DEEPSEEK_TREE, dynamic_expert_index="n_routed_experts"),
     "deepseek_v3": ModelDef(_DEEPSEEK_TREE, dynamic_expert_index="n_routed_experts"),
+    "gpt_neox": ModelDef(
+        _GPT_NEOX_TREE,
+        lm_head="embed_out",
+        pre_lm_head_norm="gpt_neox.final_layer_norm",
+    ),
+    "gptj": ModelDef(_GPTJ_TREE, pre_lm_head_norm="transformer.ln_f"),
+    "falcon": ModelDef(_FALCON_TREE, pre_lm_head_norm="transformer.ln_f"),
+    "phi": ModelDef(_PHI_TREE, pre_lm_head_norm="model.final_layernorm"),
+    "stablelm": ModelDef(_STABLELM_TREE, pre_lm_head_norm="model.norm"),
 }
 
 

@@ -69,10 +69,20 @@ class ModelSpec:
     # forward-family selector: "llama" (RoPE+RMSNorm+gated MLP lineage),
     # "opt" (learned positions, LayerNorm+bias, plain MLP),
     # "gpt2" (Conv1D fused c_attn, learned positions, gelu_new MLP),
-    # "bloom" (ALiBi, per-head-interleaved fused QKV, embedding layernorm)
+    # "bloom" (ALiBi, per-head-interleaved fused QKV, embedding layernorm),
+    # "neox" (gpt_neox/gptj/falcon/phi/stablelm: LayerNorm+bias, partial
+    #   rotary, optional parallel attn+mlp residual)
     family: str = "llama"
     do_layer_norm_before: bool = True  # opt pre/post-norm variant
     apply_residual_post_ln: bool = False  # bloom residual variant
+    # neox-lineage knobs (reference definitions/gpt_neox.py, gptj.py,
+    # falcon.py, phi.py, stablelm.py)
+    parallel_residual: bool = False  # x + attn(ln(x)) + mlp(ln'(x))
+    dual_parallel_ln: bool = False  # neox/falcon-new: separate mlp-branch ln
+    rotary_dim: int = 0  # partial rotary (0 = full head_dim)
+    qkv_layout: str = "split"  # split | neox_fused | falcon_fused | falcon_grouped
+    neox_gated_mlp: bool = False  # stablelm: silu gate/up/down MLP
+    alibi: bool = False  # falcon-rw: ALiBi instead of rope
 
 
 _LLAMA_FAMILY = {
@@ -138,6 +148,141 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             max_position_embeddings=cfg.get("n_positions", 1024),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             hidden_act=cfg.get("activation_function", "gelu_new"),
+        )
+    if mt == "gpt_neox":
+        h = cfg["hidden_size"]
+        nh = cfg["num_attention_heads"]
+        hd = h // nh
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size", 4 * h),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=hd,
+            rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            rope_theta=cfg.get("rotary_emb_base", cfg.get("rope_theta", 10000.0)),
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "gelu"),
+            rope_scaling=cfg.get("rope_scaling"),
+            parallel_residual=cfg.get("use_parallel_residual", True),
+            dual_parallel_ln=True,
+            rotary_dim=int(hd * cfg.get("rotary_pct", 0.25)),
+            qkv_layout="neox_fused",
+        )
+    if mt == "gptj":
+        h = cfg["n_embd"]
+        nh = cfg["n_head"]
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("n_inner") or 4 * h,
+            num_layers=cfg["n_layer"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("n_positions", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("activation_function", "gelu_new"),
+            parallel_residual=True,
+            rotary_dim=cfg.get("rotary_dim") or h // nh,
+            rope_interleave=True,  # gptj rotate_every_two pairs
+        )
+    if mt == "falcon":
+        h = cfg["hidden_size"]
+        nh = cfg["num_attention_heads"]
+        new_arch = cfg.get("new_decoder_architecture", False)
+        multi_query = cfg.get("multi_query", True)
+        if new_arch:
+            nkv = cfg.get("num_kv_heads") or nh
+            layout = "falcon_grouped"
+        elif multi_query:
+            nkv = 1
+            layout = "falcon_fused"
+        else:
+            nkv = nh
+            layout = "neox_fused"  # falcon-rw: per-head [nh, 3, hd]
+        parallel = cfg.get("parallel_attn", True)
+        num_ln = cfg.get("num_ln_in_parallel_attn") or (2 if new_arch else 1)
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("ffn_hidden_size") or 4 * h,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=nkv,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation", "gelu"),
+            rope_scaling=cfg.get("rope_scaling"),
+            parallel_residual=parallel or new_arch,
+            dual_parallel_ln=new_arch and num_ln == 2,
+            qkv_layout=layout,
+            alibi=cfg.get("alibi", False),
+        )
+    if mt == "phi":
+        h = cfg["hidden_size"]
+        nh = cfg["num_attention_heads"]
+        hd = h // nh
+        if cfg.get("qk_layernorm"):
+            raise NotImplementedError("phi qk_layernorm not supported yet")
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=cfg.get("num_key_value_heads") or nh,
+            head_dim=hd,
+            rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "gelu_new"),
+            rope_scaling=cfg.get("rope_scaling"),
+            parallel_residual=True,  # phi: shared-ln parallel attn+mlp
+            rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.5)),
+        )
+    if mt == "stablelm":
+        h = cfg["hidden_size"]
+        nh = cfg["num_attention_heads"]
+        hd = h // nh
+        if cfg.get("qk_layernorm"):
+            raise NotImplementedError("stablelm qk_layernorm not supported yet")
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=cfg.get("num_key_value_heads") or nh,
+            head_dim=hd,
+            rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            attention_bias=cfg.get("use_qkv_bias", False),
+            rope_scaling=cfg.get("rope_scaling"),
+            parallel_residual=cfg.get("use_parallel_residual", False),
+            rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.25)),
+            neox_gated_mlp=True,
         )
     if mt == "bloom":
         h = cfg.get("hidden_size", cfg.get("n_embed"))

@@ -145,8 +145,13 @@ def _yarn_inv_freq(spec: ModelSpec, dim: int) -> tuple[np.ndarray, float]:
 
 
 def _rope_params(spec: ModelSpec, local: bool = False) -> tuple[np.ndarray, float]:
-    """(inv_freq, cos/sin scaling). MLA models rotate only the rope slice."""
-    dim = spec.qk_rope_head_dim if spec.mla else spec.head_dim
+    """(inv_freq, cos/sin scaling). MLA models rotate only the rope slice;
+    neox-lineage partial rotary (rotary_pct / partial_rotary_factor) rotates
+    only the first ``spec.rotary_dim`` dims."""
+    if spec.rotary_dim:
+        dim = spec.rotary_dim
+    else:
+        dim = spec.qk_rope_head_dim if spec.mla else spec.head_dim
     if local:  # gemma3 sliding layers: separate base, NO scaling
         theta = spec.rope_local_theta or spec.rope_theta
         inv = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
@@ -845,10 +850,14 @@ def model_root(spec: ModelSpec, params: Params) -> Params:
         return params["model"]["decoder"]
     if spec.family in ("gpt2", "bloom"):
         return params["transformer"]
+    if spec.family == "neox":
+        return params[_neox_names(spec)["root"]]
     return params["model"]
 
 
 def layers_key(spec: ModelSpec) -> str:
+    if spec.family == "neox":
+        return _neox_names(spec)["layers"]
     return "h" if spec.family in ("gpt2", "bloom") else "layers"
 
 
@@ -861,6 +870,8 @@ def set_model_layers(spec: ModelSpec, params: Params, layers: list):
 
 
 def _embed_key(spec: ModelSpec) -> str:
+    if spec.family == "neox":
+        return _neox_names(spec)["embed"]
     return {"gpt2": "wte", "bloom": "word_embeddings"}.get(
         spec.family, "embed_tokens"
     )
@@ -899,6 +910,9 @@ def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
         return layer_norm(h, n["weight"], n.get("bias"), 1e-5)
     if spec.family in ("gpt2", "bloom"):
         n = root["ln_f"]
+        return layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
+    if spec.family == "neox":
+        n = root[_neox_names(spec)["final"]]
         return layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
     return rms_norm(
         h, root["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
@@ -1141,6 +1155,215 @@ def bloom_decoder_layer(
     return residual + x, cache
 
 
+# --------------------------------------------------------------------------
+# neox family (gpt_neox / gptj / falcon / phi / stablelm): LayerNorm+bias,
+# partial rotary, optional parallel attn+mlp residual
+# --------------------------------------------------------------------------
+
+# Per-arch container/projection names (reference definitions/gpt_neox.py:11,
+# gptj.py:11, falcon.py:11, phi.py:11, stablelm.py:11 module trees).
+_NEOX_NAMES = {
+    "gpt_neox": dict(root="gpt_neox", layers="layers", embed="embed_in",
+                     final="final_layer_norm", head="embed_out",
+                     attn="attention", o="dense"),
+    "gptj": dict(root="transformer", layers="h", embed="wte",
+                 final="ln_f", head="lm_head", attn="attn", o="out_proj"),
+    "falcon": dict(root="transformer", layers="h", embed="word_embeddings",
+                   final="ln_f", head="lm_head", attn="self_attention",
+                   o="dense"),
+    "phi": dict(root="model", layers="layers", embed="embed_tokens",
+                final="final_layernorm", head="lm_head", attn="self_attn",
+                o="dense"),
+    "stablelm": dict(root="model", layers="layers", embed="embed_tokens",
+                     final="norm", head="lm_head", attn="self_attn",
+                     o="o_proj"),
+}
+
+
+def _neox_names(spec: ModelSpec) -> dict:
+    return _NEOX_NAMES.get(spec.model_type, _NEOX_NAMES["gpt_neox"])
+
+
+def _apply_partial_rope(spec: ModelSpec, q, k, cos, sin):
+    """Rotate the first ``rotary_dim`` dims (HF partial_rotation), neox
+    rotate-half or gptj pair-interleaved convention."""
+    rd = spec.rotary_dim or spec.head_dim
+    rot = apply_rope_interleaved if spec.rope_interleave else apply_rope
+    if rd >= q.shape[-1]:
+        return rot(q, k, cos, sin)
+    q_r, k_r = rot(q[..., :rd], k[..., :rd], cos, sin)
+    q = jnp.concatenate([q_r, q[..., rd:]], axis=-1)
+    k = jnp.concatenate([k_r, k[..., rd:]], axis=-1)
+    return q, k
+
+
+def neox_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    prefix: str = "attention",
+    taps=None,
+    tap_paths=frozenset(),
+    o_name: str = "dense",
+):
+    """Neox-lineage attention: fused or split qkv, partial rotary, optional
+    ALiBi (falcon-rw). Fused layouts (HF GPTNeoXAttention / Falcon
+    _split_heads):
+    - neox_fused: [B,T,nh,3*hd] thirds (also falcon-rw per-head [nh,3,hd])
+    - falcon_fused (multi_query): [B,T,nh+2,hd], last two rows are k/v (MQA)
+    - falcon_grouped (new arch): [B,T,nkv,nh/nkv+2,hd], k/v shared per group
+    """
+    B, T, _ = h.shape
+    nh, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    if "query_key_value" in ap:
+        _tap(taps, tap_paths, f"{prefix}.query_key_value", h)
+        qkv = apply_linear(ap["query_key_value"], h)
+        if spec.qkv_layout == "falcon_fused":  # MQA: nkv == 1
+            qkv = qkv.reshape(B, T, nh + 2, hd)
+            q = qkv[:, :, :-2]
+            k = qkv[:, :, -2:-1]
+            v = qkv[:, :, -1:]
+        elif spec.qkv_layout == "falcon_grouped":
+            g = nh // nkv
+            qkv = qkv.reshape(B, T, nkv, g + 2, hd)
+            q = qkv[:, :, :, :-2].reshape(B, T, nh, hd)
+            k = qkv[:, :, :, -2]
+            v = qkv[:, :, :, -1]
+        else:  # neox_fused: per-head [q|k|v] thirds
+            qkv = qkv.reshape(B, T, nh, 3 * hd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        _tap(taps, tap_paths, f"{prefix}.q_proj", h)
+        _tap(taps, tap_paths, f"{prefix}.k_proj", h)
+        _tap(taps, tap_paths, f"{prefix}.v_proj", h)
+        q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
+        k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
+        v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
+
+    q = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if not spec.alibi:
+        q, k = _apply_partial_rope(spec, q, k, cos, sin)
+
+    if cache is not None:
+        k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
+
+    scale = hd**-0.5
+    rep = nh // k.shape[1]
+    S = k.shape[2]
+    # Falcon-rw ALiBi: added BEFORE the 1/sqrt(hd) scaling, slopes routed
+    # through bfloat16 (HF build_alibi_tensor + FalconAttention eager:
+    # logits = (q@k + alibi) * inv_norm_factor) — so pre-multiply by scale.
+    alibi = None
+    if spec.alibi:
+        slopes = jnp.asarray(alibi_slopes(nh)).astype(jnp.bfloat16).astype(
+            jnp.float32
+        )
+        alibi = (
+            slopes[:, None, None]
+            * jnp.arange(S, dtype=jnp.float32)[None, None, :]
+            * scale
+        )  # [nh, 1, S]
+    if rep > 1:
+        qg = q.reshape(B, k.shape[1], rep, T, hd)
+        logits = jnp.einsum(
+            "bgrqd,bgkd->bgrqk", qg, k, preferred_element_type=jnp.float32
+        ) * scale
+        if alibi is not None:
+            logits = logits + alibi.reshape(k.shape[1], rep, 1, S)[None]
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)[:, :, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v.astype(q.dtype))
+        out = out.reshape(B, nh, T, hd)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if alibi is not None:
+            logits = logits + alibi[None]
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    _tap(taps, tap_paths, f"{prefix}.{o_name}", out)
+    return apply_linear(ap[o_name], out), cache
+
+
+def neox_mlp(spec, mp, h, taps=None, tap_paths=frozenset()):
+    """fc-pair MLP under each arch's names, or stablelm's gated silu MLP."""
+    if spec.neox_gated_mlp:
+        return gated_mlp(spec, mp, h, taps=taps, tap_paths=tap_paths)
+    for a, b in (("dense_h_to_4h", "dense_4h_to_h"), ("fc_in", "fc_out"),
+                 ("fc1", "fc2")):
+        if a in mp:
+            _tap(taps, tap_paths, f"mlp.{a}", h)
+            x = _act(spec.hidden_act)(apply_linear(mp[a], h))
+            _tap(taps, tap_paths, f"mlp.{b}", x)
+            return apply_linear(mp[b], x)
+    raise KeyError(f"unrecognized neox mlp params: {list(mp)}")
+
+
+def _neox_ln(lp: Params, which: str, eps: float, x):
+    """Resolve the attn/mlp-branch LayerNorm across arch naming variants."""
+    if which == "attn":
+        n = lp.get("input_layernorm") or lp.get("ln_1") or lp.get("ln_attn")
+    else:
+        n = (lp.get("post_attention_layernorm") or lp.get("ln_mlp")
+             or lp.get("input_layernorm") or lp.get("ln_1"))
+    return layer_norm(x, n["weight"], n.get("bias"), eps)
+
+
+def neox_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """HF GPTNeoXLayer / GPTJBlock / FalconDecoderLayer / PhiDecoderLayer /
+    StableLmDecoderLayer residual flow:
+    - parallel: x + attn(ln_a(x)) + mlp(ln_m(x)); ln_m is a separate norm
+      (neox, falcon new-arch dual-ln) or the same ln_a output (gptj, phi,
+      falcon-7b single-ln parallel).
+    - sequential: a = x + attn(ln1(x)); out = a + mlp(ln2(a)).
+    """
+    names = _neox_names(spec)
+    eps = spec.rms_norm_eps
+    attn_c = names["attn"]
+
+    if spec.parallel_residual:
+        ln_a = _neox_ln(lp, "attn", eps, h)
+        ln_m = _neox_ln(lp, "mlp", eps, h) if spec.dual_parallel_ln else ln_a
+        attn_out, cache = neox_attention(
+            spec, lp[attn_c], ln_a, cos, sin, attn_bias, cache,
+            prefix=attn_c, taps=taps, tap_paths=tap_paths, o_name=names["o"],
+        )
+        mlp_out = neox_mlp(spec, lp["mlp"], ln_m, taps=taps, tap_paths=tap_paths)
+        return h + attn_out + mlp_out, cache
+
+    ln1 = _neox_ln(lp, "attn", eps, h)
+    attn_out, cache = neox_attention(
+        spec, lp[attn_c], ln1, cos, sin, attn_bias, cache,
+        prefix=attn_c, taps=taps, tap_paths=tap_paths, o_name=names["o"],
+    )
+    a = h + attn_out
+    ln2 = _neox_ln(lp, "mlp", eps, a)
+    mlp_out = neox_mlp(spec, lp["mlp"], ln2, taps=taps, tap_paths=tap_paths)
+    return a + mlp_out, cache
+
+
 def any_decoder_layer(
     spec: ModelSpec,
     lp: Params,
@@ -1159,6 +1382,10 @@ def any_decoder_layer(
         return gpt2_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
     if spec.family == "bloom":
         return bloom_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
+    if spec.family == "neox":
+        return neox_decoder_layer(
+            spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths
+        )
     return decoder_layer(spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths)
 
 
@@ -1203,12 +1430,18 @@ def model_hidden(
     return h, new_caches
 
 
+def lm_head_key(spec: ModelSpec) -> str:
+    """Top-level LM head param name ("embed_out" for gpt_neox)."""
+    return _neox_names(spec)["head"] if spec.family == "neox" else "lm_head"
+
+
 def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
-    if spec.tie_word_embeddings or "lm_head" not in params:
+    head = lm_head_key(spec)
+    if spec.tie_word_embeddings or head not in params:
         w = jnp.asarray(model_root(spec, params)[_embed_key(spec)]["weight"])
         logits = hidden @ w.T.astype(hidden.dtype)
     else:
-        logits = apply_linear(params["lm_head"], hidden)
+        logits = apply_linear(params[head], hidden)
     if spec.logit_softcap:
         logits = jnp.tanh(logits / spec.logit_softcap) * spec.logit_softcap
     return logits

@@ -598,3 +598,121 @@ def test_module_tree_moe_expansion():
     assert "mlp.experts.1.up_proj" in subsets[0]
     assert "mlp.experts.1.down_proj" in subsets[1]
     assert "mlp.gate" in plan.capture_paths
+
+
+# --------------------------------------------------------------------------
+# neox lineage (gpt_neox / gptj / falcon / phi / stablelm)
+# --------------------------------------------------------------------------
+
+
+def _tiny_neox_dir(tmp, model_type, **over):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    cfg = AutoConfig.for_model(model_type=model_type, **over)
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+    d = Path(tmp) / model_type
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        # partial rotary (pct 0.25) + dual-ln parallel residual (pythia shape)
+        ("gpt_neox", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          rotary_pct=0.25, use_parallel_residual=True,
+                          max_position_embeddings=256)),
+        # sequential-residual neox variant
+        ("gpt_neox", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          rotary_pct=0.5, use_parallel_residual=False,
+                          max_position_embeddings=256)),
+        # gptj: pair-interleaved partial rope, single-ln parallel residual,
+        # biased lm_head
+        ("gptj", dict(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                      rotary_dim=8, n_positions=256)),
+        # falcon-7b style: fused MQA qkv, single-ln parallel, no biases
+        ("falcon", dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, multi_query=True,
+                        parallel_attn=True, new_decoder_architecture=False,
+                        bias=False, alibi=False)),
+        # falcon new decoder architecture: grouped qkv + ln_attn/ln_mlp
+        ("falcon", dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, num_kv_heads=2, multi_query=True,
+                        parallel_attn=True, new_decoder_architecture=True,
+                        bias=False, alibi=False)),
+        # falcon-rw: ALiBi (pre-scale, bf16 slopes), sequential residual
+        ("falcon", dict(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, multi_query=False,
+                        parallel_attn=False, new_decoder_architecture=False,
+                        bias=True, alibi=True)),
+        # phi-2 style: shared-ln parallel residual, fc1/fc2, biased head
+        ("phi", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     partial_rotary_factor=0.5)),
+        # stablelm: LayerNorm + partial rotary + gated silu MLP + GQA
+        ("stablelm", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, partial_rotary_factor=0.25,
+                          use_qkv_bias=True)),
+        ("stablelm", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=4, partial_rotary_factor=0.25,
+                          use_parallel_residual=True)),
+    ],
+)
+def test_forward_parity_neox_family(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_neox_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "neox"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gpt_neox_quantize_generate_e2e():
+    """gpt_neox end-to-end: fused-qkv tree under the gpt_neox root, embed_out
+    head, parallel residual — quantize, pack, reload-shaped generate."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_neox_dir(
+            tmp, "gpt_neox", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+            rotary_pct=0.25, use_parallel_residual=True,
+            max_position_embeddings=256,
+        )
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # query_key_value / dense / dense_h_to_4h / dense_4h_to_h per layer
+        assert len(rows) == 2 * 4
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+def test_phi_quantize_generate_e2e():
+    """phi (parallel shared-ln) through its module tree + generate."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_neox_dir(
+            tmp, "phi", vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            partial_rotary_factor=0.5,
+        )
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 6  # q/k/v/dense/fc1/fc2 per layer
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
