@@ -28,6 +28,7 @@ stage_subset.py / forward_executor.py, SURVEY §2.3/§3.2) functionally:
 from __future__ import annotations
 
 import logging
+import math
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -505,6 +506,13 @@ def _quantize_group(
     if dxxt is not None:
         dxxt = (2.0 / max(n_rows, 1.0)) * dxxt
 
+    if qcfg.method == METHOD.EXL3:
+        _quantize_group_exl3(
+            grp, lp, H, n_rows, layer_idx, qcfg, qlayer_mods, quant_log,
+            durations,
+        )
+        return
+
     if same_cfg and len(grp.members) > 1:
         batches = [(grp.members, grp.cfgs[0])]
     else:
@@ -598,16 +606,34 @@ def _quantize_group(
             )
             paro_attach = (pres, rg)
         else:
+            # TP padder (reference TensorParallelPadderConfig + gptq.py:208):
+            # zero-pad in-features to lcm(8, group_size) so the solve's group
+            # layout is TP-shard aligned; truncate the solution afterwards
+            pad_cols = 0
+            if cfg.tp_pad:
+                mult = math.lcm(8, cfg.group_size) if cfg.group_size > 0 else 8
+                pad_cols = (-W_cat.shape[1]) % mult
+            W_solve, H_solve, dxxt_solve = W_cat, H, dxxt
+            if pad_cols:
+                W_solve = np.pad(W_cat, ((0, 0), (0, pad_cols)))
+                H_solve = jnp.pad(H, ((0, pad_cols), (0, pad_cols)))
+                if dxxt is not None:
+                    dxxt_solve = jnp.pad(dxxt, ((0, pad_cols), (0, pad_cols)))
             res = gptq_quantize(
-                W_cat, H,
+                W_solve, H_solve,
                 bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
                 desc_act=cfg.desc_act, act_group_aware=cfg.act_group_aware,
                 mse=cfg.mse > 0, damp_percent=cfg.damp_percent,
                 damp_auto_increment=cfg.damp_auto_increment,
                 nsamples=int(n_rows),
-                dxxt=dxxt, gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
+                dxxt=dxxt_solve, gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
                 static_groups=cfg.static_groups,
             )
+            if pad_cols:  # drop the synthetic columns (gptq.py:1318-1321)
+                valid = W_cat.shape[1]
+                res.Q = res.Q[:, :valid]
+                res.Wq = res.Wq[:, :valid]
+                res.g_idx = res.g_idx[:valid]
         if not np.isfinite(res.avg_loss):
             # NaN-loss recovery (reference gptq.py:1268: retry with mock /
             # raise): fall back to RTN on the ORIGINAL weights, recorded as
@@ -690,6 +716,84 @@ def _quantize_group(
                 "time_s": round(solve_t / len(members), 4),
             })
         durations["pack"] += time.perf_counter() - t0
+
+
+def _quantize_group_exl3(
+    grp: _Group,
+    lp: dict,
+    H: jnp.ndarray,
+    n_rows: float,
+    layer_idx: int,
+    qcfg: QuantizeConfig,
+    qlayer_mods: dict,
+    quant_log: list,
+    durations: dict,
+):
+    """EXL3 trellis path: the prepared (sign-flipped, Hadamard-transformed,
+    block-LDL-factored) Hessian is shared across the whole shared-input group,
+    mirroring reference finalize_capture_H reuse (exl3_lib/quantize.py:561);
+    each member is trellis-quantized with LDLQ feedback and packed into a
+    TrellisLinear."""
+    from gptqmodel_tpu.ops.trellis import make_trellis_linear
+    from gptqmodel_tpu.quantization.exl3 import prepare_exl3_hessian, quantize_exl3
+
+    H_np = np.asarray(H, np.float32)
+    if n_rows < max(qcfg.fallback_min_samples, 1) or qcfg.mock_quantization:
+        # uncalibrated module (dead MoE expert etc.): reference q_fallback —
+        # trellis-quantize without LDL compensation. mock_quantization also
+        # takes this path (no Cholesky/LDL — fast lifecycle tests).
+        H_np = np.zeros_like(H_np)
+    seed = abs(hash((layer_idx, grp.tap))) % (2**31)
+    H_data = prepare_exl3_hessian(H_np, seed=seed)
+
+    for m, cfg in zip(grp.members, grp.cfgs):
+        t0 = time.perf_counter()
+        dense = get_by_path(lp, m)
+        W = np.asarray(dense["weight"], np.float32)  # [out, in]
+        res = quantize_exl3(
+            W.T,
+            H_data,
+            K=int(cfg.bits),
+            cb=cfg.codebook,
+            out_scales=cfg.out_scales,
+            seed=seed,
+            skip_g_scale=bool(cfg.mock_quantization),
+        )
+        solve_t = time.perf_counter() - t0
+        durations["solve"] += solve_t
+
+        bias = dense.get("bias")
+        qmod = make_trellis_linear(
+            trellis=res.trellis,
+            suh=res.suh,
+            svh=res.svh,
+            bias=None if bias is None else np.asarray(bias),
+            K=int(cfg.bits),
+            cb=cfg.codebook,
+        )
+        replay_w = res.Wq.T  # back to [out, in]
+        if qcfg.adapter and qcfg.adapter.get("name", "eora") == "eora":
+            from gptqmodel_tpu.quantization.eora import compute_eora
+
+            rank = int(qcfg.adapter.get("rank", 64))
+            delta = W - replay_w
+            A, B = compute_eora(delta, H_np * (max(n_rows, 1.0) / 2.0), rank)
+            qmod.lora_A = jnp.asarray(A, dtype=jnp.float32)
+            qmod.lora_B = jnp.asarray(B, dtype=jnp.float32)
+            replay_w = replay_w + (A @ B).T
+        qlayer_mods[m] = qmod
+        dense["weight"] = jnp.asarray(replay_w, dtype=dense["weight"].dtype)
+        quant_log.append({
+            "layer": layer_idx,
+            "module": m,
+            "loss": round(float(res.proxy_err), 8),
+            "samples": int(n_rows),
+            "damp": 0.0,
+            "bits": int(cfg.bits),
+            "group_size": -1,
+            "fallback": bool(H_data["q_fallback"]),
+            "time_s": round(solve_t, 4),
+        })
 
 
 def _awq_fold_target(grp: _Group, lp: dict, spec) -> tuple[str, str] | None:
@@ -854,6 +958,46 @@ def _quantize_lm_head(spec, base, hidden, mask_all, qcfg, quant_log, durations):
 
     t0 = time.perf_counter()
     W = np.asarray(head["weight"], dtype=np.float32)
+
+    if qcfg.method == METHOD.EXL3:
+        from gptqmodel_tpu.ops.trellis import make_trellis_linear
+        from gptqmodel_tpu.quantization.exl3 import (
+            prepare_exl3_hessian,
+            quantize_exl3,
+        )
+
+        vocab, hid = W.shape
+        if vocab % 128 or hid % 128:
+            log.warning(
+                "lm_head shape (%d, %d) not 128-aligned — kept dense", vocab, hid
+            )
+            return
+        head_k = int(mcfg.head_bits if mcfg.head_bits is not None
+                     else max(int(mcfg.bits), 6))  # exllamav3 head default: >=6bpw
+        H_np = np.asarray(G, np.float32) / max(n_rows, 1.0) * 2.0
+        if qcfg.mock_quantization:
+            H_np = np.zeros_like(H_np)
+        H_data = prepare_exl3_hessian(H_np, seed=12345)
+        res = quantize_exl3(
+            W.T, H_data, K=head_k, cb=mcfg.codebook,
+            out_scales=mcfg.out_scales, seed=12345,
+            skip_g_scale=bool(qcfg.mock_quantization),
+        )
+        durations["solve"] += time.perf_counter() - t0
+        bias = head.get("bias")
+        base["lm_head"] = make_trellis_linear(
+            trellis=res.trellis, suh=res.suh, svh=res.svh,
+            bias=None if bias is None else np.asarray(bias),
+            K=head_k, cb=mcfg.codebook,
+        )
+        quant_log.append({
+            "layer": -1, "module": "lm_head",
+            "loss": round(float(res.proxy_err), 8), "samples": int(n_rows),
+            "damp": 0.0, "bits": head_k, "group_size": -1,
+            "fallback": bool(H_data["q_fallback"]), "time_s": 0.0,
+        })
+        return
+
     res = gptq_quantize(
         W, (2.0 / max(n_rows, 1.0)) * G,
         bits=mcfg.bits, group_size=mcfg.group_size, sym=mcfg.sym,

@@ -150,8 +150,27 @@ def build_params_tree(
         is_quant = _QUANT_LEAVES.issubset(leaves.keys())
         is_fp8 = "weight_scale" in leaves and "weight" in leaves
         is_fp4 = "qweight_fp4" in leaves
+        is_trellis = {"trellis", "suh", "svh"}.issubset(leaves.keys())
         parts = mod_path.split(".") if mod_path else []
-        if is_quant:
+        if is_trellis:
+            from gptqmodel_tpu.ops.trellis import make_trellis_linear
+
+            trellis = reader.get(leaves["trellis"])
+            K = trellis.shape[2] // 16
+            # codebook tag tensors mark the decoder (reference quantize.py:1052)
+            cb = "mcg" if "mcg" in leaves else (
+                "mul1" if "mul1" in leaves else "3inst"
+            )
+            value = make_trellis_linear(
+                trellis=trellis,
+                suh=reader.get(leaves["suh"]),
+                svh=reader.get(leaves["svh"]),
+                bias=reader.get(leaves["bias"]) if "bias" in leaves else None,
+                K=K,
+                cb=cb,
+            )
+            _insert_module(tree, parts[:-1], parts[-1], value)
+        elif is_quant:
             if qcfg is None:
                 raise ValueError(
                     f"{mod_path} holds packed tensors but no QuantizeConfig given"

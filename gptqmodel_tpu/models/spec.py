@@ -83,6 +83,20 @@ class ModelSpec:
     qkv_layout: str = "split"  # split | neox_fused | falcon_fused | falcon_grouped
     neox_gated_mlp: bool = False  # stablelm: silu gate/up/down MLP
     alibi: bool = False  # falcon-rw: ALiBi instead of rope
+    # llama-family layer-structure variants (cohere/olmo/granite lineage)
+    norm_type: str = "rms"  # rms | ln (mean-centered, optional bias) | ln_np
+    #   (non-parametric LayerNorm — olmo)
+    norm_after: bool = False  # olmo2/exaone4: norm on sublayer OUTPUT, no
+    #   input norms (h = x + post_norm(sublayer(x)))
+    qk_norm_wide: bool = False  # olmo2/olmoe: q/k norm over the FULL
+    #   projection width (before head split) instead of per-head
+    qk_norm_ln: bool = False  # cohere: per-head mean-centered LayerNorm
+    clip_qkv: float = 0.0  # olmo: clamp q/k/v projections to [-clip, clip]
+    attn_scale: float = 0.0  # granite attention_multiplier (direct scale)
+    residual_multiplier: float = 1.0  # granite: h = x + mult * sublayer
+    logit_scale: float = 1.0  # cohere logit_scale / granite 1/logits_scaling
+    rope_sliding_only: bool = False  # cohere2/exaone4-hybrid: full-attention
+    #   layers skip RoPE entirely (position info only via sliding layers)
 
 
 _LLAMA_FAMILY = {
@@ -393,6 +407,83 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             rope_interleave=cfg.get("rope_interleave", True),
         )
+    if mt in ("cohere", "cohere2"):
+        # CohereLayerNorm (mean-centered, weight, no bias), shared-ln
+        # parallel residual, interleaved rope, scaled logits, tied embeds
+        # (modeling_cohere.py:51,323-338,498)
+        common.update(
+            norm_type="ln",
+            rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            parallel_residual=True,
+            rope_interleave=True,
+            logit_scale=cfg.get("logit_scale", 0.0625),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            qk_norm_ln=bool(cfg.get("use_qk_norm", False)),
+        )
+        if mt == "cohere2":
+            # full-attention layers skip RoPE (modeling_cohere2.py:217)
+            common["rope_sliding_only"] = True
+            if not common["layer_types"]:
+                pat = cfg.get("sliding_window_pattern", 4)
+                common["layer_types"] = tuple(
+                    "full_attention" if (i + 1) % pat == 0
+                    else "sliding_attention"
+                    for i in range(cfg["num_hidden_layers"])
+                )
+    if mt == "olmo":
+        # non-parametric LayerNorm + optional qkv clamp (modeling_olmo.py:28,174)
+        common.update(
+            norm_type="ln_np",
+            rms_norm_eps=1e-5,
+            clip_qkv=float(cfg.get("clip_qkv") or 0.0),
+        )
+    if mt == "olmo2":
+        # norms on sublayer outputs only; full-width q/k RMSNorm
+        # (modeling_olmo2.py:149-166,250-257)
+        common.update(norm_after=True, qk_norm_wide=True)
+    if mt == "olmoe":
+        # olmo2-style wide q/k norm, standard pre-norms, 64-expert top-8 MoE
+        # (modeling_olmoe.py:286-307,581)
+        common.update(
+            qk_norm_wide=True,
+            clip_qkv=float(cfg.get("clip_qkv") or 0.0),
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", False),
+        )
+    if mt == "starcoder2":
+        # LayerNorm+bias, biased projections, plain c_fc/c_proj MLP
+        # (modeling_starcoder2.py:57-65,154-157,216)
+        common.update(
+            norm_type="ln",
+            rms_norm_eps=cfg.get("norm_epsilon", 1e-5),
+            attention_bias=cfg.get("use_bias", True),
+            mlp_bias=cfg.get("use_bias", True),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+    if mt == "granite":
+        # llama + the four mup-style multipliers (modeling_granite.py:127,
+        # 288, 373, logits/logits_scaling)
+        common.update(
+            embedding_multiplier=cfg.get("embedding_multiplier", 1.0),
+            attn_scale=cfg.get("attention_multiplier", 0.0) or 0.0,
+            residual_multiplier=cfg.get("residual_multiplier", 1.0),
+            logit_scale=1.0 / (cfg.get("logits_scaling", 1.0) or 1.0),
+        )
+    if mt == "exaone4":
+        # post-only norms + per-head q/k RMSNorm; hybrid layouts skip RoPE
+        # on full-attention layers (modeling_exaone4.py:201-227,276-313)
+        common.update(norm_after=True, qk_norm=True)
+        if cfg.get("sliding_window"):
+            common["rope_sliding_only"] = True
+            if not common["layer_types"]:
+                pat = cfg.get("sliding_window_pattern", 4)
+                common["layer_types"] = tuple(
+                    "full_attention" if (i + 1) % pat == 0
+                    else "sliding_attention"
+                    for i in range(cfg["num_hidden_layers"])
+                )
     if mt in ("gemma3_text", "gemma3"):
         # gemma3: gemma2 norms + qk-norm + sliding/full alternation with a
         # SEPARATE rope base for sliding layers (rope_local_base_freq)

@@ -72,6 +72,10 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
 
     if isinstance(p, Bnb4Linear):
         return bnb4_forward(p, x)
+    from gptqmodel_tpu.ops.trellis import TrellisLinear, trellis_forward
+
+    if isinstance(p, TrellisLinear):
+        return trellis_forward(p, x)
     w = p["weight"]
     y = x @ w.T.astype(x.dtype)
     b = p.get("bias")
@@ -81,14 +85,27 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(x: jnp.ndarray, w, b, eps: float):
-    """Mean-subtracting LayerNorm with bias (opt/gpt2 family)."""
+    """Mean-subtracting LayerNorm (opt/gpt2/cohere); w=None -> non-parametric
+    (olmo's OlmoLayerNorm, modeling_olmo.py:28)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        y = y * w.astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def sublayer_norm(spec: "ModelSpec", npar, x: jnp.ndarray):
+    """Per-spec decoder-layer norm: rms (default) | ln (cohere/starcoder2,
+    mean-centered, optional bias) | ln_np (olmo, no parameters)."""
+    if spec.norm_type == "ln_np":
+        return layer_norm(x, None, None, spec.rms_norm_eps)
+    if spec.norm_type == "ln":
+        return layer_norm(x, npar["weight"], npar.get("bias"), spec.rms_norm_eps)
+    return rms_norm(x, npar["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
 
 
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, offset: bool = False):

@@ -84,6 +84,21 @@ def flatten_params(
         if tree.bias is not None:
             out[f"{prefix}.bias"] = np.asarray(tree.bias)
         return out
+    from gptqmodel_tpu.ops.trellis import TrellisLinear
+
+    if isinstance(tree, TrellisLinear):
+        # exllamav3 tensor layout (reference exl3_lib/quantize.py:1043-1062);
+        # runtime-only w_rt decode cache is never exported
+        out[f"{prefix}.trellis"] = np.asarray(tree.trellis).view(np.int16)
+        out[f"{prefix}.suh"] = np.asarray(tree.suh, dtype=np.float16)
+        out[f"{prefix}.svh"] = np.asarray(tree.svh, dtype=np.float16)
+        if tree.cb == "mcg":
+            out[f"{prefix}.mcg"] = np.array([0xCBAC1FED], np.uint32).view(np.int32)
+        elif tree.cb == "mul1":
+            out[f"{prefix}.mul1"] = np.array([0x83DCD12D], np.uint32).view(np.int32)
+        if tree.bias is not None:
+            out[f"{prefix}.bias"] = np.asarray(tree.bias)
+        return out
     if isinstance(tree, QuantLinear):
         qzeros = np.asarray(tree.qzeros)
         if tree.planar:
@@ -135,7 +150,9 @@ def collect_adapters(tree, prefix: str = "", out: dict | None = None) -> dict:
     """Gather lora_A/lora_B leaves as ``{module}.lora_A`` tensors."""
     if out is None:
         out = {}
-    if isinstance(tree, QuantLinear):
+    from gptqmodel_tpu.ops.trellis import TrellisLinear
+
+    if isinstance(tree, (QuantLinear, TrellisLinear)):
         if tree.lora_A is not None:
             out[f"{prefix}.lora_A"] = np.asarray(tree.lora_A)
             out[f"{prefix}.lora_B"] = np.asarray(tree.lora_B)
@@ -163,7 +180,7 @@ def save_quantized(
 
     from gptqmodel_tpu.models.definitions import get_model_def
 
-    export_v1 = qcfg.format not in (FORMAT.GPTQ_V2, FORMAT.GPTQ_P)
+    export_v1 = qcfg.format not in (FORMAT.GPTQ_V2, FORMAT.GPTQ_P, FORMAT.EXL3)
     conv1d = get_model_def(hf_config.get("model_type", "llama")).conv1d_suffixes
     flat = flatten_params(params, v1_zeros=export_v1, conv1d_suffixes=conv1d)
     _write_shards(save_dir, flat, max_shard_size)

@@ -164,8 +164,11 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
         return s * (codes - z).astype(dtype)
     g = p.in_features if p.group_size in (-1, None) else p.group_size
     in_f, out_f = codes.shape
-    c = (codes - jnp.repeat(zeros, g, axis=0)).astype(dtype)
-    return c * jnp.repeat(scales, g, axis=0)
+    # short last group (tp_pad / non-multiple in_features): repeat covers
+    # ceil(in/g) groups, slice back to in_f
+    z = jnp.repeat(zeros, g, axis=0)[:in_f]
+    s = jnp.repeat(scales, g, axis=0)[:in_f]
+    return (codes - z).astype(dtype) * s
 
 
 def qlinear_forward_xla(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:

@@ -220,6 +220,10 @@ def post_init_params(tree):
     Analog of reference gptqmodel_post_init (utils/model.py:1281)."""
     if isinstance(tree, QuantLinear):
         return post_init_module(tree)
+    from gptqmodel_tpu.ops.trellis import TrellisLinear, post_init_trellis
+
+    if isinstance(tree, TrellisLinear):
+        return post_init_trellis(tree)
     if isinstance(tree, dict):
         return {k: post_init_params(v) for k, v in tree.items()}
     if isinstance(tree, list):

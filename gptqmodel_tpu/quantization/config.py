@@ -27,6 +27,7 @@ class METHOD(str, Enum):
     QQQ = "qqq"  # W4A8: sym 4-bit weights + dynamic int8 activations
     FP4 = "fp4"  # e2m1 weight-only with per-group scales
     PAROQUANT = "paroquant"  # learned pairwise-rotation quantization
+    EXL3 = "exl3"  # QTIP-style trellis quantization (reference EXL3Config)
 
     def __str__(self) -> str:  # serialize as plain string
         return self.value
@@ -37,6 +38,7 @@ class FORMAT(str, Enum):
     GPTQ_V2 = "gptq_v2"  # runtime format: true zeros
     GPTQ_P = "gptq_p"  # split-plane packing (native 5/6/7-bit), v2 zeros
     AWQ_GEMM = "gemm"
+    EXL3 = "exl3"  # trellis-packed (exllamav3 tensor layout)
 
     def __str__(self) -> str:
         return self.value
@@ -88,6 +90,16 @@ class QuantizeConfig:
     # ParoQuant options: {"rounds": 4, "rot_group": 128, "steps": 64,
     # "lr": 5e-3} (reference ParoConfig config.py:3346)
     paroquant: Optional[dict[str, Any]] = None
+    # EXL3 trellis options (reference EXL3Config config.py:3780): procedural
+    # codebook, lm_head bit override, output-channel-scale policy
+    codebook: str = "mcg"  # "mcg" | "mul1" | "3inst"
+    head_bits: Optional[int] = None
+    out_scales: Optional[str] = "auto"  # "always" | "never" | "auto"
+    # TP padder preprocessor (reference TensorParallelPadderConfig
+    # config.py:1185, applied in gptq.py:208-221,1318-1343): solve with
+    # in-features zero-padded to lcm(8, group_size) so group boundaries stay
+    # aligned for downstream tensor-parallel sharding, truncate after
+    tp_pad: bool = False
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     # weight smoothing applied on the failsafe path before RTN:
@@ -99,7 +111,7 @@ class QuantizeConfig:
     def __post_init__(self):
         self.method = METHOD(self.method)
         self.format = FORMAT(self.format)
-        if self.method not in (METHOD.FP8, METHOD.FP4) and self.bits not in (2, 3, 4, 5, 6, 7, 8):
+        if self.method not in (METHOD.FP8, METHOD.FP4, METHOD.EXL3) and self.bits not in (2, 3, 4, 5, 6, 7, 8):
             raise ValueError(f"unsupported bits: {self.bits}")
         if self.method == METHOD.QQQ:
             # QQQ is W4A8: 4-bit symmetric weights (reference qqq.py:186)
@@ -114,6 +126,25 @@ class QuantizeConfig:
             self.bits = 8  # nominal; e4m3 storage
         if self.method == METHOD.FP4:
             self.bits = 4  # nominal; e2m1 storage
+        if self.method == METHOD.EXL3:
+            # trellis: K in 1..8 bits, no groups, sym-free codebook
+            # (reference EXL3Config.__post_init__: group_size=-1, sym=True)
+            if not (1 <= int(self.bits) <= 8):
+                raise ValueError(f"EXL3 bits must be 1..8, got {self.bits}")
+            self.bits = int(self.bits)
+            self.format = FORMAT.EXL3
+            self.group_size = -1
+            self.desc_act = False
+            self.sym = True
+            self.codebook = str(self.codebook).strip().lower()
+            if self.codebook not in ("mcg", "mul1", "3inst"):
+                raise ValueError(f"EXL3 codebook must be mcg|mul1|3inst: {self.codebook}")
+            aliases = {"always": "always", "true": "always", "never": "never",
+                       "false": "never", "auto": "auto", "none": "auto", None: "auto"}
+            key = self.out_scales if self.out_scales is None else str(self.out_scales).lower()
+            if key not in aliases:
+                raise ValueError(f"EXL3 out_scales must be always|never|auto: {self.out_scales}")
+            self.out_scales = aliases[key]
         if self.rotation is not None and self.rotation not in (
             "hadamard", "random", "online", "hadamard+online", "random+online"
         ):
@@ -184,6 +215,10 @@ class QuantizeConfig:
         d.pop("format")
         d.pop("mock_quantization", None)
         d.pop("device", None)
+        if self.method != METHOD.EXL3:  # exl3-only keys (reference payload)
+            d.pop("codebook", None)
+            d.pop("head_bits", None)
+            d.pop("out_scales", None)
         return d
 
     def save_pretrained(self, save_dir: str | Path):

@@ -230,3 +230,30 @@ def test_kv_cache_decode_matches_full_forward():
                 nxt = int(np.argmax(logits[0, -1]))
                 assert nxt == int(got[b, s]), (b, s, nxt, got[b, s])
                 seq.append(nxt)
+
+
+def test_tp_pad_non_multiple_in_features():
+    """TP padder (reference TensorParallelPadderConfig): a module whose
+    in-features is not a multiple of lcm(8, group_size) is solved in padded
+    space and truncated back — lifecycle must stay intact."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # intermediate=96 -> down_proj in_features 96 % 64 != 0 after lcm(8,64)=64
+        src = _make_tiny(tmp, intermediate_size=96)
+        calib = _calib(12)
+        m = GPTQModel.load(
+            src, QuantizeConfig(bits=4, group_size=64, tp_pad=True)
+        )
+        rows = m.quantize(calib, batch_size=4)
+        assert all(not r["fallback"] for r in rows)
+        down = m.params["model"]["layers"][0]["mlp"]["down_proj"]
+        assert isinstance(down, QuantLinear)
+        assert down.in_features == 96
+        eval_ids = np.stack(_calib(2, 32, seed=3))
+        logits = np.asarray(
+            forward_logits(m.spec, m.params, jnp.asarray(eval_ids))
+        )
+        assert np.isfinite(logits).all()
