@@ -179,7 +179,8 @@ def greedy_generate(
         t_np = np.asarray(token)
         out.append(t_np)
         if eos_token_id is not None:
-            done |= t_np == eos_token_id
+            # HF configs may declare several stop ids (glm4, llama3)
+            done |= np.isin(t_np, np.atleast_1d(eos_token_id))
             if done.all():
                 break
     return np.stack(out, axis=1)

@@ -278,14 +278,229 @@ _STABLELM_TREE = (
     },
 )
 
+_COHERE_TREE = (
+    # parallel residual: attn and mlp share input_layernorm, so qkv and
+    # gate/up all belong to subset 0 (true-sequential grouping)
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "q_norm:!", "k_norm:!",  # only present with use_qk_norm
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
+_OLMO2_TREE = (
+    # post-only norms (no input_layernorm); full-width q/k norms
+    "model",
+    "layers",
+    "#",
+    {
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+    },
+)
+
+_OLMOE_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+        },
+    },
+)
+
+_STARCODER2_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("c_fc:0", "c_proj:1"),
+    },
+)
+
+_EXAONE4_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+    },
+)
+
+_GLM_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_up_proj:0", "down_proj:1"),
+    },
+)
+
+_GLM4_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_self_attn_layernorm": ("post_self_attn_layernorm:!",),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_up_proj:0", "down_proj:1"),
+        "post_mlp_layernorm": ("post_mlp_layernorm:!",),
+    },
+)
+
+_GLM4_MOE_TREE = (
+    # deepseek-v3-style MoE body: dense first_k layers use plain mlp,
+    # MoE layers use gate(+bias) / routed experts / shared_experts
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": {
+            "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            "shared_experts": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    },
+)
+
+_BIGCODE_TREE = (
+    "transformer",
+    "h",
+    "#",
+    {
+        "ln_1": ("ln_1:!",),
+        "attn": ("c_attn:0", "c_proj:1"),
+        "ln_2": ("ln_2:!",),
+        "mlp": ("c_fc:0", "c_proj:1"),
+    },
+)
+
+_ERNIE_MOE_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": {
+            "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            "shared_experts": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    },
+)
+
+_NEMOTRON_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("up_proj:0", "down_proj:1"),
+    },
+)
+
+_HUNYUAN_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "query_layernorm:!", "key_layernorm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
+_PERSIMMON_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("query_key_value:0", "dense:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("dense_h_to_4h:0", "dense_4h_to_h:1"),
+    },
+)
+
 REGISTRY: dict[str, ModelDef] = {
     "llama": ModelDef(_LLAMA_TREE),
     "mistral": ModelDef(_LLAMA_TREE),
     "qwen2": ModelDef(_LLAMA_TREE),
     "granite": ModelDef(_LLAMA_TREE),
     "smollm3": ModelDef(_LLAMA_TREE),
-    "starcoder2": ModelDef(_LLAMA_TREE),
+    "starcoder2": ModelDef(_STARCODER2_TREE),
     "internlm2": ModelDef(_LLAMA_TREE),
+    "cohere": ModelDef(_COHERE_TREE),
+    "cohere2": ModelDef(_COHERE_TREE),
+    "olmo": ModelDef(_LLAMA_TREE),
+    "olmo2": ModelDef(_OLMO2_TREE),
+    "olmoe": ModelDef(_OLMOE_TREE, dynamic_expert_index="num_experts"),
+    "exaone4": ModelDef(_EXAONE4_TREE),
+    "glm": ModelDef(_GLM_TREE),
+    "glm4": ModelDef(_GLM4_TREE),
+    "glm4_moe": ModelDef(
+        _GLM4_MOE_TREE, dynamic_expert_index="n_routed_experts"
+    ),
+    "gpt_bigcode": ModelDef(_BIGCODE_TREE, pre_lm_head_norm="transformer.ln_f"),
+    "ernie4_5": ModelDef(_LLAMA_TREE),
+    "ernie4_5_moe": ModelDef(
+        _ERNIE_MOE_TREE, dynamic_expert_index="moe_num_experts"
+    ),
+    "helium": ModelDef(_LLAMA_TREE),
+    "nemotron": ModelDef(_NEMOTRON_TREE),
+    "hunyuan_v1_dense": ModelDef(_HUNYUAN_TREE),
+    "persimmon": ModelDef(
+        _PERSIMMON_TREE, pre_lm_head_norm="model.final_layernorm"
+    ),
     "phi3": ModelDef(_PHI3_TREE),
     "phi4": ModelDef(_PHI3_TREE),
     "opt": ModelDef(

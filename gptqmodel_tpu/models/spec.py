@@ -163,6 +163,27 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             hidden_act=cfg.get("activation_function", "gelu_new"),
         )
+    if mt == "gpt_bigcode":
+        # starcoder1: gpt2 layout with nn.Linear (no Conv1D transpose) and
+        # MQA (multi_query -> 1 kv head), gelu_pytorch_tanh
+        # (modeling_gpt_bigcode.py GPTBigCodeAttention)
+        h = cfg["n_embd"]
+        nh = cfg["n_head"]
+        return ModelSpec(
+            model_type=mt,
+            family="gpt2",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("n_inner") or 4 * h,
+            num_layers=cfg["n_layer"],
+            num_heads=nh,
+            num_kv_heads=1 if cfg.get("multi_query", True) else nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("n_positions", 1024),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation_function", "gelu_pytorch_tanh"),
+        )
     if mt == "gpt_neox":
         h = cfg["hidden_size"]
         nh = cfg["num_attention_heads"]
@@ -297,6 +318,35 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             parallel_residual=cfg.get("use_parallel_residual", False),
             rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.25)),
             neox_gated_mlp=True,
+        )
+    if mt == "persimmon":
+        # neox-lineage: fused per-head query_key_value, dense o-proj,
+        # dense_h_to_4h relu2 MLP, partial rotary 0.5, LayerNorm+bias
+        # (modeling_persimmon.py:132-201)
+        h = cfg["hidden_size"]
+        nh = cfg["num_attention_heads"]
+        hd = h // nh
+        if cfg.get("qk_layernorm"):
+            raise NotImplementedError("persimmon qk_layernorm not supported yet")
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size", 4 * h),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=hd,
+            rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 25000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 16384),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "relu2"),
+            rope_scaling=cfg.get("rope_scaling"),
+            parallel_residual=False,
+            rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.5)),
+            qkv_layout="neox_fused",
         )
     if mt == "bloom":
         h = cfg.get("hidden_size", cfg.get("n_embed"))
@@ -484,6 +534,73 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                     else "sliding_attention"
                     for i in range(cfg["num_hidden_layers"])
                 )
+    if mt in ("ernie4_5", "ernie4_5_moe"):
+        # llama-shaped with a single use_bias knob and tied embeddings; the
+        # MoE variant routes softmax + moe_statics correction bias, shared
+        # experts, dense layers before moe_layer_start_index
+        # (modeling_ernie4_5_moe.py:264-346)
+        common.update(
+            attention_bias=cfg.get("use_bias", False),
+            mlp_bias=cfg.get("use_bias", False),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_interleave=True,  # glm-style pairs (modeling_ernie4_5.py:96)
+        )
+        if mt == "ernie4_5_moe":
+            common.update(
+                num_experts=cfg.get("moe_num_experts") or 0,
+                num_experts_per_tok=cfg.get("moe_k") or 0,
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                norm_topk_prob=True,
+                n_shared_experts=cfg.get("moe_num_shared_experts") or 0,
+                first_k_dense_replace=cfg.get("moe_layer_start_index", 0),
+                moe_topk_method="noaux_tc",
+                moe_scoring="softmax",
+            )
+    if mt == "helium":
+        # kyutai helium: llama body with glm-style interleaved rope
+        # (modeling_helium.py:154-189)
+        common["rope_interleave"] = True
+    if mt == "nemotron":
+        # LayerNorm1P ((1+w) affine), non-gated relu2 MLP, partial rotary
+        # (modeling_nemotron.py:69-87,170-181,219)
+        common.update(
+            norm_type="ln1p",
+            rms_norm_eps=cfg.get("norm_eps", 1e-5),
+            rotary_dim=int(head_dim * cfg.get("partial_rotary_factor", 0.5)),
+        )
+    if mt == "hunyuan_v1_dense":
+        # llama + per-head q/k RMSNorm under query/key_layernorm names
+        common["qk_norm"] = True
+    if mt in ("glm", "glm4", "glm4_moe"):
+        # partial (factor 0.5) pair-interleaved rotary (modeling_glm.py:134),
+        # fused gate_up MLP; glm4 adds sandwich norms
+        # (modeling_glm4.py:75-111); glm4_moe is a deepseek-v3-style router
+        # (sigmoid + noaux_tc correction bias, modeling_glm4_moe.py:260-271)
+        common.update(
+            rotary_dim=int(head_dim * cfg.get("partial_rotary_factor", 0.5)),
+            # glm/glm4 rotate interleaved pairs; glm4_moe uses the standard
+            # rotate-half convention (modeling_glm4_moe.py:83)
+            rope_interleave=mt != "glm4_moe",
+            attention_bias=cfg.get("attention_bias", mt != "glm4_moe"),
+        )
+        if mt == "glm4":
+            common["post_norms"] = True  # glm4 norm names handled in layer
+        if mt == "glm4_moe":
+            common.update(
+                qk_norm=bool(cfg.get("use_qk_norm", False)),
+                num_experts=cfg.get("n_routed_experts") or 0,
+                num_experts_per_tok=cfg.get("num_experts_per_tok") or 0,
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                norm_topk_prob=cfg.get("norm_topk_prob", True),
+                n_shared_experts=cfg.get("n_shared_experts") or 0,
+                first_k_dense_replace=cfg.get("first_k_dense_replace", 0),
+                moe_topk_method="noaux_tc",
+                moe_scoring="sigmoid",
+                n_group=cfg.get("n_group") or 0,
+                topk_group=cfg.get("topk_group") or 0,
+                routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            )
     if mt in ("gemma3_text", "gemma3"):
         # gemma3: gemma2 norms + qk-norm + sliding/full alternation with a
         # SEPARATE rope base for sliding layers (rope_local_base_freq)

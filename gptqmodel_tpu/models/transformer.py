@@ -105,6 +105,10 @@ def sublayer_norm(spec: "ModelSpec", npar, x: jnp.ndarray):
         return layer_norm(x, None, None, spec.rms_norm_eps)
     if spec.norm_type == "ln":
         return layer_norm(x, npar["weight"], npar.get("bias"), spec.rms_norm_eps)
+    if spec.norm_type == "ln1p":  # nemotron LayerNorm1P: (1+w) affine
+        return layer_norm(
+            x, npar["weight"] + 1.0, npar.get("bias"), spec.rms_norm_eps
+        )
     return rms_norm(x, npar["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
 
 
@@ -255,6 +259,10 @@ def layer_rope_bias(spec: ModelSpec, i: int, ctx: dict):
     """Select the (cos, sin, attn_bias) for layer ``i`` from a context dict
     {cos, sin, bias[, cos_l, sin_l, bias_l]} — sliding layers (gemma3) get
     the local-rope + windowed-mask variants."""
+    if spec.rope_sliding_only and not layer_is_sliding(spec, i):
+        # cohere2/exaone4 hybrid: full-attention layers skip RoPE entirely
+        # (modeling_cohere2.py:217, modeling_exaone4.py:227)
+        return None, None, ctx["bias"]
     if layer_is_sliding(spec, i) and "cos_l" in ctx:
         return ctx["cos_l"], ctx["sin_l"], ctx.get("bias_l", ctx["bias"])
     return ctx["cos"], ctx["sin"], ctx["bias"]
@@ -413,31 +421,46 @@ def attention(
     if "qkv_proj" in ap:  # phi3-style fused projection
         _tap(taps, tap_paths, f"{prefix}.qkv_proj", h)
         qkv = apply_linear(ap["qkv_proj"], h)
-        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
-        q = q.reshape(B, T, nh, hd)
-        k = k.reshape(B, T, nkv, hd)
-        v = v.reshape(B, T, nkv, hd)
+        qf, kf, vf = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
     else:
         _tap(taps, tap_paths, f"{prefix}.q_proj", h)
         _tap(taps, tap_paths, f"{prefix}.k_proj", h)
         _tap(taps, tap_paths, f"{prefix}.v_proj", h)
-        q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
-        k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
-        v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
+        qf = apply_linear(ap["q_proj"], h)
+        kf = apply_linear(ap["k_proj"], h)
+        vf = apply_linear(ap["v_proj"], h)
+    if spec.clip_qkv:  # olmo (modeling_olmo.py:174)
+        qf = jnp.clip(qf, -spec.clip_qkv, spec.clip_qkv)
+        kf = jnp.clip(kf, -spec.clip_qkv, spec.clip_qkv)
+        vf = jnp.clip(vf, -spec.clip_qkv, spec.clip_qkv)
+    if spec.qk_norm_wide:  # olmo2/olmoe: RMSNorm over the full projection
+        qf = rms_norm(qf, ap["q_norm"]["weight"], spec.rms_norm_eps)
+        kf = rms_norm(kf, ap["k_norm"]["weight"], spec.rms_norm_eps)
+    q = qf.reshape(B, T, nh, hd)
+    k = kf.reshape(B, T, nkv, hd)
+    v = vf.reshape(B, T, nkv, hd)
 
     if spec.qk_norm:  # qwen3/gemma3: per-head RMSNorm before RoPE
-        q = rms_norm(q, ap["q_norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
-        k = rms_norm(k, ap["k_norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
+        qn = ap.get("q_norm") or ap["query_layernorm"]  # hunyuan naming
+        kn = ap.get("k_norm") or ap["key_layernorm"]
+        q = rms_norm(q, qn["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
+        k = rms_norm(k, kn["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
+    if spec.qk_norm_ln:  # cohere use_qk_norm: per-head mean-centered LN
+        q = layer_norm(q, ap["q_norm"]["weight"], None, spec.rms_norm_eps)
+        k = layer_norm(k, ap["k_norm"]["weight"], None, spec.rms_norm_eps)
 
     q = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    q, k = apply_rope(q, k, cos, sin)
+    if cos is not None:
+        # full rope by default; cohere = interleaved, glm = partial(0.5)
+        # interleaved — _apply_partial_rope folds all three conventions
+        q, k = _apply_partial_rope(spec, q, k, cos, sin)
 
     if cache is not None:
         k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
 
-    scale = (
+    scale = spec.attn_scale or (
         spec.query_pre_attn_scalar**-0.5 if spec.query_pre_attn_scalar else hd**-0.5
     )
     rep = nh // k.shape[1]
@@ -570,6 +593,7 @@ def _act(name: str):
         "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
         "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
+        "relu2": lambda x: jnp.square(jax.nn.relu(x)),  # nemotron/persimmon
     }[name]
 
 
@@ -595,6 +619,16 @@ def gated_mlp(
         _tap(taps, tap_paths, f"{prefix}.gate_up_proj", h, row_mask)
         gu = apply_linear(mp["gate_up_proj"], h)
         g, u = jnp.split(gu, 2, axis=-1)
+    elif "c_fc" in mp:  # starcoder2 plain (non-gated) MLP
+        _tap(taps, tap_paths, f"{prefix}.c_fc", h, row_mask)
+        inner = _act(spec.hidden_act)(apply_linear(mp["c_fc"], h))
+        _tap(taps, tap_paths, f"{prefix}.c_proj", inner, row_mask)
+        return apply_linear(mp["c_proj"], inner)
+    elif "up_proj" in mp and "gate_proj" not in mp:  # nemotron up/down relu2
+        _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
+        inner = _act(spec.hidden_act)(apply_linear(mp["up_proj"], h))
+        _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
+        return apply_linear(mp["down_proj"], inner)
     elif "w1" in mp:  # mixtral expert naming: w1=gate, w3=up, w2=down
         _tap(taps, tap_paths, f"{prefix}.w1", h, row_mask)
         _tap(taps, tap_paths, f"{prefix}.w3", h, row_mask)
@@ -731,7 +765,12 @@ def deepseek_moe(
     E, K = spec.num_experts, spec.num_experts_per_tok
     choose = scores
     if spec.moe_topk_method == "noaux_tc":
-        bias = jnp.asarray(gate["e_score_correction_bias"], jnp.float32)
+        # deepseek keeps the bias on the gate; ernie4_5_moe nests it in a
+        # moe_statics module (modeling_ernie4_5_moe.py:277)
+        bias_src = gate.get("e_score_correction_bias")
+        if bias_src is None:
+            bias_src = mp["moe_statics"]["e_score_correction_bias"]
+        bias = jnp.asarray(bias_src, jnp.float32).reshape(-1)
         choose = scores + bias[None, :]
     if (
         spec.moe_topk_method in ("group_limited_greedy", "noaux_tc")
@@ -803,9 +842,10 @@ def decoder_layer(
     taps=None,
     tap_paths=frozenset(),
 ):
-    normed = rms_norm(
-        h, lp["input_layernorm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
-    )
+    if spec.norm_after:  # olmo2/exaone4: raw input, norm on sublayer output
+        normed = h
+    else:
+        normed = sublayer_norm(spec, lp.get("input_layernorm"), h)
     if "kv_a_proj_with_mqa" in lp["self_attn"]:  # deepseek MLA
         attn_out, cache = mla_attention(
             spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
@@ -816,22 +856,32 @@ def decoder_layer(
             spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
             taps=taps, tap_paths=tap_paths,
         )
-    if spec.post_norms:  # gemma2 post-attention norm before residual
+    if spec.parallel_residual:
+        # cohere: shared-ln parallel attn+mlp (modeling_cohere.py:323-338)
+        mlp_out = gated_mlp(spec, lp["mlp"], normed, taps=taps, tap_paths=tap_paths)
+        return h + attn_out + mlp_out, cache
+    rmult = spec.residual_multiplier  # granite (modeling_granite.py:288)
+    if spec.norm_after:  # olmo2/exaone4 (modeling_olmo2.py:250-257)
+        attn_out = sublayer_norm(spec, lp["post_attention_layernorm"], attn_out)
+        h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
+        normed2 = h
+    elif spec.post_norms:  # gemma2/glm4 post-attention norm before residual
+        # glm4 uses post_self_attn/post_attention/post_mlp names for the
+        # same sandwich structure as gemma2's post_attention/
+        # pre_feedforward/post_feedforward (modeling_glm4.py:75-111)
+        glm4 = "post_self_attn_layernorm" in lp
+        pa = lp["post_self_attn_layernorm" if glm4 else "post_attention_layernorm"]
         attn_out = rms_norm(
-            attn_out, lp["post_attention_layernorm"]["weight"],
-            spec.rms_norm_eps, spec.rms_norm_offset,
+            attn_out, pa["weight"], spec.rms_norm_eps, spec.rms_norm_offset,
         )
         h = h + attn_out
+        pre = lp["post_attention_layernorm" if glm4 else "pre_feedforward_layernorm"]
         normed2 = rms_norm(
-            h, lp["pre_feedforward_layernorm"]["weight"],
-            spec.rms_norm_eps, spec.rms_norm_offset,
+            h, pre["weight"], spec.rms_norm_eps, spec.rms_norm_offset,
         )
     else:
-        h = h + attn_out
-        normed2 = rms_norm(
-            h, lp["post_attention_layernorm"]["weight"],
-            spec.rms_norm_eps, spec.rms_norm_offset,
-        )
+        h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
+        normed2 = sublayer_norm(spec, lp.get("post_attention_layernorm"), h)
 
     if "block_sparse_moe" in lp:  # mixtral container naming
         mlp_out = moe_mlp(
@@ -841,7 +891,8 @@ def decoder_layer(
     elif spec.num_experts > 0 and (
         "experts" in lp["mlp"] or "experts_stacked" in lp["mlp"]
     ):
-        if "shared_experts" in lp["mlp"] or spec.model_type.startswith("deepseek"):
+        if ("shared_experts" in lp["mlp"] or "moe_statics" in lp["mlp"]
+                or spec.model_type.startswith("deepseek")):
             mlp_out = deepseek_moe(
                 spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
             )
@@ -852,11 +903,15 @@ def decoder_layer(
     else:
         mlp_out = gated_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
 
-    if spec.post_norms:
+    if spec.norm_after:  # olmo2/exaone4
+        mlp_out = sublayer_norm(spec, lp["post_feedforward_layernorm"], mlp_out)
+    elif spec.post_norms:
+        pm = lp.get("post_mlp_layernorm") or lp["post_feedforward_layernorm"]
         mlp_out = rms_norm(
-            mlp_out, lp["post_feedforward_layernorm"]["weight"],
-            spec.rms_norm_eps, spec.rms_norm_offset,
+            mlp_out, pm["weight"], spec.rms_norm_eps, spec.rms_norm_offset,
         )
+    if spec.residual_multiplier != 1.0:  # granite
+        return h + mlp_out * spec.residual_multiplier, cache
     return h + mlp_out, cache
 
 
@@ -931,9 +986,7 @@ def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
     if spec.family == "neox":
         n = root[_neox_names(spec)["final"]]
         return layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
-    return rms_norm(
-        h, root["norm"]["weight"], spec.rms_norm_eps, spec.rms_norm_offset
-    )
+    return sublayer_norm(spec, root.get("norm"), h)
 
 
 # --------------------------------------------------------------------------
@@ -1038,15 +1091,29 @@ def gpt2_attention(
     load, see loader conv1d_suffixes)."""
     B, T, _ = h.shape
     nh, hd = spec.num_heads, spec.head_dim
+    nkv = spec.num_kv_heads
     _tap(taps, tap_paths, f"{prefix}.c_attn", h)
     qkv = apply_linear(ap["c_attn"], h)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    if nkv != nh:  # gpt_bigcode MQA: c_attn -> [q | k(1 head) | v(1 head)]
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nkv, hd)
+        v = v.reshape(B, T, nkv, hd)
+    elif spec.model_type == "gpt_bigcode":
+        # bigcode MHA: per-head fused [q_h|k_h|v_h] blocks
+        # (modeling_gpt_bigcode.py:220-223)
+        q, k, v = jnp.split(qkv.reshape(B, T, nh, 3 * hd), 3, axis=-1)
+    else:
+        q, k, v = (t.reshape(B, T, nh, hd) for t in jnp.split(qkv, 3, axis=-1))
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
 
-    if cache is not None:
+    if cache is not None:  # cache holds nkv heads; GQA-expand after read
         k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
+    if k.shape[1] != nh:
+        k = jnp.repeat(k, nh // k.shape[1], axis=1)
+        v = jnp.repeat(v, nh // v.shape[1], axis=1)
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -1194,6 +1261,9 @@ _NEOX_NAMES = {
     "stablelm": dict(root="model", layers="layers", embed="embed_tokens",
                      final="norm", head="lm_head", attn="self_attn",
                      o="o_proj"),
+    "persimmon": dict(root="model", layers="layers", embed="embed_tokens",
+                      final="final_layernorm", head="lm_head",
+                      attn="self_attn", o="dense"),
 }
 
 
@@ -1432,15 +1502,15 @@ def model_hidden(
             bias_l = make_causal_mask(T, kv_len, window=spec.sliding_window)
     h = embed(spec, params, input_ids, dtype, positions)
     new_caches = [] if caches is not None else None
+    ctx = {"cos": cos, "sin": sin, "bias": attn_bias}
+    if has_sliding:
+        ctx.update(cos_l=cos_l, sin_l=sin_l)
+        if bias_l is not None:
+            ctx["bias_l"] = bias_l
     for i, lp in enumerate(model_layers(spec, params)):
         cache_i = caches[i] if caches is not None else None
-        sl = layer_is_sliding(spec, i)
-        h, cache_i = any_decoder_layer(
-            spec, lp, h,
-            cos_l if sl else cos, sin_l if sl else sin,
-            bias_l if (sl and bias_l is not None) else attn_bias,
-            cache_i,
-        )
+        c_i, s_i, b_i = layer_rope_bias(spec, i, ctx)
+        h, cache_i = any_decoder_layer(spec, lp, h, c_i, s_i, b_i, cache_i)
         if new_caches is not None:
             new_caches.append(cache_i)
     h = final_norm(spec, params, h)
@@ -1459,6 +1529,8 @@ def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
         logits = hidden @ w.T.astype(hidden.dtype)
     else:
         logits = apply_linear(params[head], hidden)
+    if spec.logit_scale != 1.0:  # cohere ×logit_scale / granite ÷logits_scaling
+        logits = logits * spec.logit_scale
     if spec.logit_softcap:
         logits = jnp.tanh(logits / spec.logit_softcap) * spec.logit_softcap
     return logits

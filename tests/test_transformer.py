@@ -716,3 +716,246 @@ def test_phi_quantize_generate_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+
+
+# --------------------------------------------------------------------------
+# cohere / olmo / granite / starcoder2 / exaone4 lineage
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        # cohere: mean-centered LN, shared-ln parallel residual, interleaved
+        # rope, logit_scale, tied embeddings
+        ("cohere", dict(layer_norm_eps=1e-5, logit_scale=0.0625)),
+        # + per-head LayerNorm qk-norm (command-r-plus style)
+        ("cohere", dict(use_qk_norm=True, num_key_value_heads=2)),
+        # cohere2: sliding pattern, full-attention layers skip rope
+        ("cohere2", dict(sliding_window=8, sliding_window_pattern=2,
+                         num_hidden_layers=4, head_dim=16)),
+        # olmo: non-parametric LayerNorm + clip_qkv
+        ("olmo", dict(clip_qkv=0.4)),
+        # olmo2: post-only norms, full-width q/k RMSNorm
+        ("olmo2", dict(rms_norm_eps=1e-5)),
+        # granite: mup multipliers
+        ("granite", dict(embedding_multiplier=6.0, attention_multiplier=0.3,
+                         residual_multiplier=0.5, logits_scaling=4.0)),
+        # starcoder2: LayerNorm+bias, biased projections, plain c_fc MLP
+        ("starcoder2", dict(use_bias=True, tie_word_embeddings=True)),
+        # exaone4 full-attention variant: post-only norms + per-head qk norm
+        # (HF config crashes on sliding_window=None w/o explicit layer_types)
+        ("exaone4", dict(sliding_window=None,
+                         layer_types=["full_attention"] * 2)),
+        # exaone4 hybrid: sliding pattern, full layers skip rope
+        ("exaone4", dict(sliding_window=8, sliding_window_pattern=2,
+                         num_hidden_layers=4)),
+    ],
+)
+def test_forward_parity_cohere_olmo_lineage(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_olmoe():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "olmoe", num_experts=8, num_experts_per_tok=2,
+            norm_topk_prob=False,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.num_experts == 8 and spec.qk_norm_wide
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_cohere_quantize_e2e():
+    """Parallel-residual grouping: qkv + gate/up share subset 0."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "cohere")
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+def test_olmo2_quantize_e2e():
+    """norm_after lineage through the looper (capture sees RAW hidden)."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "olmo2")
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+# --------------------------------------------------------------------------
+# glm lineage + gpt_bigcode
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        # glm: partial(0.5) interleaved rotary, fused gate_up, qkv bias
+        ("glm", dict(head_dim=16, attention_bias=True, pad_token_id=0)),
+        # glm4: + sandwich norms (post_self_attn / post_mlp)
+        ("glm4", dict(head_dim=16, attention_bias=True, pad_token_id=0)),
+    ],
+)
+def test_forward_parity_glm(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.rotary_dim == 8 and spec.rope_interleave
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_glm4_moe():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "glm4_moe", head_dim=16, pad_token_id=0, n_routed_experts=8,
+            num_experts_per_tok=2, n_shared_experts=1, n_group=2,
+            topk_group=1, first_k_dense_replace=1, moe_intermediate_size=64,
+            norm_topk_prob=True, use_qk_norm=True,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.num_experts == 8 and spec.moe_scoring == "sigmoid"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("multi_query", [True, False])
+def test_forward_parity_gpt_bigcode(multi_query):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_bigcode", vocab_size=128, n_embd=64, n_layer=2,
+            n_head=4, n_positions=128, multi_query=multi_query,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "bigcode"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "gpt2"
+        assert spec.num_kv_heads == (1 if multi_query else 4)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_glm4_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "glm4", head_dim=16, attention_bias=True, pad_token_id=0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # q/k/v/o + gate_up/down per layer
+        assert len(rows) == 2 * 6
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+def test_gpt_bigcode_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_bigcode", vocab_size=128, n_embd=64, n_layer=2,
+            n_head=4, n_positions=128, multi_query=True,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "bigcode"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 4
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+# --------------------------------------------------------------------------
+# ernie / nemotron / helium / hunyuan / persimmon
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        ("ernie4_5", dict(use_bias=True, head_dim=16)),
+        ("helium", dict(head_dim=16)),
+        # nemotron: LayerNorm1P + non-gated relu2 MLP + partial rotary
+        ("nemotron", dict(norm_eps=1e-5, partial_rotary_factor=0.5)),
+        # hunyuan dense: per-head qk RMSNorm under query/key_layernorm names
+        ("hunyuan_v1_dense", dict(head_dim=16)),
+        # persimmon: neox-lineage fused qkv + relu2 + partial rotary
+        ("persimmon", dict(hidden_act="relu2", qk_layernorm=False)),
+    ],
+)
+def test_forward_parity_ernie_nemotron_lineage(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_ernie4_5_moe():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "ernie4_5_moe", head_dim=16, moe_num_experts=8, moe_k=2,
+            moe_num_shared_experts=1, moe_layer_start_index=1,
+            moe_intermediate_size=64, use_bias=False,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.num_experts == 8 and spec.moe_scoring == "softmax"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_nemotron_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "nemotron", norm_eps=1e-5)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 6  # q/k/v/o + up/down
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
