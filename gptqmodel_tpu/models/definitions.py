@@ -501,6 +501,20 @@ REGISTRY: dict[str, ModelDef] = {
     "persimmon": ModelDef(
         _PERSIMMON_TREE, pre_lm_head_norm="model.final_layernorm"
     ),
+    "mpt": ModelDef(
+        (
+            "transformer",
+            "blocks",
+            "#",
+            {
+                "norm_1": ("norm_1:!",),
+                "attn": ("Wqkv:0", "out_proj:1"),
+                "norm_2": ("norm_2:!",),
+                "ffn": ("up_proj:0", "down_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="transformer.norm_f",
+    ),
     "phi3": ModelDef(_PHI3_TREE),
     "phi4": ModelDef(_PHI3_TREE),
     "opt": ModelDef(

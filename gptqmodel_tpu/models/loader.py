@@ -24,7 +24,7 @@ from gptqmodel_tpu.ops import pack as packing
 from gptqmodel_tpu.ops.qlinear import QuantLinear
 from gptqmodel_tpu.quantization.config import FORMAT, QuantizeConfig
 
-_LAYER_RE = re.compile(r"^(.*?\.(?:layers|h))\.(\d+)\.(.*)$")
+_LAYER_RE = re.compile(r"^(.*?\.(?:layers|h|blocks))\.(\d+)\.(.*)$")
 
 
 class CheckpointReader:

@@ -96,13 +96,38 @@ def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
                 ("w1", "w3", "w2") if "w1" in experts[0]
                 else ("gate_proj", "up_proj", "down_proj")
             )
+            g, u, d = names
+            from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+            from gptqmodel_tpu.ops.registry import _on_tpu, get_backend
+
+            backend_ok = get_backend() in ("pallas", "pallas_interpret") or (
+                get_backend() == "auto" and _on_tpu()
+            )
+            if backend_ok and all(
+                isinstance(e.get(g), QuantLinear) for e in experts
+            ):
+                # PACKED experts -> grouped dequant-GEMM kernel
+                # (ops/pallas_qmoe): weights stay at bits/8 bytes in HBM and
+                # only routed experts stream per step
+                from gptqmodel_tpu.ops.pallas_qmoe import stack_packed_experts
+
+                sq = {
+                    "gate": stack_packed_experts([e[g] for e in experts]),
+                    "up": stack_packed_experts([e[u] for e in experts]),
+                    "down": stack_packed_experts([e[d] for e in experts]),
+                }
+                if all(v is not None for v in sq.values()):
+                    mp["experts_stacked_q"] = sq
+                    del mp["experts"]
+                    n_stacked += 1
+                continue
             if not all(
                 isinstance(e.get(n), dict) and "weight" in e[n]
                 and e[n].get("bias") is None
                 for e in experts for n in names
             ):
-                continue  # packed / exotic experts: keep the loop path
-            g, u, d = names
+                continue  # exotic experts: keep the loop path
             mp["experts_stacked"] = {
                 # ragged_dot rhs layout [E, in, out]
                 "gate": jnp.stack([jnp.asarray(e[g]["weight"]).T for e in experts]),

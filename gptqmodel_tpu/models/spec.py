@@ -348,6 +348,33 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.5)),
             qkv_layout="neox_fused",
         )
+    if mt == "mpt":
+        # transformer.blocks.N.{norm_1, attn.Wqkv (global [q|k|v]), attn.
+        # out_proj, norm_2, ffn.up_proj/down_proj}; exact GELU, MPT-style
+        # ALiBi, no position embeddings (modeling_mpt.py:45-163)
+        h = cfg["d_model"]
+        nh = cfg["n_heads"]
+        attn_cfg = cfg.get("attn_config") or {}
+        if attn_cfg.get("qk_ln"):
+            raise NotImplementedError("mpt qk_ln not supported yet")
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("expansion_ratio", 4) * h,
+            num_layers=cfg["n_layers"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("max_seq_len", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act="gelu",
+            parallel_residual=False,
+            alibi=bool(attn_cfg.get("alibi", True)),
+            clip_qkv=float(attn_cfg.get("clip_qkv") or 0.0),
+        )
     if mt == "bloom":
         h = cfg.get("hidden_size", cfg.get("n_embed"))
         nh = cfg.get("n_head", cfg.get("num_attention_heads"))

@@ -589,7 +589,9 @@ def mla_attention(
 def _act(name: str):
     return {
         "silu": jax.nn.silu,
-        "gelu": jax.nn.gelu,
+        # HF ACT2FN["gelu"] is the exact erf form (GELUActivation); the tanh
+        # approximation is the separate gelu_new/gelu_pytorch_tanh entries
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
         "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
         "relu": jax.nn.relu,
@@ -647,6 +649,38 @@ def gated_mlp(
     return apply_linear(mp["down_proj"], inner)
 
 
+def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8):
+    """PACKED ragged expert dispatch (ops/pallas_qmoe): tokens sorted by
+    expert, jit-safe slot plan, one grouped dequant-GEMM kernel per
+    projection — only routed experts' packed bytes leave HBM."""
+    from gptqmodel_tpu.ops.pallas_qmoe import plan_slots_jit, qmoe_forward_sorted
+    from gptqmodel_tpu.ops.registry import get_backend
+
+    interpret = get_backend() == "pallas_interpret"
+    N, D = x.shape
+    K = top_i.shape[1]
+    M = N * K
+    gate, up, down = sq["gate"], sq["up"], sq["down"]
+    E = gate.qweight.shape[0]
+    flat_e = top_i.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)
+    tok = order // K
+    S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
+    ids, counts, pos = plan_slots_jit(flat_e[order], E, bm, S)
+    M_pad = S * bm
+    xs = jnp.zeros((M_pad, D), jnp.bfloat16).at[pos].set(
+        x[tok].astype(jnp.bfloat16)
+    )
+    g = qmoe_forward_sorted(xs, ids, counts, gate, bm=bm, interpret=interpret)
+    u = qmoe_forward_sorted(xs, ids, counts, up, bm=bm, interpret=interpret)
+    inner = (_act(spec.hidden_act)(g) * u).astype(jnp.bfloat16)
+    y = qmoe_forward_sorted(inner, ids, counts, down, bm=bm,
+                            interpret=interpret)
+    w = top_w.reshape(-1)[order].astype(jnp.float32)
+    out = jnp.zeros((N, D), jnp.float32).at[tok].add(y[pos] * w[:, None])
+    return out.astype(x.dtype)
+
+
 def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
     """Ragged/gmm expert dispatch: sort tokens by expert, one
     ``jax.lax.ragged_dot`` per projection over [E, in, out] stacked weights
@@ -694,6 +728,17 @@ def moe_mlp(
     if spec.norm_topk_prob:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
+    if "experts_stacked_q" in mp and taps is None:  # packed ragged path
+        out = _moe_ragged_apply_q(spec, mp["experts_stacked_q"], x, top_w, top_i)
+        if "shared_experts" in mp:
+            out = out + gated_mlp(spec, mp["shared_experts"], x)
+        if "shared_expert" in mp:
+            se = gated_mlp(spec, mp["shared_expert"], x)
+            gl = apply_linear(mp["shared_expert_gate"], x)
+            out = out + jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
+                x.dtype
+            ) * se
+        return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
         out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
         if "shared_expert" in mp:
@@ -794,6 +839,11 @@ def deepseek_moe(
         top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
     top_w = top_w * spec.routed_scaling_factor
 
+    if "experts_stacked_q" in mp and taps is None:  # packed ragged path
+        out = _moe_ragged_apply_q(spec, mp["experts_stacked_q"], x, top_w, top_i)
+        if "shared_experts" in mp:
+            out = out + gated_mlp(spec, mp["shared_experts"], x)
+        return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
         out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
         if "shared_experts" in mp:
@@ -890,6 +940,7 @@ def decoder_layer(
         )
     elif spec.num_experts > 0 and (
         "experts" in lp["mlp"] or "experts_stacked" in lp["mlp"]
+        or "experts_stacked_q" in lp["mlp"]
     ):
         if ("shared_experts" in lp["mlp"] or "moe_statics" in lp["mlp"]
                 or spec.model_type.startswith("deepseek")):
@@ -1156,6 +1207,19 @@ def gpt2_decoder_layer(
 # --------------------------------------------------------------------------
 
 
+def mpt_alibi_slopes(num_heads: int, alibi_bias_max: int = 8) -> np.ndarray:
+    """MPT ALiBi slopes (modeling_mpt.py:45-65): computed over the NEXT power
+    of two with 2^(-i*bias_max/n2), odd-index-first reorder for non-pow2."""
+    import math
+
+    n2 = 2 ** math.ceil(math.log2(num_heads))
+    base = np.arange(1, n2 + 1, dtype=np.float32) * (alibi_bias_max / n2)
+    slopes = 1.0 / np.power(2.0, base)
+    if n2 != num_heads:
+        slopes = np.concatenate([slopes[1::2], slopes[0::2]])[:num_heads]
+    return slopes.astype(np.float32)
+
+
 def alibi_slopes(num_heads: int) -> np.ndarray:
     """Standard ALiBi head slopes (HF BloomModel.build_alibi_tensor math)."""
     import math
@@ -1264,6 +1328,8 @@ _NEOX_NAMES = {
     "persimmon": dict(root="model", layers="layers", embed="embed_tokens",
                       final="final_layernorm", head="lm_head",
                       attn="self_attn", o="dense"),
+    "mpt": dict(root="transformer", layers="blocks", embed="wte",
+                final="norm_f", head="lm_head", attn="attn", o="out_proj"),
 }
 
 
@@ -1324,6 +1390,15 @@ def neox_attention(
         else:  # neox_fused: per-head [q|k|v] thirds
             qkv = qkv.reshape(B, T, nh, 3 * hd)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+    elif "Wqkv" in ap:  # mpt: global [q|k|v] concat (modeling_mpt.py:85-107)
+        _tap(taps, tap_paths, f"{prefix}.Wqkv", h)
+        qkv = apply_linear(ap["Wqkv"], h)
+        if spec.clip_qkv:
+            qkv = jnp.clip(qkv, -spec.clip_qkv, spec.clip_qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nkv, hd)
+        v = v.reshape(B, T, nkv, hd)
     else:
         _tap(taps, tap_paths, f"{prefix}.q_proj", h)
         _tap(taps, tap_paths, f"{prefix}.k_proj", h)
@@ -1349,14 +1424,24 @@ def neox_attention(
     # logits = (q@k + alibi) * inv_norm_factor) — so pre-multiply by scale.
     alibi = None
     if spec.alibi:
-        slopes = jnp.asarray(alibi_slopes(nh)).astype(jnp.bfloat16).astype(
-            jnp.float32
-        )
-        alibi = (
-            slopes[:, None, None]
-            * jnp.arange(S, dtype=jnp.float32)[None, None, :]
-            * scale
-        )  # [nh, 1, S]
+        if spec.model_type == "mpt":
+            # MPT slopes (build_mpt_alibi_tensor, modeling_mpt.py:45-65):
+            # 2^(-i*bias_max/ceil_pow2), interleave-reordered when heads
+            # aren't a power of two; added AFTER the softmax scaling
+            slopes = jnp.asarray(mpt_alibi_slopes(nh))
+            alibi = (
+                slopes[:, None, None]
+                * jnp.arange(S, dtype=jnp.float32)[None, None, :]
+            )
+        else:
+            slopes = jnp.asarray(alibi_slopes(nh)).astype(jnp.bfloat16).astype(
+                jnp.float32
+            )
+            alibi = (
+                slopes[:, None, None]
+                * jnp.arange(S, dtype=jnp.float32)[None, None, :]
+                * scale
+            )  # [nh, 1, S]
     if rep > 1:
         qg = q.reshape(B, k.shape[1], rep, T, hd)
         logits = jnp.einsum(
@@ -1384,16 +1469,17 @@ def neox_attention(
     return apply_linear(ap[o_name], out), cache
 
 
-def neox_mlp(spec, mp, h, taps=None, tap_paths=frozenset()):
+def neox_mlp(spec, mp, h, taps=None, tap_paths=frozenset(), prefix="mlp"):
     """fc-pair MLP under each arch's names, or stablelm's gated silu MLP."""
     if spec.neox_gated_mlp:
-        return gated_mlp(spec, mp, h, taps=taps, tap_paths=tap_paths)
+        return gated_mlp(spec, mp, h, prefix=prefix, taps=taps,
+                         tap_paths=tap_paths)
     for a, b in (("dense_h_to_4h", "dense_4h_to_h"), ("fc_in", "fc_out"),
-                 ("fc1", "fc2")):
+                 ("fc1", "fc2"), ("up_proj", "down_proj")):
         if a in mp:
-            _tap(taps, tap_paths, f"mlp.{a}", h)
+            _tap(taps, tap_paths, f"{prefix}.{a}", h)
             x = _act(spec.hidden_act)(apply_linear(mp[a], h))
-            _tap(taps, tap_paths, f"mlp.{b}", x)
+            _tap(taps, tap_paths, f"{prefix}.{b}", x)
             return apply_linear(mp[b], x)
     raise KeyError(f"unrecognized neox mlp params: {list(mp)}")
 
@@ -1401,10 +1487,11 @@ def neox_mlp(spec, mp, h, taps=None, tap_paths=frozenset()):
 def _neox_ln(lp: Params, which: str, eps: float, x):
     """Resolve the attn/mlp-branch LayerNorm across arch naming variants."""
     if which == "attn":
-        n = lp.get("input_layernorm") or lp.get("ln_1") or lp.get("ln_attn")
+        n = (lp.get("input_layernorm") or lp.get("ln_1") or lp.get("ln_attn")
+             or lp.get("norm_1"))
     else:
         n = (lp.get("post_attention_layernorm") or lp.get("ln_mlp")
-             or lp.get("input_layernorm") or lp.get("ln_1"))
+             or lp.get("norm_2") or lp.get("input_layernorm") or lp.get("ln_1"))
     return layer_norm(x, n["weight"], n.get("bias"), eps)
 
 
@@ -1437,7 +1524,9 @@ def neox_decoder_layer(
             spec, lp[attn_c], ln_a, cos, sin, attn_bias, cache,
             prefix=attn_c, taps=taps, tap_paths=tap_paths, o_name=names["o"],
         )
-        mlp_out = neox_mlp(spec, lp["mlp"], ln_m, taps=taps, tap_paths=tap_paths)
+        mlp_out = neox_mlp(spec, lp.get("mlp") or lp["ffn"], ln_m,
+                           taps=taps, tap_paths=tap_paths,
+                           prefix="mlp" if "mlp" in lp else "ffn")
         return h + attn_out + mlp_out, cache
 
     ln1 = _neox_ln(lp, "attn", eps, h)
@@ -1447,7 +1536,9 @@ def neox_decoder_layer(
     )
     a = h + attn_out
     ln2 = _neox_ln(lp, "mlp", eps, a)
-    mlp_out = neox_mlp(spec, lp["mlp"], ln2, taps=taps, tap_paths=tap_paths)
+    mlp_out = neox_mlp(spec, lp.get("mlp") or lp["ffn"], ln2,
+                       taps=taps, tap_paths=tap_paths,
+                       prefix="mlp" if "mlp" in lp else "ffn")
     return a + mlp_out, cache
 
 

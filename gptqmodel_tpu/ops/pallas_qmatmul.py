@@ -358,8 +358,11 @@ def qmatmul(
     # down-proj shape); env override for experiments
     import os
 
+    # decode default 2048: consistently +1-5pp roofline over 1024 in paired
+    # interleaved A/B on v5e (chip-state drift between runs is larger than
+    # the effect, so always compare configs back-to-back)
     bn_default = int(os.environ.get("GPTQ_TPU_BN", "0")) or (
-        1024 if M <= 16 else 512
+        2048 if M <= 16 else 512
     )
     bn = min(block_n or bn_default, N)
     gpk = bk // g

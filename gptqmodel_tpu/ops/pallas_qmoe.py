@@ -1,0 +1,342 @@
+"""Pallas quantized ragged-MoE dispatch (packed grouped-GEMM).
+
+The dense MoE formulation streams EVERY expert's weights each step; the
+bf16 ``jax.lax.ragged_dot`` path (optimize.stack_moe_experts) fixes the
+compute waste but requires dequantized (bf16) experts — forfeiting the 4x
+HBM saving exactly where it matters most (decode is weight-bound). This
+kernel is the packed analog of a grouped GEMM (megablocks / vLLM fused-MoE
+regime, which the reference delegates to vLLM — SURVEY §2.9):
+
+* tokens are sorted by expert (same host-side prep as the bf16 ragged path)
+  and decomposed into SLOTS of <= ``bm`` rows, each owned by one expert;
+* the grid runs (n_blocks, slots) with the slot's expert id scalar-prefetched
+  into the qweight/scales index_maps — only ROUTED experts' packed weights
+  are DMA'd, and consecutive slots of the same expert reuse the resident
+  block (Mosaic skips the re-fetch when the mapped block is unchanged);
+* in-kernel dequant is the same magic-bf16 / f32 arithmetic as
+  pallas_qmatmul, on the INTERCHANGE layout with the activation K-axis
+  pre-permuted (plane-major trick) — no per-expert repack needed, so any
+  group count (e.g. moe_intermediate 1408 = 11 groups) works;
+* rows are written through a dynamic-start slice with a tail mask, so slot
+  boundaries inside an expert and expert boundaries across slots stay exact.
+
+Sym (uniform zero point) checkpoints only — asym falls back to the dense
+loop (reference MoE quantization is sym by default).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gptqmodel_tpu.ops.pallas_qmatmul import _MAGIC_BF16, _MAGIC_OFFSET
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def build_slots(
+    top_i: np.ndarray, E: int, bm: int, max_slots: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side slot plan from routed expert assignments (test oracle for
+    :func:`plan_slots_jit`).
+
+    ALIGNED layout: slot s owns rows [s*bm, s*bm + count_s) of the padded
+    row buffer — every expert segment starts on a slot boundary so dynamic
+    row slices in the kernel are statically bm-aligned (Mosaic sublane
+    rule). Returns (pos, expert_ids[S], row_count[S], order): ``order``
+    sorts the flattened (token, k) pairs by expert; sorted row r lands at
+    padded position pos[r]. Padded slots repeat the last expert id with
+    count 0 (no extra DMA, no writes).
+    """
+    flat = np.asarray(top_i).reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_e = flat[order]
+    ids, counts = [], []
+    pos = np.zeros(flat.shape[0], np.int64)
+    i = 0
+    M = sorted_e.shape[0]
+    while i < M:
+        e = int(sorted_e[i])
+        j = i
+        while j < M and int(sorted_e[j]) == e:
+            j += 1
+        for s in range(i, j, bm):
+            c = min(bm, j - s)
+            pos[s : s + c] = len(ids) * bm + np.arange(c)
+            ids.append(e)
+            counts.append(c)
+        i = j
+    assert len(ids) <= max_slots, (len(ids), max_slots)
+    pad_e = ids[-1] if ids else 0
+    while len(ids) < max_slots:
+        ids.append(pad_e)
+        counts.append(0)
+    return (
+        pos,
+        np.asarray(ids, np.int32),
+        np.asarray(counts, np.int32),
+        order,
+    )
+
+
+def _qmoe_kernel(
+    ids_ref, count_ref, x_ref, qw_ref, s_ref, o_ref,
+    *, bits, kt, nt, G, bm, zero_const,
+):
+    """One (n-block, slot): dequant the slot's expert tile, matmul its <= bm
+    rows, masked-accumulate into the output rows. Slot s owns rows
+    [s*bm, s*bm + count) — the start is statically bm-aligned (Mosaic
+    sublane rule for dynamic slices)."""
+    s_idx = pl.program_id(1)
+
+    @pl.when(s_idx == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    r0 = s_idx * bm
+    cnt = count_ref[s_idx]
+
+    @pl.when(cnt > 0)
+    def _():
+        # interchange-layout dequant, exact copy of _qmm_kernel's plane math
+        # (pallas_qmatmul.py:54) with a SCALAR zero point
+        pf = 32 // bits
+        R = kt // pf
+        u = qw_ref[0].astype(jnp.uint32)  # [R, nt]
+        x = x_ref[pl.ds(r0, bm), :].astype(jnp.bfloat16)  # [bm, kt] permuted
+        s = s_ref[0][:G].astype(jnp.bfloat16)[:, None, :]  # [G, 1, nt]
+
+        acc = jnp.zeros((bm, nt), jnp.float32)
+        if bits == 8:
+            z = jnp.bfloat16(zero_const)
+            rpg = R // G
+            for a in range(pf):
+                wa = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                ).astype(jnp.bfloat16)
+                wa = ((wa.reshape(G, rpg, nt) - z) * s).reshape(R, nt)
+                acc += jnp.dot(
+                    x[:, a * R : (a + 1) * R], wa,
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            fmask, magic = _MAGIC_BF16[bits]
+            zoff = jnp.bfloat16(zero_const + _MAGIC_OFFSET)
+            rpg = (2 * R) // G
+            for a in range(pf // 2):
+                t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(
+                    magic
+                )
+                wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+                wa = ((wa.reshape(G, rpg, nt) - zoff) * s).reshape(2 * R, nt)
+                acc += jnp.dot(
+                    x[:, a * 2 * R : (a + 1) * 2 * R], wa,
+                    preferred_element_type=jnp.float32,
+                )
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, nt), 0)
+        keep = rows < cnt
+        o_ref[pl.ds(r0, bm), :] = jnp.where(keep, acc.astype(o_ref.dtype), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "G", "bm", "zero_const", "interpret"),
+)
+def qmoe_matmul(
+    x_sorted: jnp.ndarray,  # [S*bm, K] bf16/f32, slot-aligned expert-sorted
+    # rows, K-axis pre-permuted (pallas_qmatmul._plane_permute_x with kt=K)
+    expert_ids: jnp.ndarray,  # [S] int32
+    row_count: jnp.ndarray,  # [S] int32 (<= bm)
+    qw_stacked: jnp.ndarray,  # [E, K/pf, N] int32 interchange layout
+    s_stacked: jnp.ndarray,  # [E, G_pad, N] bf16 (zero-padded groups)
+    *,
+    bits: int,
+    G: int,  # real group count (K // group_size)
+    bm: int = 8,
+    zero_const: float = 8.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y_sorted [M_pad, N] = per-slot x @ dequant(qw[expert])."""
+    M_pad, K = x_sorted.shape
+    E, Kpf, N = qw_stacked.shape
+    S = expert_ids.shape[0]
+    assert M_pad == S * bm, (M_pad, S, bm)
+    G_pad = s_stacked.shape[1]
+    if N % 512 == 0:
+        nt = 512
+    elif N % 256 == 0:
+        nt = 256
+    elif N % 128 == 0 and N > 2048:
+        nt = 128
+    else:
+        nt = N  # odd widths (e.g. moe_intermediate 1408): one N block
+    assert N % nt == 0, (N, nt)
+    assert M_pad % bm == 0
+
+    grid = (N // nt, S)
+    kernel = functools.partial(
+        _qmoe_kernel, bits=bits, kt=K, nt=nt, G=G, bm=bm,
+        zero_const=zero_const,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (M_pad, K), lambda n, s, ids, ct: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Kpf, nt),
+                    lambda n, s, ids, ct: (ids[s], 0, n),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, G_pad, nt),
+                    lambda n, s, ids, ct: (ids[s], 0, n),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (M_pad, nt), lambda n, s, ids, ct: (0, n),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(expert_ids, row_count, x_sorted, qw_stacked, s_stacked)
+
+
+# --------------------------------------------------------------------------
+# runtime integration: stacked packed experts + jit-safe slot planning
+# --------------------------------------------------------------------------
+
+
+import dataclasses
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qweight", "scales"],
+    meta_fields=["bits", "G", "zero_const", "in_features", "out_features"],
+)
+@dataclasses.dataclass
+class StackedQuantExperts:
+    """Packed expert weights stacked for the ragged kernel.
+
+    qweight [E, K/pf, N] int32 (interchange layout), scales [E, G_pad, N]
+    bf16 (groups zero-padded to a sublane multiple). Uniform sym zero point
+    across experts (zero_const)."""
+
+    qweight: jnp.ndarray
+    scales: jnp.ndarray
+    bits: int = 4
+    G: int = 0
+    zero_const: float = 8.0
+    in_features: int = 0
+    out_features: int = 0
+
+
+def plan_slots_jit(flat_e: jnp.ndarray, E: int, bm: int, S: int):
+    """In-graph slot plan (static slot count S, aligned layout): returns
+    (expert_ids[S], row_count[S], pos[M]) where sorted row r is scattered to
+    padded position pos[r] and slot s owns rows [s*bm, s*bm + count_s).
+
+    Same layout as :func:`build_slots`, shape-static for jit."""
+    M = flat_e.shape[0]
+    cnt = jnp.bincount(flat_e, length=E)  # rows per expert
+    ns = -(-cnt // bm)  # slots per expert
+    slot_base = jnp.cumsum(ns) - ns  # first slot index of each expert
+    row_base = jnp.cumsum(cnt) - cnt  # first sorted row of each expert
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    # expert owning slot s: last e with slot_base[e] <= s (0 rows -> 0 slots)
+    e_of = jnp.searchsorted(slot_base + ns, s_idx, side="right")
+    e_of = jnp.clip(e_of, 0, E - 1).astype(jnp.int32)
+    j = s_idx - slot_base[e_of]
+    count = jnp.clip(cnt[e_of] - j * bm, 0, bm).astype(jnp.int32)
+    count = jnp.where(s_idx < jnp.sum(ns), count, 0)
+    # sorted row r (expert e, in-expert rank rho) -> slot_base[e]*bm + rho
+    r_idx = jnp.arange(M)
+    e_row = flat_e  # caller passes the SORTED expert ids
+    rho = r_idx - row_base[e_row]
+    pos = (slot_base[e_row] * bm + rho).astype(jnp.int32)
+    return e_of, count, pos
+
+
+def qmoe_forward_sorted(
+    x_sorted: jnp.ndarray,  # [S*bm, K] bf16 (slot-aligned, UNpermuted)
+    expert_ids, row_count,
+    p: StackedQuantExperts,
+    *, bm: int = 8, interpret: bool = False,
+) -> jnp.ndarray:
+    """Dequant-matmul all slots against their experts; rows stay aligned."""
+    from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
+
+    pf = 32 // p.bits
+    xp = _plane_permute_x(x_sorted, p.in_features, pf, p.bits)
+    return qmoe_matmul(
+        xp, expert_ids, row_count, p.qweight, p.scales,
+        bits=p.bits, G=p.G, bm=bm, zero_const=p.zero_const,
+        interpret=interpret,
+    )
+
+
+def stack_packed_experts(experts: list) -> dict | None:
+    """Stack a list of per-expert QuantLinear pytrees (gate/up/down naming
+    resolved by the caller) into StackedQuantExperts, or None if the
+    contract doesn't hold (asym, mixed configs, adapters, planar, g_idx)."""
+    import numpy as np
+
+    from gptqmodel_tpu.ops import pack as packing
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    if not experts or not all(isinstance(e, QuantLinear) for e in experts):
+        return None
+    p0 = experts[0]
+    for e in experts:
+        if (e.bits, e.group_size, e.in_features, e.out_features) != (
+            p0.bits, p0.group_size, p0.in_features, p0.out_features
+        ):
+            return None
+        if (e.planar or e.a8 or e.g_idx is not None or e.bias is not None
+                or e.lora_A is not None or e.rot_theta is not None
+                or e.had_block or e.zero_const < 0 or e.bits not in (2, 4, 8)):
+            return None
+        if e.zero_const != p0.zero_const:
+            return None
+    g = p0.group_size if p0.group_size > 0 else p0.in_features
+    if g % (32 // p0.bits) or p0.in_features % g:
+        return None
+    G = p0.in_features // g
+    G_pad = max(8, -(-G // 8) * 8)
+    qws, ss = [], []
+    for e in experts:
+        qw = np.asarray(e.qweight)
+        if e.rt_layout:  # back to interchange layout for the stacked kernel
+            qw = packing.unrepack_rt(qw, e.bits, e.rt_block_k)
+        qws.append(qw)
+        s = np.zeros((G_pad, p0.out_features), np.float32)
+        s[:G] = np.asarray(e.scales, np.float32)
+        ss.append(s)
+    return StackedQuantExperts(
+        qweight=jnp.asarray(np.stack(qws)),
+        scales=jnp.asarray(np.stack(ss).astype(jnp.bfloat16)),
+        bits=p0.bits,
+        G=G,
+        zero_const=float(p0.zero_const),
+        in_features=p0.in_features,
+        out_features=p0.out_features,
+    )

@@ -1,0 +1,167 @@
+"""Quantized ragged-MoE kernel vs the dense dequant reference (interpret
+mode on the CPU mesh — same validation pattern as test_pallas_qmatmul)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptqmodel_tpu.ops import pack as packing
+from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
+from gptqmodel_tpu.ops.pallas_qmoe import build_slots, qmoe_matmul
+
+
+def _make_expert(rng, K, N, bits, g):
+    Q = rng.integers(0, 2**bits, size=(N, K), dtype=np.int32)
+    G = K // g
+    scales = (rng.random((G, N), np.float32) * 0.02 + 0.01).astype(np.float32)
+    zero = 2 ** (bits - 1)
+    W = (Q.T - zero).astype(np.float32) * np.repeat(scales, g, axis=0)  # [K,N]
+    qw = packing.pack_qweight(np.ascontiguousarray(Q.T), bits)
+    return qw, scales, W
+
+
+@pytest.mark.parametrize("bits,K,N,g", [(4, 256, 256, 128), (8, 256, 384, 128),
+                                        (4, 256, 384, 128)])
+def test_qmoe_matches_dense(bits, K, N, g):
+    rng = np.random.default_rng(0)
+    E, tokens, topk = 4, 6, 2
+    experts = [_make_expert(rng, K, N, bits, g) for _ in range(E)]
+    qw_stacked = jnp.asarray(np.stack([e[0] for e in experts]))
+    G = K // g
+    G_pad = max(8, -(-G // 8) * 8)
+    s_pad = np.zeros((E, G_pad, N), np.float32)
+    for i, e in enumerate(experts):
+        s_pad[i, :G] = e[1]
+    s_stacked = jnp.asarray(s_pad.astype(jnp.bfloat16))
+
+    x = rng.standard_normal((tokens, K)).astype(np.float32)
+    top_i = rng.integers(0, E, size=(tokens, topk))
+    top_w = rng.random((tokens, topk)).astype(np.float32)
+
+    bm = 8
+    M_tot = tokens * topk
+    max_slots = M_tot // bm + E + 1
+    pos, ids, counts, order = build_slots(top_i, E, bm, max_slots)
+    M_pad = max_slots * bm
+    xs = np.zeros((M_pad, K), np.float32)
+    xs[pos] = x[order // topk]
+    xp = _plane_permute_x(jnp.asarray(xs, jnp.bfloat16), K, 32 // bits, bits)
+
+    y_pad = np.asarray(qmoe_matmul(
+        xp, jnp.asarray(ids), jnp.asarray(counts),
+        qw_stacked, s_stacked, bits=bits, G=G, bm=bm,
+        zero_const=float(2 ** (bits - 1)), interpret=True,
+    ))
+    y_sorted = y_pad[pos]
+
+    # dense reference: per (token, k) pick, y += w * (x @ W_e)
+    ref = np.zeros((tokens, N), np.float32)
+    for t in range(tokens):
+        for kk in range(topk):
+            e = int(top_i[t, kk])
+            ref[t] += top_w[t, kk] * (
+                x[t].astype(np.float32) @ experts[e][2]
+            )
+    # reassemble from sorted rows
+    out = np.zeros((tokens, N), np.float32)
+    flat_w = top_w.reshape(-1)[order]
+    for r in range(M_tot):
+        out[order[r] // topk] += flat_w[r] * y_sorted[r]
+    # padding rows (not covered by any slot count) are zero
+    mask = np.ones(M_pad, bool)
+    mask[pos] = False
+    assert np.all(y_pad[mask] == 0.0)
+
+    # bf16 x & scales: row-normalized error (near-zero elements otherwise
+    # dominate a pointwise relative metric)
+    rel = np.abs(out - ref).max(axis=1) / (np.abs(ref).max(axis=1) + 1e-6)
+    assert rel.max() < 0.02, rel.max()
+
+
+
+def test_build_slots_plan():
+    top_i = np.array([[0, 2], [2, 2], [1, 2], [2, 0]])
+    pos, ids, counts, order = build_slots(top_i, E=4, bm=2, max_slots=8)
+    sorted_e = top_i.reshape(-1)[order]
+    assert (np.sort(sorted_e) == sorted_e).all()
+    # every sorted row lands inside its slot's [s*bm, s*bm+count) range with
+    # the right expert; no two rows collide
+    assert len(set(pos.tolist())) == len(pos)
+    for r, p_ in enumerate(pos):
+        s_ = p_ // 2
+        assert ids[s_] == sorted_e[r]
+        assert p_ - s_ * 2 < counts[s_]
+
+
+def test_plan_slots_jit_matches_host():
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.ops.pallas_qmoe import plan_slots_jit
+
+    rng = np.random.default_rng(3)
+    top_i = rng.integers(0, 5, size=(7, 3))
+    bm = 4
+    S = (21 // bm) + 5 + 1
+    pos_h, ids_h, counts_h, order = build_slots(top_i, 5, bm, S)
+    flat_sorted = jnp.asarray(top_i.reshape(-1)[order])
+    ids_j, counts_j, pos_j = plan_slots_jit(flat_sorted, 5, bm, S)
+    np.testing.assert_array_equal(np.asarray(counts_j), counts_h)
+    np.testing.assert_array_equal(np.asarray(pos_j), pos_h)
+    # expert ids must agree on every slot with rows
+    live = counts_h > 0
+    np.testing.assert_array_equal(np.asarray(ids_j)[live], ids_h[live])
+
+
+def test_qmoe_e2e_optimize_matches_loop():
+    """quantize tiny qwen3_moe -> reload -> stack packed experts -> the
+    jit-safe slot-planned kernel path must match the dense expert loop.
+    Runs the kernel in interpret mode (CPU mesh)."""
+    import tempfile
+    from pathlib import Path
+
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from gptqmodel_tpu.ops import registry
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="qwen3_moe", vocab_size=128, hidden_size=128,
+            intermediate_size=128, num_hidden_layers=1,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+            num_experts=4, num_experts_per_tok=2, moe_intermediate_size=128,
+            decoder_sparse_step=1, norm_topk_prob=True, mlp_only_layers=[],
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=128))
+        m.quantize([rng.integers(1, 128, size=(48,)) for _ in range(8)],
+                   batch_size=4)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+
+        m2 = GPTQModel.load(out_dir)
+        ids = np.stack([rng.integers(1, 128, size=(16,)) for _ in range(2)])
+        ref_logits = np.asarray(
+            forward_logits(m2.spec, m2.params, jnp.asarray(ids))
+        )
+        registry.set_backend("pallas_interpret")
+        try:
+            m2.optimize(fused_mlp=False)
+            lp0 = m2.params["model"]["layers"][0]
+            assert "experts_stacked_q" in lp0["mlp"], list(lp0["mlp"])
+            q_logits = np.asarray(
+                forward_logits(m2.spec, m2.params, jnp.asarray(ids))
+            )
+        finally:
+            registry.set_backend("auto")
+        rel = np.abs(q_logits - ref_logits).max() / (
+            np.abs(ref_logits).max() + 1e-6
+        )
+        assert rel < 0.03, rel

@@ -959,3 +959,47 @@ def test_nemotron_quantize_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+
+
+def test_forward_parity_mpt():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="mpt", vocab_size=128, d_model=64, n_layers=2,
+            n_heads=4, max_seq_len=128,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "mpt"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "neox" and spec.alibi
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_mpt_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="mpt", vocab_size=128, d_model=64, n_layers=2,
+            n_heads=4, max_seq_len=128,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval().save_pretrained(
+            Path(tmp) / "mpt", safe_serialization=True
+        )
+        m = GPTQModel.load(Path(tmp) / "mpt", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 4  # Wqkv/out_proj/up_proj/down_proj
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
