@@ -59,6 +59,16 @@ from gptqmodel_tpu.quantization.config import FORMAT, METHOD, QuantizeConfig
 from gptqmodel_tpu.quantization.gptq import gptq_quantize
 from gptqmodel_tpu.quantization.rtn import rtn_quantize
 
+
+def _cfg_path(cfg: dict, key: str):
+    """hf-config lookup supporting dotted nesting (dbrx ffn_config.*)."""
+    cur = cfg
+    for part in key.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(part)
+    return cur
+
 log = logging.getLogger("gptqmodel_tpu")
 
 
@@ -84,11 +94,13 @@ def quantize_model(
     spec = spec_from_hf_config(hf_cfg)
     reader = CheckpointReader(model_dir)
     mdef = get_model_def(spec.model_type, tensor_names=reader.names())
+    reader = mdef.wrap_reader(reader, hf_cfg)
+    reader = mdef.wrap_reader(reader, hf_cfg)
 
     conv1d = mdef.conv1d_suffixes
     base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
-    n_experts = (hf_cfg.get(mdef.dynamic_expert_index)
+    n_experts = (_cfg_path(hf_cfg, mdef.dynamic_expert_index)
                  if mdef.dynamic_expert_index else mdef.detected_num_experts)
     subsets = plan.build_subsets(n_experts)
 
@@ -383,10 +395,11 @@ def weight_only_quantize(
     spec = spec_from_hf_config(hf_cfg)
     reader = CheckpointReader(model_dir)
     mdef = get_model_def(spec.model_type, tensor_names=reader.names())
+    reader = mdef.wrap_reader(reader, hf_cfg)
     conv1d = mdef.conv1d_suffixes
     base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
-    n_experts = (hf_cfg.get(mdef.dynamic_expert_index)
+    n_experts = (_cfg_path(hf_cfg, mdef.dynamic_expert_index)
                  if mdef.dynamic_expert_index else mdef.detected_num_experts)
     modules = [m for s in plan.build_subsets(n_experts) for m in s]
 

@@ -185,9 +185,11 @@ class BaseQModel:
         from gptqmodel_tpu.models.definitions import get_model_def
 
         reader = CheckpointReader(self.model_dir)
+        mdef = get_model_def(self.spec.model_type, tensor_names=reader.names())
+        reader = mdef.wrap_reader(reader, self.hf_config)
         self.params = build_params_tree(
             reader, self.qcfg if self.quantized else None,
-            conv1d_suffixes=get_model_def(self.spec.model_type).conv1d_suffixes,
+            conv1d_suffixes=mdef.conv1d_suffixes,
         )
         if self.quantized:
             self._attach_adapters()

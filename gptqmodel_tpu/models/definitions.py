@@ -32,6 +32,13 @@ class ModelDef:
     # expert count inferred from checkpoint tensor names (auto-detected
     # trees only; registered archs read dynamic_expert_index from config)
     detected_num_experts: int | None = None
+    # optional CheckpointReader wrapper: (reader, hf_cfg) -> reader — lazy
+    # tensor-name canonicalization for archs whose native layout differs
+    # from the tree (dbrx fused experts)
+    reader_wrapper: object = None
+
+    def wrap_reader(self, reader, hf_cfg):
+        return self.reader_wrapper(reader, hf_cfg) if self.reader_wrapper else reader
 
     def tree_for(self, method) -> tuple:
         """Resolve the module tree for a quant method (override or default)."""
@@ -478,7 +485,39 @@ REGISTRY: dict[str, ModelDef] = {
     "granite": ModelDef(_LLAMA_TREE),
     "smollm3": ModelDef(_LLAMA_TREE),
     "starcoder2": ModelDef(_STARCODER2_TREE),
-    "internlm2": ModelDef(_LLAMA_TREE),
+    "internlm2": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("qkv_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_internlm2_reader"]
+        ).wrap_internlm2_reader,
+    ),
+    "baichuan": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("qkv_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_baichuan_reader"]
+        ).wrap_baichuan_reader,
+    ),
+    "minicpm": ModelDef(_LLAMA_TREE),
     "cohere": ModelDef(_COHERE_TREE),
     "cohere2": ModelDef(_COHERE_TREE),
     "olmo": ModelDef(_LLAMA_TREE),
@@ -525,6 +564,27 @@ REGISTRY: dict[str, ModelDef] = {
     "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
     "qwen2_moe": ModelDef(_QWEN2_MOE_TREE, dynamic_expert_index="num_experts"),
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
+    "phimoe": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
+    "dbrx": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("qkv_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "block_sparse_moe": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("w1:0", "w3:0", "w2:1")},
+                },
+            },
+        ),
+        dynamic_expert_index="ffn_config.moe_num_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.dbrx", fromlist=["wrap_dbrx_reader"]
+        ).wrap_dbrx_reader,
+    ),
     "gemma": ModelDef(_LLAMA_TREE),
     "gemma2": ModelDef(_GEMMA2_TREE),
     "gemma3_text": ModelDef(_GEMMA3_TREE),

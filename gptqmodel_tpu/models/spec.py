@@ -97,6 +97,9 @@ class ModelSpec:
     logit_scale: float = 1.0  # cohere logit_scale / granite 1/logits_scaling
     rope_sliding_only: bool = False  # cohere2/exaone4-hybrid: full-attention
     #   layers skip RoPE entirely (position info only via sliding layers)
+    no_rope_layers: tuple = ()  # smollm3: per-layer 1=rope, 0=NoPE
+    #   (modeling_smollm3.py:147 use_rope)
+    router_jitter: float = 0.0  # phimoe sparsemixer jitter epsilon
 
 
 _LLAMA_FAMILY = {
@@ -348,6 +351,36 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             rotary_dim=int(hd * cfg.get("partial_rotary_factor", 0.5)),
             qkv_layout="neox_fused",
         )
+    if mt == "dbrx":
+        # canonicalized by models/dbrx.DbrxReader into the mixtral-shaped
+        # layout: fused global-concat qkv_proj (+optional clip), LayerNorm
+        # (no bias), softmax top-k router with L1 weight normalization
+        # (modeling_dbrx.py:206-618)
+        h = cfg["d_model"]
+        nh = cfg["n_heads"]
+        attn_cfg = cfg.get("attn_config") or {}
+        ffn_cfg = cfg.get("ffn_config") or {}
+        return ModelSpec(
+            model_type=mt,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=ffn_cfg.get("ffn_hidden_size", 4 * h),
+            num_layers=cfg["n_layers"],
+            num_heads=nh,
+            num_kv_heads=attn_cfg.get("kv_n_heads", nh),
+            head_dim=h // nh,
+            norm_type="ln",
+            rms_norm_eps=1e-5,
+            rope_theta=attn_cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_seq_len", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=(ffn_cfg.get("ffn_act_fn") or {}).get("name", "silu"),
+            clip_qkv=float(attn_cfg.get("clip_qkv") or 0.0),
+            num_experts=ffn_cfg.get("moe_num_experts", 0),
+            num_experts_per_tok=ffn_cfg.get("moe_top_k", 0),
+            moe_intermediate_size=ffn_cfg.get("ffn_hidden_size", 0),
+            norm_topk_prob=ffn_cfg.get("moe_normalize_expert_weights") is not None,
+        )
     if mt == "mpt":
         # transformer.blocks.N.{norm_1, attn.Wqkv (global [q|k|v]), attn.
         # out_proj, norm_2, ffn.up_proj/down_proj}; exact GELU, MPT-style
@@ -438,6 +471,18 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             moe_intermediate_size=cfg.get("intermediate_size", 0),
             norm_topk_prob=True,
+        )
+    if mt == "phimoe":
+        # phi-3.5-MoE: LayerNorm decoder norms, sparsemixer top-2 routing
+        # (modeling_phimoe.py:605,813), mixtral w1/w3/w2 expert layout
+        common.update(
+            norm_type="ln",
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=2,
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring="sparsemixer",
+            router_jitter=float(cfg.get("router_jitter_noise") or 0.0),
+            attention_bias=cfg.get("attention_bias", True),
         )
     if mt in ("gemma", "gemma2"):
         common.update(
@@ -584,6 +629,44 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 moe_topk_method="noaux_tc",
                 moe_scoring="softmax",
             )
+    if mt == "smollm3":
+        # every Nth layer is NoPE (no_rope_layers: 1=rope, 0=skip)
+        nr = cfg.get("no_rope_layers")
+        if nr is None:
+            iv = cfg.get("no_rope_layer_interval", 4)
+            nr = [0 if (i + 1) % iv == 0 else 1
+                  for i in range(cfg["num_hidden_layers"])]
+        common["no_rope_layers"] = tuple(int(v) for v in nr)
+    if mt == "internlm2":
+        # remote-code arch; canonicalized by models/remap (tok_embeddings/
+        # output/attention.wqkv/wo/feed_forward.w*). The fused wqkv is
+        # GROUPED per kv-head: [nkv, q_per_group + 2, hd]
+        common.update(
+            attention_bias=cfg.get("bias", False),
+            mlp_bias=False,
+            qkv_layout="grouped",
+        )
+    if mt == "baichuan":
+        # remote-code arch; W_pack -> canonical fused qkv (global concat).
+        # 13B-class checkpoints use ALiBi — not wired into the llama-family
+        # attention yet
+        if str(cfg.get("position_embedding", "")).upper() == "ALIBI":
+            raise NotImplementedError("baichuan ALiBi variant not supported yet")
+        common.update(attention_bias=False)
+    if mt == "minicpm":
+        # remote-code arch, llama tensor names + mup-style factors:
+        # scale_emb on embeddings, scale_depth/sqrt(L) on residuals,
+        # hidden/dim_model_base dividing the logits
+        L = cfg["num_hidden_layers"]
+        common.update(
+            embedding_multiplier=float(cfg.get("scale_emb", 1.0)),
+            residual_multiplier=float(cfg.get("scale_depth", float(L) ** 0.5))
+            / float(L) ** 0.5,
+            logit_scale=1.0 / (
+                cfg["hidden_size"] / float(cfg.get("dim_model_base")
+                                           or cfg["hidden_size"])
+            ),
+        )
     if mt == "helium":
         # kyutai helium: llama body with glm-style interleaved rope
         # (modeling_helium.py:154-189)

@@ -263,6 +263,10 @@ def layer_rope_bias(spec: ModelSpec, i: int, ctx: dict):
         # cohere2/exaone4 hybrid: full-attention layers skip RoPE entirely
         # (modeling_cohere2.py:217, modeling_exaone4.py:227)
         return None, None, ctx["bias"]
+    if spec.no_rope_layers and not spec.no_rope_layers[i]:  # smollm3 NoPE
+        bias = ctx["bias_l"] if layer_is_sliding(spec, i) and "bias_l" in ctx \
+            else ctx["bias"]
+        return None, None, bias
     if layer_is_sliding(spec, i) and "cos_l" in ctx:
         return ctx["cos_l"], ctx["sin_l"], ctx.get("bias_l", ctx["bias"])
     return ctx["cos"], ctx["sin"], ctx["bias"]
@@ -421,7 +425,17 @@ def attention(
     if "qkv_proj" in ap:  # phi3-style fused projection
         _tap(taps, tap_paths, f"{prefix}.qkv_proj", h)
         qkv = apply_linear(ap["qkv_proj"], h)
-        qf, kf, vf = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        if spec.qkv_layout == "grouped":
+            # internlm2 wqkv: [nkv, q_per_group + 2, hd] (k, v = last two)
+            grp = nh // nkv
+            qkv = qkv.reshape(B, T, nkv, grp + 2, hd)
+            qf = qkv[:, :, :, :grp].reshape(B, T, nh * hd)
+            kf = qkv[:, :, :, grp].reshape(B, T, nkv * hd)
+            vf = qkv[:, :, :, grp + 1].reshape(B, T, nkv * hd)
+        else:
+            qf, kf, vf = jnp.split(
+                qkv, [nh * hd, nh * hd + nkv * hd], axis=-1
+            )
     else:
         _tap(taps, tap_paths, f"{prefix}.q_proj", h)
         _tap(taps, tap_paths, f"{prefix}.k_proj", h)
@@ -702,6 +716,25 @@ def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
     return jnp.zeros_like(x).at[tok].add(y * w[:, None])
 
 
+def _sparsemixer_route(scores: jnp.ndarray, jitter_eps: float):
+    """PhiMoE sparsemixer, INFERENCE path (modeling_phimoe.py:605): pick the
+    top expert, softmax over the jitter-masked gates for its weight, mask it
+    to -inf, repeat for the second expert."""
+
+    def one(sc, base):
+        m, idx = jnp.max(sc, axis=-1, keepdims=True), jnp.argmax(sc, axis=-1)
+        factor = jnp.maximum(jnp.abs(base), m)
+        masked = jnp.where((m - base) / factor > 2 * jitter_eps, -jnp.inf, sc)
+        p = jax.nn.softmax(masked, axis=-1)
+        w = jnp.take_along_axis(p, idx[:, None], axis=-1)
+        return w[:, 0], idx.astype(jnp.int32)
+
+    w1, e1 = one(scores, scores)
+    scores2 = scores.at[jnp.arange(scores.shape[0]), e1].set(-jnp.inf)
+    w2, e2 = one(scores2, scores)
+    return jnp.stack([w1, w2], axis=-1), jnp.stack([e1, e2], axis=-1)
+
+
 def moe_mlp(
     spec: ModelSpec,
     mp: Params,
@@ -723,10 +756,13 @@ def moe_mlp(
     x = h.reshape(B * T, D)
     router_name = "gate" if "gate" in mp else "router"
     logits = apply_linear(mp[router_name], x).astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
-    top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
-    if spec.norm_topk_prob:
-        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if spec.moe_scoring == "sparsemixer":  # phimoe inference routing
+        top_w, top_i = _sparsemixer_route(logits, spec.router_jitter)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
+        if spec.norm_topk_prob:
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     if "experts_stacked_q" in mp and taps is None:  # packed ragged path
         out = _moe_ragged_apply_q(spec, mp["experts_stacked_q"], x, top_w, top_i)

@@ -47,10 +47,13 @@ def _jax_logits(model_dir):
     from gptqmodel_tpu.models.spec import load_hf_config, spec_from_hf_config
     from gptqmodel_tpu.models.transformer import forward_logits
 
-    spec = spec_from_hf_config(load_hf_config(model_dir))
+    hf_cfg = load_hf_config(model_dir)
+    spec = spec_from_hf_config(hf_cfg)
+    reader = CheckpointReader(model_dir)
+    mdef = get_model_def(spec.model_type, tensor_names=reader.names())
     params = build_params_tree(
-        CheckpointReader(model_dir),
-        conv1d_suffixes=get_model_def(spec.model_type).conv1d_suffixes,
+        mdef.wrap_reader(reader, hf_cfg),
+        conv1d_suffixes=mdef.conv1d_suffixes,
     )
     ids = np.arange(24).reshape(2, 12) % spec.vocab_size
     logits = forward_logits(spec, params, jnp.asarray(ids), dtype=jnp.float32)
@@ -1003,3 +1006,204 @@ def test_mpt_quantize_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+
+
+def test_forward_parity_smollm3_nope_layers():
+    """smollm3: every 4th layer runs WITHOUT rope (no_rope_layers)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "smollm3", num_hidden_layers=4, pad_token_id=0,
+            no_rope_layers=[1, 1, 1, 0], layer_types=["full_attention"] * 4,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.no_rope_layers == (1, 1, 1, 0)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_phimoe():
+    """phimoe: LayerNorm decoder + deterministic sparsemixer top-2."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "phimoe", num_local_experts=4, router_jitter_noise=0.01,
+            rms_norm_eps=1e-5, attention_bias=True,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "sparsemixer" and spec.norm_type == "ln"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_dbrx():
+    """dbrx: fused [E*F, D] expert params split lazily by the reader
+    wrapper; fused global-concat Wqkv; LayerNorm; top-1 L1-normed router."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="dbrx", vocab_size=128, d_model=64, n_heads=4,
+            n_layers=2, max_seq_len=128,
+            attn_config={"kv_n_heads": 2, "clip_qkv": 8.0},
+            ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                        "moe_top_k": 2},
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "dbrx"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.num_experts == 4 and spec.clip_qkv == 8.0
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_dbrx_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="dbrx", vocab_size=128, d_model=64, n_heads=4,
+            n_layers=2, max_seq_len=128,
+            attn_config={"kv_n_heads": 2},
+            ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 2,
+                        "moe_top_k": 1},
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "dbrx", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "dbrx", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # qkv/o + 2 experts x 3 per layer
+        assert len(rows) == 2 * (2 + 2 * 3), len(rows)
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
+
+
+# --------------------------------------------------------------------------
+# remote-code archs (internlm2 / baichuan / minicpm): no transformers-native
+# modeling exists, so the oracle is CONSTRUCTED — a tiny llama checkpoint is
+# re-serialized under each arch's native tensor names/layouts and our
+# forward must reproduce the llama torch logits.
+# --------------------------------------------------------------------------
+
+
+def _torch_sd(model):
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _write_ckpt(d, tensors, config):
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    d.mkdir(parents=True, exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
+              d / "model.safetensors", metadata={"format": "pt"})
+    (d / "config.json").write_text(_json.dumps(config))
+
+
+def test_forward_parity_internlm2_constructed():
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(tmp, "llama", attention_bias=False)
+        sd = _torch_sd(tmodel)
+        nh, nkv, hd, L = 4, 2, 16, 2
+        grp = nh // nkv
+        out = {
+            "model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+            "model.norm.weight": sd["model.norm.weight"],
+            "output.weight": sd["lm_head.weight"],
+        }
+        for i in range(L):
+            p = f"model.layers.{i}."
+            q = sd[p + "self_attn.q_proj.weight"].reshape(nkv, grp, hd, -1)
+            k = sd[p + "self_attn.k_proj.weight"].reshape(nkv, 1, hd, -1)
+            v = sd[p + "self_attn.v_proj.weight"].reshape(nkv, 1, hd, -1)
+            wqkv = np.concatenate([q, k, v], axis=1).reshape(-1, q.shape[-1])
+            out[p + "attention.wqkv.weight"] = wqkv
+            out[p + "attention.wo.weight"] = sd[p + "self_attn.o_proj.weight"]
+            out[p + "feed_forward.w1.weight"] = sd[p + "mlp.gate_proj.weight"]
+            out[p + "feed_forward.w3.weight"] = sd[p + "mlp.up_proj.weight"]
+            out[p + "feed_forward.w2.weight"] = sd[p + "mlp.down_proj.weight"]
+            out[p + "attention_norm.weight"] = sd[p + "input_layernorm.weight"]
+            out[p + "ffn_norm.weight"] = sd[p + "post_attention_layernorm.weight"]
+        cfg = dict(
+            model_type="internlm2", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=L,
+            num_attention_heads=nh, num_key_value_heads=nkv,
+            rms_norm_eps=1e-6, rope_theta=10000.0, bias=False,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "internlm2"
+        _write_ckpt(d, out, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.qkv_layout == "grouped"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_baichuan_constructed():
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(
+            tmp, "llama", num_key_value_heads=4, attention_bias=False
+        )
+        sd = _torch_sd(tmodel)
+        out = {}
+        for k, v in sd.items():
+            if k.endswith("self_attn.q_proj.weight"):
+                p = k[: -len("q_proj.weight")]
+                out[p + "W_pack.weight"] = np.concatenate(
+                    [sd[p + "q_proj.weight"], sd[p + "k_proj.weight"],
+                     sd[p + "v_proj.weight"]], axis=0
+                )
+            elif k.endswith(("k_proj.weight", "v_proj.weight")) and "self_attn" in k:
+                continue
+            else:
+                out[k] = v
+        cfg = dict(
+            model_type="baichuan", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "baichuan"
+        _write_ckpt(d, out, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_minicpm_constructed():
+    """Neutral mup factors (scale_emb=1, scale_depth=sqrt(L),
+    dim_model_base=hidden) make minicpm == llama; non-neutral factors must
+    move the logits the way the formulas say."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(tmp, "llama", attention_bias=False)
+        sd = _torch_sd(tmodel)
+        cfg = dict(
+            model_type="minicpm", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            scale_emb=1.0, scale_depth=float(2) ** 0.5, dim_model_base=64,
+        )
+        d = Path(tmp) / "minicpm"
+        _write_ckpt(d, sd, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.residual_multiplier == 1.0 and spec.logit_scale == 1.0
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+        from gptqmodel_tpu.models.spec import spec_from_hf_config
+
+        cfg2 = dict(cfg, scale_emb=12.0, scale_depth=1.4, dim_model_base=32)
+        spec2 = spec_from_hf_config(cfg2)
+        assert spec2.embedding_multiplier == 12.0
+        assert abs(spec2.residual_multiplier - 1.4 / 2**0.5) < 1e-9
+        assert abs(spec2.logit_scale - 0.5) < 1e-9
