@@ -518,6 +518,26 @@ REGISTRY: dict[str, ModelDef] = {
         ).wrap_baichuan_reader,
     ),
     "minicpm": ModelDef(_LLAMA_TREE),
+    "gpt_oss": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_gpt_oss_reader"]
+        ).wrap_gpt_oss_reader,
+    ),
     "cohere": ModelDef(_COHERE_TREE),
     "cohere2": ModelDef(_COHERE_TREE),
     "olmo": ModelDef(_LLAMA_TREE),

@@ -66,3 +66,89 @@ def wrap_internlm2_reader(reader, hf_cfg: dict):
 
 def wrap_baichuan_reader(reader, hf_cfg: dict):
     return RenameReader(reader, _BAICHUAN_RULES)
+
+
+class GptOssReader:
+    """gpt_oss fused expert canonicalization (modeling_gpt_oss.py:67-141).
+
+    Native: mlp.experts.{gate_up_proj [E, D, 2F] (gate/up INTERLEAVED on the
+    last dim) + bias [E, 2F], down_proj [E, F, D] + bias [E, D]},
+    mlp.router.{weight,bias}. Canonical: per-expert gate_proj/up_proj/
+    down_proj Linears ([out, in] convention) with biases + mlp.gate router.
+    """
+
+    def __init__(self, reader, hf_cfg: dict):
+        self._r = reader
+        self.E = int(hf_cfg.get("num_local_experts", 0))
+        self._native = set(reader.names())
+
+    def names(self):
+        out = []
+        for n in self._native:
+            m = re.match(r"^(model\.layers\.\d+\.mlp)\.(.*)$", n)
+            if m is None:
+                out.append(n)
+                continue
+            base, rest = m.group(1), m.group(2)
+            if rest == "router.weight":
+                out.append(f"{base}.gate.weight")
+            elif rest == "router.bias":
+                out.append(f"{base}.gate.bias")
+            elif rest in ("experts.gate_up_proj", "experts.gate_up_proj_bias"):
+                leaf = "weight" if rest.endswith("proj") else "bias"
+                for e in range(self.E):
+                    out.append(f"{base}.experts.{e}.gate_proj.{leaf}")
+                    out.append(f"{base}.experts.{e}.up_proj.{leaf}")
+            elif rest in ("experts.down_proj", "experts.down_proj_bias"):
+                leaf = "weight" if rest.endswith("proj") else "bias"
+                for e in range(self.E):
+                    out.append(f"{base}.experts.{e}.down_proj.{leaf}")
+            else:
+                out.append(n)
+        return out
+
+    def get(self, name: str):
+        if name in self._native:
+            return self._r.get(name)
+        m = re.match(
+            r"^(model\.layers\.\d+\.mlp)\.(?:gate\.(weight|bias)|"
+            r"experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.(weight|bias))$",
+            name,
+        )
+        if m is None:
+            return self._r.get(name)
+        base = m.group(1)
+        if m.group(2):  # router
+            return self._r.get(f"{base}.router.{m.group(2)}")
+        e, kind, leaf = int(m.group(3)), m.group(4), m.group(5)
+        import numpy as np
+
+        if kind == "down_proj":
+            t = self._r.get(
+                f"{base}.experts.down_proj"
+                + ("" if leaf == "weight" else "_bias")
+            )
+            if leaf == "weight":  # [E, F, D] multiplies untransposed
+                return np.ascontiguousarray(t[e].T)
+            return t[e]
+        t = self._r.get(
+            f"{base}.experts.gate_up_proj"
+            + ("" if leaf == "weight" else "_bias")
+        )
+        if leaf == "weight":  # [E, D, 2F]: interleaved gate/up columns
+            sl = t[e][:, 0::2] if kind == "gate_proj" else t[e][:, 1::2]
+            return np.ascontiguousarray(sl.T)  # -> [F, D]
+        return t[e][0::2] if kind == "gate_proj" else t[e][1::2]
+
+    def __contains__(self, name: str) -> bool:
+        try:
+            self.get(name)
+            return True
+        except Exception:
+            return False
+
+
+def wrap_gpt_oss_reader(reader, hf_cfg: dict):
+    if any(".mlp.experts.gate_up_proj" in n for n in reader.names()):
+        return GptOssReader(reader, hf_cfg)
+    return reader  # already canonical (our quantized exports)

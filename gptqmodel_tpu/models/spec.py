@@ -100,6 +100,10 @@ class ModelSpec:
     no_rope_layers: tuple = ()  # smollm3: per-layer 1=rope, 0=NoPE
     #   (modeling_smollm3.py:147 use_rope)
     router_jitter: float = 0.0  # phimoe sparsemixer jitter epsilon
+    # gpt_oss clamped GLU: inner = (clip(up)+1) * gate*sigmoid(alpha*gate)
+    # with gate clamped from above (modeling_gpt_oss.py:117-135)
+    glu_clamp_limit: float = 0.0
+    glu_alpha: float = 1.702
 
 
 _LLAMA_FAMILY = {
@@ -711,6 +715,19 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 topk_group=cfg.get("topk_group") or 0,
                 routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             )
+    if mt == "gpt_oss":
+        # attention sinks + sliding alternation + yarn rope + clamped-GLU
+        # MoE with biased experts/router; fused expert tensors canonicalized
+        # by models/remap.GptOssReader
+        common.update(
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 4),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring="topk_softmax",  # topk FIRST, softmax over top vals
+            norm_topk_prob=False,
+            glu_clamp_limit=float(cfg.get("swiglu_limit") or 7.0),
+            attention_bias=cfg.get("attention_bias", True),
+        )
     if mt in ("gemma3_text", "gemma3"):
         # gemma3: gemma2 norms + qk-norm + sliding/full alternation with a
         # SEPARATE rope base for sliding layers (rope_local_base_freq)

@@ -152,8 +152,11 @@ def _yarn_inv_freq(spec: ModelSpec, dim: int) -> tuple[np.ndarray, float]:
     def corr_dim(num_rot):
         return (dim * math.log(orig / (num_rot * 2 * math.pi))) / (2 * math.log(base))
 
-    low = max(math.floor(corr_dim(beta_fast)), 0)
-    high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+    lo, hi = corr_dim(beta_fast), corr_dim(beta_slow)
+    if rs.get("truncate", True):  # gpt_oss ships truncate=False
+        lo, hi = math.floor(lo), math.ceil(hi)
+    low = max(lo, 0)
+    high = min(hi, dim - 1)
     ramp = np.clip(
         (np.arange(dim // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1
     )
@@ -173,10 +176,12 @@ def _rope_params(spec: ModelSpec, local: bool = False) -> tuple[np.ndarray, floa
         dim = spec.rotary_dim
     else:
         dim = spec.qk_rope_head_dim if spec.mla else spec.head_dim
-    if local:  # gemma3 sliding layers: separate base, NO scaling
-        theta = spec.rope_local_theta or spec.rope_theta
+    if local and spec.rope_local_theta:  # gemma3: separate base, NO scaling
+        theta = spec.rope_local_theta
         inv = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim)
         return inv.astype(np.float32), 1.0
+    # no separate local base (gpt_oss/cohere2 hybrids): sliding layers share
+    # the global rope (incl. yarn scaling)
     rs = spec.rope_scaling
     if rs and rs.get("rope_type", rs.get("type")) == "yarn":
         return _yarn_inv_freq(spec, dim)
@@ -479,9 +484,19 @@ def attention(
     )
     rep = nh // k.shape[1]
     S = k.shape[2]
+    # gpt_oss attention sinks: one learned extra softmax logit per head,
+    # dropped after normalization (modeling_gpt_oss.py:258-264)
+    sinks = ap["sinks"].astype(jnp.float32) if "sinks" in ap else None
+
+    def _sink_softmax(logits, sink):  # logits [..., T, S], sink [...] scalar/hd
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
+        e = jnp.exp(logits - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sink - m)
+        return e / denom
+
     fused = _fused_decode_attention(
         spec, q, cache, attn_bias, scale, rep, hd
-    ) if (cache is not None and T == 1) else None
+    ) if (cache is not None and T == 1 and sinks is None) else None
     if fused is not None:
         out = fused
     elif rep > 1:
@@ -498,7 +513,11 @@ def attention(
             bias = attn_bias.astype(logits.dtype)
             # [B|1, 1, T, S] -> broadcast over (g, r)
             logits = logits + bias[:, :, None]
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if sinks is not None:
+            sk = sinks.reshape(1, k.shape[1], rep, 1, 1)
+            probs = _sink_softmax(logits, sk).astype(q.dtype)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v.astype(q.dtype))
         out = out.reshape(B, nh, T, hd)
     else:
@@ -509,7 +528,11 @@ def attention(
             logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
         if attn_bias is not None:
             logits = logits + attn_bias.astype(logits.dtype)
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if sinks is not None:
+            sk = sinks.reshape(1, nh, 1, 1)
+            probs = _sink_softmax(logits, sk).astype(q.dtype)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
 
@@ -613,6 +636,16 @@ def _act(name: str):
     }[name]
 
 
+def _glu(spec: ModelSpec, g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """act(g)*u, or gpt_oss clamped GLU (modeling_gpt_oss.py:117-135)."""
+    if spec.glu_clamp_limit:
+        lim = spec.glu_clamp_limit
+        g = jnp.minimum(g, lim)
+        u = jnp.clip(u, -lim, lim)
+        return (u + 1.0) * (g * jax.nn.sigmoid(spec.glu_alpha * g))
+    return _act(spec.hidden_act)(g) * u
+
+
 def gated_mlp(
     spec: ModelSpec,
     mp: Params,
@@ -650,7 +683,7 @@ def gated_mlp(
         _tap(taps, tap_paths, f"{prefix}.w3", h, row_mask)
         g = apply_linear(mp["w1"], h)
         u = apply_linear(mp["w3"], h)
-        inner = _act(spec.hidden_act)(g) * u
+        inner = _glu(spec, g, u)
         _tap(taps, tap_paths, f"{prefix}.w2", inner, row_mask)
         return apply_linear(mp["w2"], inner)
     else:
@@ -658,7 +691,7 @@ def gated_mlp(
         _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
         g = apply_linear(mp["gate_proj"], h)
         u = apply_linear(mp["up_proj"], h)
-    inner = _act(spec.hidden_act)(g) * u
+    inner = _glu(spec, g, u)
     _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
     return apply_linear(mp["down_proj"], inner)
 
@@ -758,6 +791,9 @@ def moe_mlp(
     logits = apply_linear(mp[router_name], x).astype(jnp.float32)
     if spec.moe_scoring == "sparsemixer":  # phimoe inference routing
         top_w, top_i = _sparsemixer_route(logits, spec.router_jitter)
+    elif spec.moe_scoring == "topk_softmax":  # gpt_oss: topk THEN softmax
+        top_v, top_i = jax.lax.top_k(logits, spec.num_experts_per_tok)
+        top_w = jax.nn.softmax(top_v, axis=-1)
     else:
         probs = jax.nn.softmax(logits, axis=-1)
         top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)

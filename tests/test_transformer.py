@@ -1207,3 +1207,90 @@ def test_forward_parity_minicpm_constructed():
         assert spec2.embedding_multiplier == 12.0
         assert abs(spec2.residual_multiplier - 1.4 / 2**0.5) < 1e-9
         assert abs(spec2.logit_scale - 0.5) < 1e-9
+
+
+def test_forward_parity_gpt_oss():
+    """gpt_oss: fused interleaved expert tensors (reader-split), clamped
+    GLU with biases, topk-then-softmax router, attention sinks, sliding
+    alternation, yarn rope."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_oss", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_local_experts=4,
+            num_experts_per_tok=2, sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            max_position_embeddings=256, tie_word_embeddings=False,
+            rope_scaling=None, pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "gpt_oss"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "topk_softmax"
+        assert spec.glu_clamp_limit == 7.0
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_gpt_oss_yarn():
+    """gpt_oss default rope: yarn with truncate=False, shared by sliding
+    AND full layers (no separate local base)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_oss", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_local_experts=4,
+            num_experts_per_tok=2, sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            max_position_embeddings=256, tie_word_embeddings=False,
+            pad_token_id=0,
+            rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                          "beta_fast": 32.0, "beta_slow": 1.0,
+                          "truncate": False,
+                          "original_max_position_embeddings": 32},
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "gpt_oss_yarn"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gpt_oss_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_oss", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_local_experts=2,
+            num_experts_per_tok=1, sliding_window=8,
+            layer_types=["sliding_attention", "full_attention"],
+            max_position_embeddings=256, tie_word_embeddings=False,
+            rope_scaling=None, pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # q/k/v/o + 2 experts x 3 per layer
+        assert len(rows) == 2 * (4 + 2 * 3), len(rows)
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
