@@ -46,13 +46,26 @@ def init_kv_cache(
     HBM); "int4" packs two nibbles per byte (quarter — the PAPERS.md 2-4x
     longer-context lineage). MLA models (deepseek) have distinct k
     (nope+rope) and v (v_head_dim) dims."""
+    if spec.family == "mamba":  # conv+ssm state caches, no KV
+        from gptqmodel_tpu.models.transformer import init_mamba_cache
+
+        return init_mamba_cache(spec, batch, dtype)
     k_shape = (batch, spec.num_kv_heads, max_len, spec.head_dim)
     v_dim = spec.v_head_dim if spec.mla else spec.head_dim
     v_shape = (batch, spec.num_kv_heads, max_len, v_dim)
     mode = {True: "int8", False: None}.get(kv_quant, kv_quant)
     assert mode in (None, "int8", "int4"), kv_quant
+    mamba_layer = None
+    if spec.layers_block_type:  # bamba-style hybrids
+        from gptqmodel_tpu.models.transformer import init_mamba_cache
+
+        mamba_layer = init_mamba_cache(spec, batch, dtype)
     caches = []
-    for _ in range(spec.num_layers):
+    for li in range(spec.num_layers):
+        if (spec.layers_block_type
+                and spec.layers_block_type[li] == "mamba"):
+            caches.append(mamba_layer[li])
+            continue
         c = {"pos": jnp.int32(0)}
         if mode == "int4":
             c["k"] = jnp.zeros(k_shape[:3] + (k_shape[3] // 2,), jnp.uint8)
@@ -88,10 +101,29 @@ def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
     are written but excluded from ``key_valid`` forever.
     """
 
+    if spec.family == "mamba":
+
+        @jax.jit
+        def prefill_mamba(params, ids, prompt_lens, caches):
+            B, T = ids.shape
+            h = embed(spec, params, ids, dtype)
+            # mask padded rows out of the recurrence (HF attention_mask on
+            # the mixer inputs); exact for right-padding
+            valid = (jnp.arange(T)[None, :] < prompt_lens[:, None])
+            h = h * valid[:, :, None].astype(h.dtype)
+            ctx = {"cos": None, "sin": None, "bias": None}
+            h, caches = _stack_forward(spec, params, h, ctx, caches)
+            idx = jnp.clip(prompt_lens - 1, 0, T - 1)
+            h_last = jnp.take_along_axis(h, idx[:, None, None], axis=1)
+            logits = lm_logits(spec, params, h_last)[:, 0]
+            return logits, caches, valid
+
+        return prefill_mamba
+
     @jax.jit
     def prefill(params, ids, prompt_lens, caches):
         B, T = ids.shape
-        max_len = caches[0]["k"].shape[2]
+        max_len = next(c["k"].shape[2] for c in caches if "k" in c)
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
         cos, sin = rope_cos_sin(spec, positions)
         key_valid = jnp.arange(max_len)[None, :] < prompt_lens[:, None]
@@ -122,6 +154,19 @@ def make_decode_fn(spec: ModelSpec, dtype=jnp.bfloat16):
     attends to itself).
     """
 
+    if spec.family == "mamba":
+
+        @jax.jit
+        def decode_mamba(params, token, logical_pos, write_slot, key_valid,
+                         caches):
+            h = embed(spec, params, token[:, None], dtype)
+            ctx = {"cos": None, "sin": None, "bias": None}
+            h, caches = _stack_forward(spec, params, h, ctx, caches)
+            logits = lm_logits(spec, params, h)[:, 0]
+            return logits, caches, key_valid
+
+        return decode_mamba
+
     @jax.jit
     def decode(params, token, logical_pos, write_slot, key_valid, caches):
         key_valid = key_valid.at[:, write_slot].set(True)
@@ -136,7 +181,7 @@ def make_decode_fn(spec: ModelSpec, dtype=jnp.bfloat16):
             ok_l = key_valid & (ki > write_slot - spec.sliding_window)
             ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None, None, :]
         h = embed(spec, params, token[:, None], dtype, logical_pos[:, None])
-        caches = [dict(c, pos=write_slot) for c in caches]
+        caches = [dict(c, pos=write_slot) if "k" in c else c for c in caches]
         h, caches = _stack_forward(spec, params, h, ctx, caches)
         logits = lm_logits(spec, params, h)[:, 0]
         return logits, caches, key_valid

@@ -625,6 +625,59 @@ REGISTRY: dict[str, ModelDef] = {
     "gptj": ModelDef(_GPTJ_TREE, pre_lm_head_norm="transformer.ln_f"),
     "falcon": ModelDef(_FALCON_TREE, pre_lm_head_norm="transformer.ln_f"),
     "phi": ModelDef(_PHI_TREE, pre_lm_head_norm="model.final_layernorm"),
+    # mamba lineage (reference definitions/falcon_mamba.py:14): dt_proj is
+    # intentionally NOT quantized there; we match
+    "falcon_mamba": ModelDef(
+        (
+            "backbone",
+            "layers",
+            "#",
+            {
+                "norm": ("norm:!",),
+                "mixer": ("in_proj:0", "x_proj:0", "out_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="backbone.norm_f",
+    ),
+    "mamba": ModelDef(
+        (
+            "backbone",
+            "layers",
+            "#",
+            {
+                "norm": ("norm:!",),
+                "mixer": ("in_proj:0", "x_proj:0", "out_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="backbone.norm_f",
+    ),
+    "bamba": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "mamba": ("in_proj:0", "out_proj:1"),
+                "pre_ff_layernorm": ("pre_ff_layernorm:!",),
+                "feed_forward": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="model.final_layernorm",
+    ),
+    "mamba2": ModelDef(
+        (
+            "backbone",
+            "layers",
+            "#",
+            {
+                "norm": ("norm:!",),
+                "mixer": ("in_proj:0", "out_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="backbone.norm_f",
+    ),
     "stablelm": ModelDef(_STABLELM_TREE, pre_lm_head_norm="model.norm"),
 }
 

@@ -104,6 +104,18 @@ class ModelSpec:
     # with gate clamped from above (modeling_gpt_oss.py:117-135)
     glu_clamp_limit: float = 0.0
     glu_alpha: float = 1.702
+    # mamba family (falcon_mamba/mamba selective SSM)
+    mamba_d_inner: int = 0
+    mamba_d_state: int = 16
+    mamba_d_conv: int = 4
+    mamba_dt_rank: int = 0
+    mixer_rms_eps: float = 0.0  # falcon_mamba b_c_dt RMS (0 = off)
+    # mamba2/SSD additions (0 heads = mamba1)
+    mamba_n_heads: int = 0
+    mamba_n_groups: int = 1
+    mamba_dt_limit: tuple = (0.0, float("inf"))
+    # bamba-style hybrids: per-layer "attention" | "mamba"
+    layers_block_type: tuple = ()
 
 
 _LLAMA_FAMILY = {
@@ -411,6 +423,97 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             parallel_residual=False,
             alibi=bool(attn_cfg.get("alibi", True)),
             clip_qkv=float(attn_cfg.get("clip_qkv") or 0.0),
+        )
+    if mt == "bamba":
+        # hybrid: mamba2 mixers + GQA attention layers (attn_layer_indices),
+        # shared gated MLP, partial rotary (modeling_bamba.py:978)
+        h = cfg["hidden_size"]
+        heads = cfg["num_attention_heads"]
+        hd = cfg.get("attn_rotary_emb") or h // heads
+        attn_idx = set(cfg.get("attn_layer_indices") or [])
+        d_inner = int(cfg.get("mamba_expand", 2)) * h
+        return ModelSpec(
+            model_type=mt,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size", 4 * h),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=h // heads,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            attention_bias=cfg.get("attention_bias", False),
+            mlp_bias=cfg.get("mlp_bias", False),
+            rotary_dim=int((h // heads) * cfg.get("partial_rotary_factor", 0.5)),
+            layers_block_type=tuple(
+                "attention" if i in attn_idx else "mamba"
+                for i in range(cfg["num_hidden_layers"])
+            ),
+            mamba_d_inner=d_inner,
+            mamba_d_state=cfg.get("mamba_d_state", 128),
+            mamba_d_conv=cfg.get("mamba_d_conv", 4),
+            mamba_n_heads=cfg.get("mamba_n_heads", d_inner // 64),
+            mamba_n_groups=cfg.get("mamba_n_groups", 1),
+        )
+    if mt == "mamba2":
+        # SSD mixer: fused in_proj [gate|x+B+C|dt], scalar A per head,
+        # grouped B/C, gated RMSNorm (modeling_mamba2.py:222)
+        h = cfg["hidden_size"]
+        d_inner = int(cfg.get("expand", 2)) * h
+        return ModelSpec(
+            model_type=mt,
+            family="mamba",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=d_inner,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=1,
+            num_kv_heads=1,
+            head_dim=8,  # unused (no attention)
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            mamba_d_inner=d_inner,
+            mamba_d_state=cfg.get("state_size", 128),
+            mamba_d_conv=cfg.get("conv_kernel", 4),
+            mamba_n_heads=cfg.get("num_heads", d_inner // 64),
+            mamba_n_groups=cfg.get("n_groups", 1),
+            mamba_dt_limit=tuple(cfg.get("time_step_limit", (0.0, float("inf")))),
+        )
+    if mt in ("falcon_mamba", "mamba"):
+        # pure selective-SSM stack (no attention): backbone.layers.N.{norm,
+        # mixer.{in_proj, conv1d, x_proj, dt_proj, A_log, D, out_proj}}
+        h = cfg["hidden_size"]
+        d_inner = cfg.get("intermediate_size") or int(cfg.get("expand", 2)) * h
+        import math as _math
+
+        dtr = cfg.get("time_step_rank")
+        if dtr in (None, "auto"):
+            dtr = _math.ceil(h / 16)
+        return ModelSpec(
+            model_type=mt,
+            family="mamba",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=d_inner,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=1,
+            num_kv_heads=1,
+            head_dim=8,  # unused (no attention); keeps rope helpers happy
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            mamba_d_inner=d_inner,
+            mamba_d_state=cfg.get("state_size", 16),
+            mamba_d_conv=cfg.get("conv_kernel", 4),
+            mamba_dt_rank=int(dtr),
+            mixer_rms_eps=(
+                cfg.get("mixer_rms_eps", 1e-6) if mt == "falcon_mamba" else 0.0
+            ),
         )
     if mt == "bloom":
         h = cfg.get("hidden_size", cfg.get("n_embed"))

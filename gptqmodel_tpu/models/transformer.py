@@ -968,7 +968,12 @@ def decoder_layer(
         normed = h
     else:
         normed = sublayer_norm(spec, lp.get("input_layernorm"), h)
-    if "kv_a_proj_with_mqa" in lp["self_attn"]:  # deepseek MLA
+    if "mamba" in lp:  # bamba/granitemoehybrid: SSD mixer in the attn slot
+        attn_out, cache = mamba2_mixer(
+            spec, lp["mamba"], normed, cache, prefix="mamba",
+            taps=taps, tap_paths=tap_paths,
+        )
+    elif "kv_a_proj_with_mqa" in lp["self_attn"]:  # deepseek MLA
         attn_out, cache = mla_attention(
             spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
             taps=taps, tap_paths=tap_paths,
@@ -1003,7 +1008,8 @@ def decoder_layer(
         )
     else:
         h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
-        normed2 = sublayer_norm(spec, lp.get("post_attention_layernorm"), h)
+        pre_mlp = lp.get("post_attention_layernorm") or lp.get("pre_ff_layernorm")
+        normed2 = sublayer_norm(spec, pre_mlp, h)
 
     if "block_sparse_moe" in lp:  # mixtral container naming
         mlp_out = moe_mlp(
@@ -1024,7 +1030,12 @@ def decoder_layer(
                 spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
             )
     else:
-        mlp_out = gated_mlp(spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths)
+        mp = lp.get("mlp") if "mlp" in lp else lp["feed_forward"]
+        mlp_out = gated_mlp(
+            spec, mp, normed2,
+            prefix="mlp" if "mlp" in lp else "feed_forward",
+            taps=taps, tap_paths=tap_paths,
+        )
 
     if spec.norm_after:  # olmo2/exaone4
         mlp_out = sublayer_norm(spec, lp["post_feedforward_layernorm"], mlp_out)
@@ -1047,6 +1058,8 @@ def model_root(spec: ModelSpec, params: Params) -> Params:
         return params["transformer"]
     if spec.family == "neox":
         return params[_neox_names(spec)["root"]]
+    if spec.family == "mamba":
+        return params["backbone"]
     return params["model"]
 
 
@@ -1067,9 +1080,8 @@ def set_model_layers(spec: ModelSpec, params: Params, layers: list):
 def _embed_key(spec: ModelSpec) -> str:
     if spec.family == "neox":
         return _neox_names(spec)["embed"]
-    return {"gpt2": "wte", "bloom": "word_embeddings"}.get(
-        spec.family, "embed_tokens"
-    )
+    return {"gpt2": "wte", "bloom": "word_embeddings",
+            "mamba": "embeddings"}.get(spec.family, "embed_tokens")
 
 
 def embed(
@@ -1109,7 +1121,12 @@ def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
     if spec.family == "neox":
         n = root[_neox_names(spec)["final"]]
         return layer_norm(h, n["weight"], n.get("bias"), spec.rms_norm_eps)
-    return sublayer_norm(spec, root.get("norm"), h)
+    if spec.family == "mamba":
+        return rms_norm(h, root["norm_f"]["weight"], spec.rms_norm_eps)
+    # olmo's non-parametric norm has no tensors at all; bamba calls the
+    # final norm "final_layernorm"
+    n = root.get("norm") or root.get("final_layernorm")
+    return sublayer_norm(spec, n, h)
 
 
 # --------------------------------------------------------------------------
@@ -1626,6 +1643,8 @@ def any_decoder_layer(
     tap_paths=frozenset(),
 ):
     """Family dispatcher used by the looper and the inference engine."""
+    if spec.family == "mamba":
+        return mamba_decoder_layer(spec, lp, h, cache, taps, tap_paths)
     if spec.family == "opt":
         return opt_decoder_layer(spec, lp, h, attn_bias, cache, taps, tap_paths)
     if spec.family == "gpt2":
@@ -1702,3 +1721,262 @@ def lm_logits(spec: ModelSpec, params: Params, hidden: jnp.ndarray):
 def forward_logits(spec: ModelSpec, params: Params, input_ids, dtype=jnp.float32):
     h, _ = model_hidden(spec, params, input_ids, dtype=dtype)
     return lm_logits(spec, params, h)
+
+
+# --------------------------------------------------------------------------
+# mamba family (falcon_mamba: selective-state-space mixer blocks)
+# --------------------------------------------------------------------------
+
+
+def _causal_conv1d(x: jnp.ndarray, w: jnp.ndarray, b, k: int) -> jnp.ndarray:
+    """Depthwise causal conv over time. x [B, T, C], w [C, k] -> [B, T, C].
+
+    k is tiny (4): unrolled shift-and-add fuses into the surrounding graph —
+    the TPU answer to the reference's causal_conv1d CUDA ext
+    (hf_kernels/causal_conv1d, SURVEY §2.6)."""
+    B, T, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+    y = jnp.zeros_like(x)
+    for j in range(k):
+        y = y + xp[:, j : j + T, :] * w[None, None, :, j]
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _rms_noweight(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)).astype(
+        x.dtype
+    )
+
+
+def mamba_mixer(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    cache: Optional[dict] = None,  # {"conv": [B, k-1, d_in], "ssm": [B, d_in, N]}
+    prefix: str = "mixer",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """FalconMamba selective SSM (modeling_falcon_mamba.py:406 slow_forward):
+    in_proj -> (x, gate); causal depthwise conv + silu; x_proj -> (dt, B, C)
+    each RMS-normalized (falcon's b_c_dt rms, no weights); softplus(dt_proj);
+    recurrence h <- exp(A dt) h + dt B x, y = C.h + D x, gated by silu(gate).
+
+    Prefill runs the recurrence as one lax.scan over T; decode (T==1 with a
+    cache) is a single update on the carried (conv, ssm) states — the
+    mamba-family KV-cache analog."""
+    B, T, D = h.shape
+    d_in = spec.mamba_d_inner
+    N = spec.mamba_d_state
+    k = spec.mamba_d_conv
+    dtr = spec.mamba_dt_rank
+
+    _tap(taps, tap_paths, f"{prefix}.in_proj", h)
+    proj = apply_linear(mp["in_proj"], h)  # [B, T, 2*d_in]
+    x, gate = jnp.split(proj, 2, axis=-1)
+
+    conv_w = jnp.asarray(mp["conv1d"]["weight"])[:, 0, :]  # [d_in, k]
+    conv_b = mp["conv1d"].get("bias")
+    if cache is not None and T == 1:
+        # decode: sliding conv window from the cache
+        window = jnp.concatenate([cache["conv"], x], axis=1)  # [B, k, d_in]
+        xc = jnp.einsum("bkc,ck->bc", window.astype(jnp.float32),
+                        conv_w.astype(jnp.float32))[:, None, :]
+        if conv_b is not None:
+            xc = xc + conv_b.astype(xc.dtype)
+        xc = jax.nn.silu(xc).astype(h.dtype)
+        cache = dict(cache, conv=window[:, 1:, :])
+    else:
+        xc = jax.nn.silu(
+            _causal_conv1d(x, conv_w.astype(jnp.float32), conv_b, k)
+        ).astype(h.dtype)
+        if cache is not None:  # prefill into cache: keep last k-1 inputs
+            pad = jnp.pad(x, ((0, 0), (max(k - 1 - T, 0), 0), (0, 0)))
+            cache = dict(cache, conv=pad[:, -(k - 1):, :])
+
+    _tap(taps, tap_paths, f"{prefix}.x_proj", xc)
+    sp = apply_linear(mp["x_proj"], xc)  # [B, T, dtr + 2N]
+    dt_r, Bm, Cm = jnp.split(sp, [dtr, dtr + N], axis=-1)
+    if spec.mixer_rms_eps:  # falcon_mamba b_c_dt RMS (no weights)
+        dt_r = _rms_noweight(dt_r, spec.mixer_rms_eps)
+        Bm = _rms_noweight(Bm, spec.mixer_rms_eps)
+        Cm = _rms_noweight(Cm, spec.mixer_rms_eps)
+    _tap(taps, tap_paths, f"{prefix}.dt_proj", dt_r)
+    dt = jax.nn.softplus(apply_linear(mp["dt_proj"], dt_r))  # [B, T, d_in]
+
+    A = -jnp.exp(jnp.asarray(mp["A_log"]).astype(jnp.float32))  # [d_in, N]
+    Dv = jnp.asarray(mp["D"]).astype(jnp.float32)  # [d_in]
+    xf = xc.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    Bf = Bm.astype(jnp.float32)
+    Cf = Cm.astype(jnp.float32)
+
+    ssm0 = (
+        cache["ssm"].astype(jnp.float32)
+        if cache is not None
+        else jnp.zeros((B, d_in, N), jnp.float32)
+    )
+
+    def step(ssm, t_in):
+        x_t, dt_t, B_t, C_t = t_in  # [B,d_in], [B,d_in], [B,N], [B,N]
+        dA = jnp.exp(A[None] * dt_t[:, :, None])  # [B, d_in, N]
+        ssm = dA * ssm + (dt_t * x_t)[:, :, None] * B_t[:, None, :]
+        y_t = jnp.einsum("bdn,bn->bd", ssm, C_t)
+        return ssm, y_t
+
+    xs = (
+        xf.transpose(1, 0, 2), dtf.transpose(1, 0, 2),
+        Bf.transpose(1, 0, 2), Cf.transpose(1, 0, 2),
+    )
+    ssm_f, ys = jax.lax.scan(step, ssm0, xs)
+    y = ys.transpose(1, 0, 2) + xf * Dv[None, None, :]
+    y = (y * jax.nn.silu(gate.astype(jnp.float32))).astype(h.dtype)
+    if cache is not None:
+        cache = dict(cache, ssm=ssm_f.astype(cache["ssm"].dtype))
+    _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+    return apply_linear(mp["out_proj"], y), cache
+
+
+def mamba_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    normed = rms_norm(h, lp["norm"]["weight"], spec.rms_norm_eps)
+    mixer = mamba2_mixer if "dt_bias" in lp["mixer"] else mamba_mixer
+    out, cache = mixer(
+        spec, lp["mixer"], normed, cache, taps=taps, tap_paths=tap_paths
+    )
+    return h + out, cache
+
+
+def init_mamba_cache(spec: ModelSpec, batch: int, dtype=jnp.bfloat16):
+    if spec.mamba_n_heads:  # mamba2/SSD: conv covers x+B+C; per-head states
+        conv_dim = spec.mamba_d_inner + 2 * spec.mamba_n_groups * spec.mamba_d_state
+        hd = spec.mamba_d_inner // spec.mamba_n_heads
+        return [
+            {
+                "conv": jnp.zeros((batch, spec.mamba_d_conv - 1, conv_dim), dtype),
+                "ssm": jnp.zeros(
+                    (batch, spec.mamba_n_heads, hd, spec.mamba_d_state),
+                    jnp.float32,
+                ),
+            }
+            for _ in range(spec.num_layers)
+        ]
+    return [
+        {
+            "conv": jnp.zeros(
+                (batch, spec.mamba_d_conv - 1, spec.mamba_d_inner), dtype
+            ),
+            "ssm": jnp.zeros(
+                (batch, spec.mamba_d_inner, spec.mamba_d_state), jnp.float32
+            ),
+        }
+        for _ in range(spec.num_layers)
+    ]
+
+
+def mamba2_mixer(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    cache: Optional[dict] = None,  # {"conv": [B, k-1, conv_dim], "ssm": [B,nh,hd,N]}
+    prefix: str = "mixer",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Mamba2 / SSD mixer (modeling_mamba2.py:457 torch_forward): fused
+    in_proj -> [gate | x+B+C (conv'd together) | dt(per-head)]; scalar A per
+    head; recurrence state[h] <- exp(dt_h A_h) state[h] + dt_h x_h (x) B,
+    y = state . C + D x; gated RMSNorm before out_proj.
+
+    Runs the recurrence as one lax.scan (mathematically identical to the
+    chunked SSD formulation the reference's CUDA kernels implement; chunking
+    is a long-prefill optimization, not a semantics change)."""
+    B_, T, D = h.shape
+    d_in = spec.mamba_d_inner
+    N = spec.mamba_d_state
+    k = spec.mamba_d_conv
+    nh = spec.mamba_n_heads
+    hd = d_in // nh
+    ng = spec.mamba_n_groups
+    conv_dim = d_in + 2 * ng * N
+
+    _tap(taps, tap_paths, f"{prefix}.in_proj", h)
+    proj = apply_linear(mp["in_proj"], h)
+    gate, xbc, dt_raw = jnp.split(proj, [d_in, d_in + conv_dim], axis=-1)
+
+    conv_w = jnp.asarray(mp["conv1d"]["weight"])[:, 0, :]  # [conv_dim, k]
+    conv_b = mp["conv1d"].get("bias")
+    if cache is not None and T == 1:
+        window = jnp.concatenate([cache["conv"], xbc], axis=1)  # [B, k, cd]
+        xc = jnp.einsum("bkc,ck->bc", window.astype(jnp.float32),
+                        conv_w.astype(jnp.float32))[:, None, :]
+        if conv_b is not None:
+            xc = xc + conv_b.astype(xc.dtype)
+        xbc_c = jax.nn.silu(xc).astype(h.dtype)
+        cache = dict(cache, conv=window[:, 1:, :])
+    else:
+        xbc_c = jax.nn.silu(
+            _causal_conv1d(xbc, conv_w.astype(jnp.float32), conv_b, k)
+        ).astype(h.dtype)
+        if cache is not None:
+            pad = jnp.pad(xbc, ((0, 0), (max(k - 1 - T, 0), 0), (0, 0)))
+            cache = dict(cache, conv=pad[:, -(k - 1):, :])
+
+    x, Bm, Cm = jnp.split(xbc_c, [d_in, d_in + ng * N], axis=-1)
+    A = -jnp.exp(jnp.asarray(mp["A_log"]).astype(jnp.float32))  # [nh]
+    Dv = jnp.asarray(mp["D"]).astype(jnp.float32)  # [nh]
+    dt_bias = jnp.asarray(mp["dt_bias"]).astype(jnp.float32)  # [nh]
+    lo, hi = spec.mamba_dt_limit
+    dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + dt_bias[None, None, :])
+    if lo > 0.0 or hi != float("inf"):
+        dt = jnp.clip(dt, lo, hi)
+
+    rep = nh // ng
+    xf = x.astype(jnp.float32).reshape(B_, T, nh, hd)
+    Bf = jnp.repeat(
+        Bm.astype(jnp.float32).reshape(B_, T, ng, N), rep, axis=2
+    )
+    Cf = jnp.repeat(
+        Cm.astype(jnp.float32).reshape(B_, T, ng, N), rep, axis=2
+    )
+
+    ssm0 = (
+        cache["ssm"].astype(jnp.float32)
+        if cache is not None
+        else jnp.zeros((B_, nh, hd, N), jnp.float32)
+    )
+
+    def step(ssm, t_in):
+        x_t, dt_t, B_t, C_t = t_in  # [B,nh,hd] [B,nh] [B,nh,N] [B,nh,N]
+        dA = jnp.exp(dt_t * A[None, :])  # [B, nh]
+        ssm = (
+            dA[:, :, None, None] * ssm
+            + (dt_t[:, :, None] * x_t)[..., None] * B_t[:, :, None, :]
+        )
+        y_t = jnp.einsum("bhdn,bhn->bhd", ssm, C_t)
+        return ssm, y_t
+
+    xs = (
+        xf.transpose(1, 0, 2, 3), dt.transpose(1, 0, 2),
+        Bf.transpose(1, 0, 2, 3), Cf.transpose(1, 0, 2, 3),
+    )
+    ssm_f, ys = jax.lax.scan(step, ssm0, xs)
+    y = ys.transpose(1, 0, 2, 3) + xf * Dv[None, None, :, None]
+    y = y.reshape(B_, T, d_in)
+    # gated RMSNorm (MambaRMSNormGated, modeling_mamba2.py:204)
+    yf = y * jax.nn.silu(gate.astype(jnp.float32))
+    yf = yf * jax.lax.rsqrt(jnp.mean(yf * yf, -1, keepdims=True) + spec.rms_norm_eps)
+    y = (yf * jnp.asarray(mp["norm"]["weight"]).astype(jnp.float32)).astype(h.dtype)
+    if cache is not None:
+        cache = dict(cache, ssm=ssm_f.astype(cache["ssm"].dtype))
+    _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+    return apply_linear(mp["out_proj"], y), cache

@@ -1294,3 +1294,194 @@ def test_gpt_oss_quantize_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+
+
+# --------------------------------------------------------------------------
+# mamba family (falcon_mamba / mamba)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model_type", ["falcon_mamba", "mamba"])
+def test_forward_parity_mamba(model_type):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type=model_type, vocab_size=128, hidden_size=64,
+            state_size=8, num_hidden_layers=2, conv_kernel=4, expand=2,
+            time_step_rank=8, use_bias=False, use_conv_bias=True,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / model_type
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "mamba" and spec.mamba_d_inner == 128
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_falcon_mamba_quantize_generate_e2e():
+    """SSM lifecycle: quantize in/x/out projections (dt_proj stays dense,
+    reference definitions/falcon_mamba.py), generate with conv+ssm caches,
+    and the cached decode must match a cache-free re-forward."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon_mamba", vocab_size=128, hidden_size=64,
+            state_size=8, num_hidden_layers=2, conv_kernel=4, expand=2,
+            time_step_rank=8, use_bias=False, use_conv_bias=True,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 3  # in_proj / x_proj / out_proj per layer
+        mods = {r["module"] for r in rows}
+        assert "mixer.dt_proj" not in mods
+
+        # cached generate == argmax chain of the cache-free forward
+        prompt = np.arange(1, 7).reshape(1, 6)
+        out = m.generate(prompt, max_new_tokens=3, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(3):
+            logits = np.asarray(
+                forward_logits(m.spec, m.params, jnp.asarray(seq))
+            )
+            nxt = logits[:, -1].argmax(-1)
+            seq = np.concatenate([seq, nxt[:, None]], axis=1)
+        np.testing.assert_array_equal(out[0], seq[0, 6:])
+
+
+def test_forward_parity_mamba2():
+    """mamba2/SSD: per-head scalar A, grouped B/C, gated RMSNorm — our
+    per-step scan must equal HF's chunked SSD formulation."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="mamba2", vocab_size=128, hidden_size=64,
+            state_size=16, num_hidden_layers=2, conv_kernel=4, expand=2,
+            num_heads=8, head_dim=16, n_groups=2, chunk_size=8,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "mamba2"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.mamba_n_heads == 8 and spec.mamba_n_groups == 2
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_mamba2_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="mamba2", vocab_size=128, hidden_size=64,
+            state_size=16, num_hidden_layers=2, conv_kernel=4, expand=2,
+            num_heads=8, head_dim=16, n_groups=2, chunk_size=8,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 2  # in_proj / out_proj per layer
+        prompt = np.arange(1, 7).reshape(1, 6)
+        out = m.generate(prompt, max_new_tokens=3, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(3):
+            logits = np.asarray(
+                forward_logits(m.spec, m.params, jnp.asarray(seq))
+            )
+            seq = np.concatenate(
+                [seq, logits[:, -1].argmax(-1)[:, None]], axis=1
+            )
+        np.testing.assert_array_equal(out[0], seq[0, 6:])
+
+
+def test_forward_parity_bamba_hybrid():
+    """bamba: mamba2 mixers with interleaved GQA attention layers."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="bamba", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2,
+            attn_layer_indices=[1], mamba_n_heads=8, mamba_d_head=16,
+            mamba_d_state=16, mamba_n_groups=2, mamba_expand=2,
+            mamba_chunk_size=8, max_position_embeddings=256,
+            tie_word_embeddings=False, pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "bamba"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layers_block_type == ("mamba", "attention", "mamba")
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_bamba_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="bamba", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2,
+            attn_layer_indices=[1], mamba_n_heads=8, mamba_d_head=16,
+            mamba_d_state=16, mamba_n_groups=2, mamba_expand=2,
+            mamba_chunk_size=8, max_position_embeddings=256,
+            tie_word_embeddings=False, pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 2 mamba layers x (in/out + 3 mlp) + 1 attn layer x (4 + 3 mlp)
+        assert len(rows) == 2 * 5 + 7, len(rows)
+        prompt = np.arange(1, 7).reshape(1, 6)
+        out = m.generate(prompt, max_new_tokens=3, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(3):
+            logits = np.asarray(
+                forward_logits(m.spec, m.params, jnp.asarray(seq))
+            )
+            seq = np.concatenate(
+                [seq, logits[:, -1].argmax(-1)[:, None]], axis=1
+            )
+        np.testing.assert_array_equal(out[0], seq[0, 6:])
