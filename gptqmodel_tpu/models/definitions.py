@@ -651,6 +651,28 @@ REGISTRY: dict[str, ModelDef] = {
         ),
         pre_lm_head_norm="backbone.norm_f",
     ),
+    "llama4": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "feed_forward": {
+                    "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                    "shared_expert": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                },
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_llama4_reader"]
+        ).wrap_llama4_reader,
+    ),
     "bamba": ModelDef(
         (
             "model",
@@ -680,6 +702,9 @@ REGISTRY: dict[str, ModelDef] = {
     ),
     "stablelm": ModelDef(_STABLELM_TREE, pre_lm_head_norm="model.norm"),
 }
+
+
+REGISTRY["llama4_text"] = REGISTRY["llama4"]
 
 
 def get_model_def(model_type: str, tensor_names=None) -> ModelDef:

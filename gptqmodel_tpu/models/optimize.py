@@ -87,7 +87,7 @@ def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
 
     n_stacked = 0
     for lp in model_layers(spec, params):
-        for key in ("mlp", "block_sparse_moe"):
+        for key in ("mlp", "block_sparse_moe", "feed_forward"):
             mp = lp.get(key)
             if not isinstance(mp, dict) or "experts" not in mp:
                 continue

@@ -152,3 +152,75 @@ def wrap_gpt_oss_reader(reader, hf_cfg: dict):
     if any(".mlp.experts.gate_up_proj" in n for n in reader.names()):
         return GptOssReader(reader, hf_cfg)
     return reader  # already canonical (our quantized exports)
+
+
+class Llama4Reader:
+    """llama4 fused expert canonicalization (modeling_llama4.py:46-76).
+
+    Native: feed_forward.experts.{gate_up_proj [E, D, 2F] (gate|up as chunk
+    HALVES), down_proj [E, F, D]}, feed_forward.router. Canonical:
+    per-expert gate_proj/up_proj/down_proj Linears + feed_forward.gate."""
+
+    def __init__(self, reader, hf_cfg: dict):
+        self._r = reader
+        txt = hf_cfg.get("text_config") or hf_cfg
+        self.E = int(txt.get("num_local_experts", 0))
+        self._native = set(reader.names())
+
+    def names(self):
+        out = []
+        for n in self._native:
+            m = re.match(r"^(model\.layers\.\d+\.feed_forward)\.(.*)$", n)
+            if m is None:
+                out.append(n)
+                continue
+            base, rest = m.group(1), m.group(2)
+            if rest == "router.weight":
+                out.append(f"{base}.gate.weight")
+            elif rest == "experts.gate_up_proj":
+                for e in range(self.E):
+                    out.append(f"{base}.experts.{e}.gate_proj.weight")
+                    out.append(f"{base}.experts.{e}.up_proj.weight")
+            elif rest == "experts.down_proj":
+                for e in range(self.E):
+                    out.append(f"{base}.experts.{e}.down_proj.weight")
+            else:
+                out.append(n)
+        return out
+
+    def get(self, name: str):
+        if name in self._native:
+            return self._r.get(name)
+        m = re.match(
+            r"^(model\.layers\.\d+\.feed_forward)\.(?:gate\.(weight)|"
+            r"experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight)$",
+            name,
+        )
+        if m is None:
+            return self._r.get(name)
+        base = m.group(1)
+        if m.group(2):
+            return self._r.get(f"{base}.router.weight")
+        import numpy as np
+
+        e, kind = int(m.group(3)), m.group(4)
+        if kind == "down_proj":
+            t = self._r.get(f"{base}.experts.down_proj")  # [E, F, D] untransposed
+            return np.ascontiguousarray(t[e].T)
+        t = self._r.get(f"{base}.experts.gate_up_proj")  # [E, D, 2F] halves
+        F = t.shape[-1] // 2
+        sl = t[e][:, :F] if kind == "gate_proj" else t[e][:, F:]
+        return np.ascontiguousarray(sl.T)
+
+    def __contains__(self, name: str) -> bool:
+        try:
+            self.get(name)
+            return True
+        except Exception:
+            return False
+
+
+def wrap_llama4_reader(reader, hf_cfg: dict):
+    if any(".feed_forward.experts.gate_up_proj" in n for n in reader.names()):
+        return Llama4Reader(reader, hf_cfg)
+    return reader

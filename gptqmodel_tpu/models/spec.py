@@ -116,6 +116,13 @@ class ModelSpec:
     mamba_dt_limit: tuple = (0.0, float("inf"))
     # bamba-style hybrids: per-layer "attention" | "mamba"
     layers_block_type: tuple = ()
+    # llama4 attention variants
+    qk_norm_l2: bool = False  # weightless L2 norm on q/k AFTER rope
+    attn_temp_tuning: bool = False  # NoPE-layer q temperature scaling
+    attn_temp_floor: float = 8192.0
+    attn_temp_scale: float = 0.1
+    attention_chunk_size: int = 0  # chunked-causal mask on chunked layers
+    moe_input_scaled: bool = False  # llama4: routing weight scales the INPUT
 
 
 _LLAMA_FAMILY = {
@@ -818,6 +825,32 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 topk_group=cfg.get("topk_group") or 0,
                 routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             )
+    if mt in ("llama4", "llama4_text"):
+        # interleaved rope (complex freqs_cis form), L2 qk-norm after rope,
+        # NoPE layers with q temperature tuning + full attention, chunked
+        # causal attention on rope layers, top-k sigmoid INPUT-scaled MoE
+        # with fused experts (split by models/remap.Llama4Reader) + shared
+        # expert (modeling_llama4.py:46-165,279-347)
+        nr = cfg.get("no_rope_layers")
+        if not nr:
+            iv = cfg.get("no_rope_layer_interval", 4)
+            nr = [0 if (i + 1) % iv == 0 else 1
+                  for i in range(cfg["num_hidden_layers"])]
+        common.update(
+            rope_interleave=True,
+            qk_norm_l2=bool(cfg.get("use_qk_norm", True)),
+            no_rope_layers=tuple(int(v) for v in nr),
+            attn_temp_tuning=bool(cfg.get("attn_temperature_tuning", False)),
+            attn_temp_floor=float(cfg.get("floor_scale", 8192)),
+            attn_temp_scale=float(cfg.get("attn_scale", 0.1)),
+            attention_chunk_size=int(cfg.get("attention_chunk_size") or 0),
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 1),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring="llama4",
+            moe_input_scaled=True,
+            norm_topk_prob=False,
+        )
     if mt == "gpt_oss":
         # attention sinks + sliding alternation + yarn rope + clamped-GLU
         # MoE with biased experts/router; fused expert tensors canonicalized

@@ -252,7 +252,7 @@ def apply_rope_interleaved(q, k, cos, sin):
 def layer_is_sliding(spec: ModelSpec, i: int) -> bool:
     """gemma3-style per-layer attention kind (spec.layer_types)."""
     if spec.layer_types:
-        return spec.layer_types[i] == "sliding_attention"
+        return spec.layer_types[i] in ("sliding_attention", "chunked_attention")
     return False
 
 
@@ -268,23 +268,30 @@ def layer_rope_bias(spec: ModelSpec, i: int, ctx: dict):
         # cohere2/exaone4 hybrid: full-attention layers skip RoPE entirely
         # (modeling_cohere2.py:217, modeling_exaone4.py:227)
         return None, None, ctx["bias"]
-    if spec.no_rope_layers and not spec.no_rope_layers[i]:  # smollm3 NoPE
+    if spec.no_rope_layers and not spec.no_rope_layers[i]:  # smollm3/llama4
         bias = ctx["bias_l"] if layer_is_sliding(spec, i) and "bias_l" in ctx \
             else ctx["bias"]
-        return None, None, bias
+        # llama4 NoPE temperature tuning rides in the sin slot (attention
+        # applies it as a q scale when cos is None)
+        return None, ctx.get("attn_temp"), bias
     if layer_is_sliding(spec, i) and "cos_l" in ctx:
         return ctx["cos_l"], ctx["sin_l"], ctx.get("bias_l", ctx["bias"])
     return ctx["cos"], ctx["sin"], ctx["bias"]
 
 
-def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window: int = 0):
+def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window: int = 0,
+                     chunk: int = 0):
     """Additive causal mask [1, 1, q_len, kv_len]; offset so the query block
-    aligns to the END of the kv span (prefill: q_len == kv_len)."""
+    aligns to the END of the kv span (prefill: q_len == kv_len). ``window``:
+    sliding attention; ``chunk``: llama4 chunked attention (attend within
+    the same chunk only)."""
     qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)
     ki = jnp.arange(kv_len)[None, :]
     ok = ki <= qi
     if window > 0:
         ok &= ki > qi - window
+    if chunk > 0:
+        ok &= (ki // chunk) == (qi // chunk)
     neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
     return jnp.where(ok, jnp.asarray(0.0, dtype), neg)[None, None]
 
@@ -475,6 +482,17 @@ def attention(
         # full rope by default; cohere = interleaved, glm = partial(0.5)
         # interleaved — _apply_partial_rope folds all three conventions
         q, k = _apply_partial_rope(spec, q, k, cos, sin)
+        if spec.qk_norm_l2:  # llama4: weightless RMS norm AFTER rope
+            q = q * jax.lax.rsqrt(
+                jnp.mean(q.astype(jnp.float32) ** 2, -1, keepdims=True)
+                + spec.rms_norm_eps
+            ).astype(q.dtype)
+            k = k * jax.lax.rsqrt(
+                jnp.mean(k.astype(jnp.float32) ** 2, -1, keepdims=True)
+                + spec.rms_norm_eps
+            ).astype(k.dtype)
+    elif sin is not None:  # llama4 NoPE temperature (layer_rope_bias)
+        q = q * sin[:, None, :, None].astype(q.dtype)
 
     if cache is not None:
         k, v, cache = _cache_write_read(cache, k, v, B, T, q.dtype)
@@ -715,16 +733,20 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
     ids, counts, pos = plan_slots_jit(flat_e[order], E, bm, S)
     M_pad = S * bm
+    w = top_w.reshape(-1)[order].astype(jnp.float32)
+    x_rows = x[tok].astype(jnp.float32)
+    if spec.moe_input_scaled:  # llama4: weight scales the expert INPUT
+        x_rows = x_rows * w[:, None]
     xs = jnp.zeros((M_pad, D), jnp.bfloat16).at[pos].set(
-        x[tok].astype(jnp.bfloat16)
+        x_rows.astype(jnp.bfloat16)
     )
     g = qmoe_forward_sorted(xs, ids, counts, gate, bm=bm, interpret=interpret)
     u = qmoe_forward_sorted(xs, ids, counts, up, bm=bm, interpret=interpret)
     inner = (_act(spec.hidden_act)(g) * u).astype(jnp.bfloat16)
     y = qmoe_forward_sorted(inner, ids, counts, down, bm=bm,
                             interpret=interpret)
-    w = top_w.reshape(-1)[order].astype(jnp.float32)
-    out = jnp.zeros((N, D), jnp.float32).at[tok].add(y[pos] * w[:, None])
+    scale = jnp.ones_like(w) if spec.moe_input_scaled else w
+    out = jnp.zeros((N, D), jnp.float32).at[tok].add(y[pos] * scale[:, None])
     return out.astype(x.dtype)
 
 
@@ -739,13 +761,15 @@ def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
     flat_e = top_i.reshape(-1)
     order = jnp.argsort(flat_e, stable=True)
     tok = order // K
+    w = top_w.reshape(-1)[order].astype(x.dtype)
     xs = x[tok]
+    if spec.moe_input_scaled:  # llama4: weight scales the expert INPUT
+        xs = xs * w[:, None]
+        w = jnp.ones_like(w)
     gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-    act = _act(spec.hidden_act)
     g = jax.lax.ragged_dot(xs, stacked["gate"].astype(x.dtype), gs)
     u = jax.lax.ragged_dot(xs, stacked["up"].astype(x.dtype), gs)
-    y = jax.lax.ragged_dot(act(g) * u, stacked["down"].astype(x.dtype), gs)
-    w = top_w.reshape(-1)[order].astype(x.dtype)
+    y = jax.lax.ragged_dot(_glu(spec, g, u), stacked["down"].astype(x.dtype), gs)
     return jnp.zeros_like(x).at[tok].add(y * w[:, None])
 
 
@@ -794,6 +818,9 @@ def moe_mlp(
     elif spec.moe_scoring == "topk_softmax":  # gpt_oss: topk THEN softmax
         top_v, top_i = jax.lax.top_k(logits, spec.num_experts_per_tok)
         top_w = jax.nn.softmax(top_v, axis=-1)
+    elif spec.moe_scoring == "llama4":  # sigmoid of topk, scales the INPUT
+        top_v, top_i = jax.lax.top_k(logits, spec.num_experts_per_tok)
+        top_w = jax.nn.sigmoid(top_v)
     else:
         probs = jax.nn.softmax(logits, axis=-1)
         top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
@@ -806,19 +833,23 @@ def moe_mlp(
             out = out + gated_mlp(spec, mp["shared_experts"], x)
         if "shared_expert" in mp:
             se = gated_mlp(spec, mp["shared_expert"], x)
-            gl = apply_linear(mp["shared_expert_gate"], x)
-            out = out + jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
-                x.dtype
-            ) * se
+            if "shared_expert_gate" in mp:  # qwen2_moe sigmoid gate
+                gl = apply_linear(mp["shared_expert_gate"], x)
+                se = jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
+                    x.dtype
+                ) * se
+            out = out + se
         return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
         out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
         if "shared_expert" in mp:
             se = gated_mlp(spec, mp["shared_expert"], x)
-            gl = apply_linear(mp["shared_expert_gate"], x)
-            out = out + jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
-                x.dtype
-            ) * se
+            if "shared_expert_gate" in mp:  # qwen2_moe sigmoid gate
+                gl = apply_linear(mp["shared_expert_gate"], x)
+                se = jax.nn.sigmoid(gl.astype(jnp.float32)).astype(
+                    x.dtype
+                ) * se
+            out = out + se
         return out.reshape(B, T, D)
 
     # routing weight per (token, expert): [N, E]
@@ -830,6 +861,25 @@ def moe_mlp(
 
     out = jnp.zeros_like(x)
     experts = mp["experts"]
+    if spec.moe_input_scaled:  # llama4: weight scales the expert INPUT
+        for e in range(E):
+            we = w_full[:, e].astype(x.dtype)
+            routed = (we > 0).astype(x.dtype)
+            xe = x * we[:, None]
+            if taps is not None:
+                y = gated_mlp(
+                    spec, experts[e], xe, prefix=f"{prefix}.experts.{e}",
+                    taps=taps, tap_paths=tap_paths, row_mask=routed,
+                )
+            else:
+                y = gated_mlp(spec, experts[e], xe)
+            out = out + y * routed[:, None]
+        if "shared_expert" in mp:
+            out = out + gated_mlp(
+                spec, mp["shared_expert"], x, prefix=f"{prefix}.shared_expert",
+                taps=taps, tap_paths=tap_paths,
+            )
+        return out.reshape(B, T, D)
     for e in range(E):
         we = w_full[:, e]  # [N]
         routed = (we > 0).astype(x.dtype)
@@ -1016,18 +1066,20 @@ def decoder_layer(
             spec, lp["block_sparse_moe"], normed2, prefix="block_sparse_moe",
             taps=taps, tap_paths=tap_paths,
         )
-    elif spec.num_experts > 0 and (
-        "experts" in lp["mlp"] or "experts_stacked" in lp["mlp"]
-        or "experts_stacked_q" in lp["mlp"]
+    elif spec.num_experts > 0 and any(
+        key in (lp.get("mlp") or lp.get("feed_forward") or {})
+        for key in ("experts", "experts_stacked", "experts_stacked_q")
     ):
-        if ("shared_experts" in lp["mlp"] or "moe_statics" in lp["mlp"]
+        mkey = "mlp" if "mlp" in lp else "feed_forward"
+        mc = lp[mkey]
+        if ("shared_experts" in mc or "moe_statics" in mc
                 or spec.model_type.startswith("deepseek")):
             mlp_out = deepseek_moe(
-                spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
+                spec, mc, normed2, prefix=mkey, taps=taps, tap_paths=tap_paths
             )
         else:
             mlp_out = moe_mlp(
-                spec, lp["mlp"], normed2, taps=taps, tap_paths=tap_paths
+                spec, mc, normed2, prefix=mkey, taps=taps, tap_paths=tap_paths
             )
     else:
         mp = lp.get("mlp") if "mlp" in lp else lp["feed_forward"]
@@ -1678,10 +1730,16 @@ def model_hidden(
     )
     bias_l = None
     if isinstance(attn_bias, str) and attn_bias == "causal":
-        kv_len = caches[0]["k"].shape[2] if caches else T
+        kv_len = (
+            next((c["k"].shape[2] for c in caches if "k" in c), T)
+            if caches else T
+        )
         attn_bias = make_causal_mask(T, kv_len, window=0)
         if has_sliding:
-            bias_l = make_causal_mask(T, kv_len, window=spec.sliding_window)
+            bias_l = make_causal_mask(
+                T, kv_len, window=spec.sliding_window,
+                chunk=spec.attention_chunk_size,
+            )
     h = embed(spec, params, input_ids, dtype, positions)
     new_caches = [] if caches is not None else None
     ctx = {"cos": cos, "sin": sin, "bias": attn_bias}
@@ -1689,6 +1747,12 @@ def model_hidden(
         ctx.update(cos_l=cos_l, sin_l=sin_l)
         if bias_l is not None:
             ctx["bias_l"] = bias_l
+    if spec.attn_temp_tuning:  # llama4 NoPE q temperature
+        ctx["attn_temp"] = (
+            jnp.log1p(jnp.floor((positions.astype(jnp.float32) + 1.0)
+                                / spec.attn_temp_floor))
+            * spec.attn_temp_scale + 1.0
+        )
     for i, lp in enumerate(model_layers(spec, params)):
         cache_i = caches[i] if caches is not None else None
         c_i, s_i, b_i = layer_rope_bias(spec, i, ctx)

@@ -1485,3 +1485,66 @@ def test_bamba_quantize_generate_e2e():
                 [seq, logits[:, -1].argmax(-1)[:, None]], axis=1
             )
         np.testing.assert_array_equal(out[0], seq[0, 6:])
+
+
+def test_forward_parity_llama4():
+    """llama4: interleaved rope, L2 qk-norm after rope, NoPE layers with q
+    temperature tuning, chunked attention, input-scaled sigmoid top-k MoE
+    with fused experts + shared expert."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="llama4_text", vocab_size=128, hidden_size=64,
+            intermediate_size=96, intermediate_size_mlp=128,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_local_experts=4,
+            num_experts_per_tok=2, no_rope_layers=[1, 1, 1, 0],
+            attention_chunk_size=4, attn_temperature_tuning=True,
+            floor_scale=4, attn_scale=0.1, use_qk_norm=True,
+            interleave_moe_layer_step=2,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "llama4"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "llama4" and spec.moe_input_scaled
+        assert spec.attention_chunk_size == 4
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_llama4_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="llama4_text", vocab_size=128, hidden_size=64,
+            intermediate_size=96, intermediate_size_mlp=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_local_experts=2,
+            num_experts_per_tok=1, no_rope_layers=[1, 0],
+            attention_chunk_size=64, use_qk_norm=True,
+            interleave_moe_layer_step=1,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 4 attn + 2 experts x 3 + shared x 3 per layer
+        assert len(rows) == 2 * (4 + 2 * 3 + 3), len(rows)
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 4)
