@@ -56,7 +56,7 @@ def init_kv_cache(
     mode = {True: "int8", False: None}.get(kv_quant, kv_quant)
     assert mode in (None, "int8", "int4"), kv_quant
     mamba_layer = None
-    if spec.layers_block_type:  # bamba-style hybrids
+    if spec.layers_block_type and "mamba" in spec.layers_block_type:
         from gptqmodel_tpu.models.transformer import init_mamba_cache
 
         mamba_layer = init_mamba_cache(spec, batch, dtype)
@@ -65,6 +65,14 @@ def init_kv_cache(
         if (spec.layers_block_type
                 and spec.layers_block_type[li] == "mamba"):
             caches.append(mamba_layer[li])
+            continue
+        if (spec.layers_block_type
+                and spec.layers_block_type[li] == "conv"):  # lfm2 short conv
+            caches.append({
+                "conv": jnp.zeros(
+                    (batch, spec.mamba_d_conv - 1, spec.hidden_size), dtype
+                ),
+            })
             continue
         c = {"pos": jnp.int32(0)}
         if mode == "int4":

@@ -651,6 +651,85 @@ REGISTRY: dict[str, ModelDef] = {
         ),
         pre_lm_head_norm="backbone.norm_f",
     ),
+    "jamba": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "mamba": ("in_proj:0", "x_proj:0", "out_proj:1"),
+                "pre_ff_layernorm": ("pre_ff_layernorm:!",),
+                "feed_forward": {
+                    "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                    "router": ("router:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+            },
+        ),
+        dynamic_expert_index="num_experts",
+    ),
+    "granitemoe": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "block_sparse_moe": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_granitemoe_reader"]
+        ).wrap_granitemoe_reader,
+    ),
+    "granitemoehybrid": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "mamba": ("in_proj:0", "out_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "block_sparse_moe": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+                "shared_mlp": ("gate_up_proj:0", "down_proj:1"),
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_granitemoe_reader"]
+        ).wrap_granitemoe_reader,
+    ),
+    "lfm2": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "operator_norm": ("operator_norm:!",),
+                "self_attn": (
+                    "q_layernorm:!", "k_layernorm:!",
+                    "q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1",
+                ),
+                "conv": ("in_proj:0", "out_proj:1"),
+                "ffn_norm": ("ffn_norm:!",),
+                "feed_forward": ("w1:0", "w3:0", "w2:1"),
+            },
+        ),
+        pre_lm_head_norm="model.embedding_norm",
+    ),
     "llama4": ModelDef(
         (
             "model",

@@ -224,3 +224,86 @@ def wrap_llama4_reader(reader, hf_cfg: dict):
     if any(".feed_forward.experts.gate_up_proj" in n for n in reader.names()):
         return Llama4Reader(reader, hf_cfg)
     return reader
+
+
+class GraniteMoeReader:
+    """granitemoe(+hybrid) fused expert canonicalization
+    (modeling_granitemoe.py:226-386): block_sparse_moe.input_linear
+    [E, 2F, D] (gate|up chunk halves) / output_linear [E, D, F] -> per-expert
+    Linears; router.layer -> gate; the hybrid's fused shared_mlp
+    input/output_linear -> gate_up_proj/down_proj."""
+
+    def __init__(self, reader, hf_cfg: dict):
+        self._r = reader
+        self.E = int(hf_cfg.get("num_local_experts", 0))
+        self._native = set(reader.names())
+
+    def names(self):
+        out = []
+        for n in self._native:
+            m = re.match(r"^(model\.layers\.\d+)\.(.*)$", n)
+            if m is None:
+                out.append(n)
+                continue
+            base, rest = m.group(1), m.group(2)
+            if rest == "block_sparse_moe.router.layer.weight":
+                out.append(f"{base}.block_sparse_moe.gate.weight")
+            elif rest == "block_sparse_moe.input_linear.weight":
+                for e in range(self.E):
+                    out.append(f"{base}.block_sparse_moe.experts.{e}.gate_proj.weight")
+                    out.append(f"{base}.block_sparse_moe.experts.{e}.up_proj.weight")
+            elif rest == "block_sparse_moe.output_linear.weight":
+                for e in range(self.E):
+                    out.append(f"{base}.block_sparse_moe.experts.{e}.down_proj.weight")
+            elif rest == "shared_mlp.input_linear.weight":
+                out.append(f"{base}.shared_mlp.gate_up_proj.weight")
+            elif rest == "shared_mlp.output_linear.weight":
+                out.append(f"{base}.shared_mlp.down_proj.weight")
+            else:
+                out.append(n)
+        return out
+
+    def get(self, name: str):
+        if name in self._native:
+            return self._r.get(name)
+        import numpy as np
+
+        m = re.match(
+            r"^(model\.layers\.\d+)\.block_sparse_moe\.(?:gate\.weight|"
+            r"experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight)$", name
+        )
+        if m is not None:
+            base = m.group(1)
+            if m.group(2) is None:
+                return self._r.get(f"{base}.block_sparse_moe.router.layer.weight")
+            e, kind = int(m.group(2)), m.group(3)
+            if kind == "down_proj":
+                return self._r.get(
+                    f"{base}.block_sparse_moe.output_linear.weight"
+                )[e]  # [D, F] already [out, in]
+            t = self._r.get(f"{base}.block_sparse_moe.input_linear.weight")[e]
+            F = t.shape[0] // 2
+            return t[:F] if kind == "gate_proj" else t[F:]
+        m = re.match(
+            r"^(model\.layers\.\d+)\.shared_mlp\.(gate_up_proj|down_proj)\.weight$",
+            name,
+        )
+        if m is not None:
+            base, kind = m.group(1), m.group(2)
+            native = "input_linear" if kind == "gate_up_proj" else "output_linear"
+            return self._r.get(f"{base}.shared_mlp.{native}.weight")
+        return self._r.get(name)
+
+    def __contains__(self, name: str) -> bool:
+        try:
+            self.get(name)
+            return True
+        except Exception:
+            return False
+
+
+def wrap_granitemoe_reader(reader, hf_cfg: dict):
+    if any(".block_sparse_moe.input_linear." in n or
+           ".shared_mlp.input_linear." in n for n in reader.names()):
+        return GraniteMoeReader(reader, hf_cfg)
+    return reader

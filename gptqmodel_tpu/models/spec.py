@@ -825,6 +825,77 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 topk_group=cfg.get("topk_group") or 0,
                 routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             )
+    if mt == "jamba":
+        # NoPE attention + mamba1 (weighted dt/B/C norms) hybrid with
+        # periodic mixtral-style MoE layers (modeling_jamba.py:593-1000)
+        L = cfg["num_hidden_layers"]
+        ap, ao = cfg.get("attn_layer_period", 8), cfg.get("attn_layer_offset", 4)
+        h = cfg["hidden_size"]
+        d_inner = int(cfg.get("mamba_expand", 2)) * h
+        dtr = cfg.get("mamba_dt_rank")
+        if dtr in (None, "auto"):
+            import math as _math
+
+            dtr = _math.ceil(h / 16)
+        common.update(
+            no_rope_layers=(0,) * L,
+            layers_block_type=tuple(
+                "attention" if i % ap == ao else "mamba" for i in range(L)
+            ),
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=False,
+            mamba_d_inner=d_inner,
+            mamba_d_state=cfg.get("mamba_d_state", 16),
+            mamba_d_conv=cfg.get("mamba_d_conv", 4),
+            mamba_dt_rank=int(dtr),
+        )
+    if mt in ("granitemoe", "granitemoehybrid"):
+        # granite mup multipliers + topk-softmax MoE with fused parallel
+        # experts (split by models/remap.GraniteMoeReader); the hybrid adds
+        # mamba2 layers, an always-on fused shared MLP and defaults to NoPE
+        # (modeling_granitemoehybrid.py:1110-1205)
+        L = cfg["num_hidden_layers"]
+        common.update(
+            embedding_multiplier=cfg.get("embedding_multiplier", 1.0),
+            attn_scale=cfg.get("attention_multiplier", 0.0) or 0.0,
+            residual_multiplier=cfg.get("residual_multiplier", 1.0),
+            logit_scale=1.0 / (cfg.get("logits_scaling", 1.0) or 1.0),
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring="topk_softmax",
+            norm_topk_prob=False,
+        )
+        if mt == "granitemoehybrid":
+            d_inner = int(cfg.get("mamba_expand", 2)) * cfg["hidden_size"]
+            lbt = cfg.get("layer_types") or ["mamba"] * L
+            common.update(
+                layers_block_type=tuple(lbt),
+                layer_types=(),
+                mamba_d_inner=d_inner,
+                mamba_d_state=cfg.get("mamba_d_state", 128),
+                mamba_d_conv=cfg.get("mamba_d_conv", 4),
+                mamba_n_heads=cfg.get("mamba_n_heads", d_inner // 64),
+                mamba_n_groups=cfg.get("mamba_n_groups", 1),
+            )
+            if cfg.get("position_embedding_type") != "rope":
+                common["no_rope_layers"] = (0,) * L
+    if mt == "lfm2":
+        # attention layers (per-head q/k RMS) interleaved with gated short
+        # convolutions (modeling_lfm2.py:417-575); w1/w3/w2 MLP
+        common.update(
+            qk_norm=True,
+            rms_norm_eps=cfg.get("norm_eps", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            mamba_d_conv=cfg.get("conv_L_cache", 3),
+            layers_block_type=tuple(
+                "attention" if t == "full_attention" else "conv"
+                for t in (cfg.get("layer_types") or [])
+            ),
+            layer_types=(),  # conv layers are not sliding-attention layers
+        )
     if mt in ("llama4", "llama4_text"):
         # interleaved rope (complex freqs_cis form), L2 qk-norm after rope,
         # NoPE layers with q temperature tuning + full attention, chunked

@@ -467,8 +467,10 @@ def attention(
     v = vf.reshape(B, T, nkv, hd)
 
     if spec.qk_norm:  # qwen3/gemma3: per-head RMSNorm before RoPE
-        qn = ap.get("q_norm") or ap["query_layernorm"]  # hunyuan naming
-        kn = ap.get("k_norm") or ap["key_layernorm"]
+        qn = (ap.get("q_norm") or ap.get("query_layernorm")
+              or ap["q_layernorm"])  # hunyuan / lfm2 naming
+        kn = (ap.get("k_norm") or ap.get("key_layernorm")
+              or ap["k_layernorm"])
         q = rms_norm(q, qn["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
         k = rms_norm(k, kn["weight"], spec.rms_norm_eps, spec.rms_norm_offset)
     if spec.qk_norm_ln:  # cohere use_qk_norm: per-head mean-centered LN
@@ -554,8 +556,9 @@ def attention(
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
 
-    _tap(taps, tap_paths, f"{prefix}.o_proj", out)
-    return apply_linear(ap["o_proj"], out), cache
+    oname = "o_proj" if "o_proj" in ap else "out_proj"  # lfm2 naming
+    _tap(taps, tap_paths, f"{prefix}.{oname}", out)
+    return apply_linear(ap[oname], out), cache
 
 
 def mla_attention(
@@ -632,8 +635,9 @@ def mla_attention(
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * vd)
-    _tap(taps, tap_paths, f"{prefix}.o_proj", out)
-    return apply_linear(ap["o_proj"], out), cache
+    oname = "o_proj" if "o_proj" in ap else "out_proj"  # lfm2 naming
+    _tap(taps, tap_paths, f"{prefix}.{oname}", out)
+    return apply_linear(ap[oname], out), cache
 
 
 # --------------------------------------------------------------------------
@@ -1017,9 +1021,16 @@ def decoder_layer(
     if spec.norm_after:  # olmo2/exaone4: raw input, norm on sublayer output
         normed = h
     else:
-        normed = sublayer_norm(spec, lp.get("input_layernorm"), h)
-    if "mamba" in lp:  # bamba/granitemoehybrid: SSD mixer in the attn slot
-        attn_out, cache = mamba2_mixer(
+        normed = sublayer_norm(
+            spec, lp.get("input_layernorm") or lp.get("operator_norm"), h
+        )
+    if "conv" in lp:  # lfm2: gated short conv in the attn slot
+        attn_out, cache = lfm2_shortconv(
+            spec, lp["conv"], normed, cache, taps=taps, tap_paths=tap_paths,
+        )
+    elif "mamba" in lp:  # bamba/granitemoehybrid SSD or jamba mamba1 mixer
+        mixer = mamba2_mixer if "dt_bias" in lp["mamba"] else mamba_mixer
+        attn_out, cache = mixer(
             spec, lp["mamba"], normed, cache, prefix="mamba",
             taps=taps, tap_paths=tap_paths,
         )
@@ -1058,14 +1069,20 @@ def decoder_layer(
         )
     else:
         h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
-        pre_mlp = lp.get("post_attention_layernorm") or lp.get("pre_ff_layernorm")
+        pre_mlp = (lp.get("post_attention_layernorm")
+                   or lp.get("pre_ff_layernorm") or lp.get("ffn_norm"))
         normed2 = sublayer_norm(spec, pre_mlp, h)
 
-    if "block_sparse_moe" in lp:  # mixtral container naming
+    if "block_sparse_moe" in lp:  # mixtral/granitemoe container naming
         mlp_out = moe_mlp(
             spec, lp["block_sparse_moe"], normed2, prefix="block_sparse_moe",
             taps=taps, tap_paths=tap_paths,
         )
+        if "shared_mlp" in lp:  # granitemoehybrid always-on shared MLP
+            mlp_out = mlp_out + gated_mlp(
+                spec, lp["shared_mlp"], normed2, prefix="shared_mlp",
+                taps=taps, tap_paths=tap_paths,
+            )
     elif spec.num_experts > 0 and any(
         key in (lp.get("mlp") or lp.get("feed_forward") or {})
         for key in ("experts", "experts_stacked", "experts_stacked_q")
@@ -1082,10 +1099,10 @@ def decoder_layer(
                 spec, mc, normed2, prefix=mkey, taps=taps, tap_paths=tap_paths
             )
     else:
-        mp = lp.get("mlp") if "mlp" in lp else lp["feed_forward"]
+        mkey = ("mlp" if "mlp" in lp
+                else "feed_forward" if "feed_forward" in lp else "shared_mlp")
         mlp_out = gated_mlp(
-            spec, mp, normed2,
-            prefix="mlp" if "mlp" in lp else "feed_forward",
+            spec, lp[mkey], normed2, prefix=mkey,
             taps=taps, tap_paths=tap_paths,
         )
 
@@ -1176,8 +1193,9 @@ def final_norm(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
     if spec.family == "mamba":
         return rms_norm(h, root["norm_f"]["weight"], spec.rms_norm_eps)
     # olmo's non-parametric norm has no tensors at all; bamba calls the
-    # final norm "final_layernorm"
-    n = root.get("norm") or root.get("final_layernorm")
+    # final norm "final_layernorm", lfm2 "embedding_norm"
+    n = (root.get("norm") or root.get("final_layernorm")
+         or root.get("embedding_norm"))
     return sublayer_norm(spec, n, h)
 
 
@@ -1864,7 +1882,11 @@ def mamba_mixer(
     _tap(taps, tap_paths, f"{prefix}.x_proj", xc)
     sp = apply_linear(mp["x_proj"], xc)  # [B, T, dtr + 2N]
     dt_r, Bm, Cm = jnp.split(sp, [dtr, dtr + N], axis=-1)
-    if spec.mixer_rms_eps:  # falcon_mamba b_c_dt RMS (no weights)
+    if "dt_layernorm" in mp:  # jamba: WEIGHTED dt/B/C RMS norms
+        dt_r = rms_norm(dt_r, mp["dt_layernorm"]["weight"], spec.rms_norm_eps)
+        Bm = rms_norm(Bm, mp["b_layernorm"]["weight"], spec.rms_norm_eps)
+        Cm = rms_norm(Cm, mp["c_layernorm"]["weight"], spec.rms_norm_eps)
+    elif spec.mixer_rms_eps:  # falcon_mamba b_c_dt RMS (no weights)
         dt_r = _rms_noweight(dt_r, spec.mixer_rms_eps)
         Bm = _rms_noweight(Bm, spec.mixer_rms_eps)
         Cm = _rms_noweight(Cm, spec.mixer_rms_eps)
@@ -1945,6 +1967,45 @@ def init_mamba_cache(spec: ModelSpec, batch: int, dtype=jnp.bfloat16):
         }
         for _ in range(spec.num_layers)
     ]
+
+
+def lfm2_shortconv(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,
+    cache: Optional[dict] = None,  # {"conv": [B, L-1, hidden]}
+    prefix: str = "conv",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """LFM2 gated short convolution (modeling_lfm2.py:417 slow_forward):
+    in_proj -> (B, C, x); depthwise causal conv over B*x; y = C * conv."""
+    Bsz, T, D = h.shape
+    k = spec.mamba_d_conv  # conv_L_cache
+    _tap(taps, tap_paths, f"{prefix}.in_proj", h)
+    bcx = apply_linear(mp["in_proj"], h)
+    Bm, Cm, x = jnp.split(bcx, 3, axis=-1)
+    bx = Bm * x
+    conv_w = jnp.asarray(mp["conv"]["weight"])[:, 0, :]  # [D, k]
+    conv_b = mp["conv"].get("bias")
+    if cache is not None and T == 1:
+        window = jnp.concatenate([cache["conv"], bx], axis=1)  # [B, k, D]
+        y = jnp.einsum("bkc,ck->bc", window.astype(jnp.float32),
+                       conv_w.astype(jnp.float32))[:, None, :]
+        if conv_b is not None:
+            y = y + conv_b.astype(y.dtype)
+        y = y.astype(h.dtype)
+        cache = dict(cache, conv=window[:, 1:, :])
+    else:
+        y = _causal_conv1d(bx, conv_w.astype(jnp.float32), conv_b, k).astype(
+            h.dtype
+        )
+        if cache is not None:
+            pad = jnp.pad(bx, ((0, 0), (max(k - 1 - T, 0), 0), (0, 0)))
+            cache = dict(cache, conv=pad[:, -(k - 1):, :])
+    y = Cm * y
+    _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+    return apply_linear(mp["out_proj"], y), cache
 
 
 def mamba2_mixer(

@@ -1084,6 +1084,16 @@ def test_dbrx_quantize_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+        # quantized export is canonical per-expert tensors; reload must
+        # bypass the fused-split reader wrapper transparently
+        from gptqmodel_tpu.models.transformer import forward_logits
+
+        m.save(Path(tmp) / "q")
+        m2 = GPTQModel.load(Path(tmp) / "q")
+        ids2 = np.arange(24).reshape(2, 12) % 128
+        a = np.asarray(forward_logits(m.spec, m.params, jnp.asarray(ids2)))
+        b = np.asarray(forward_logits(m2.spec, m2.params, jnp.asarray(ids2)))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
 # --------------------------------------------------------------------------
@@ -1548,3 +1558,212 @@ def test_llama4_quantize_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert out.shape == (1, 4)
+
+
+def test_forward_parity_lfm2_hybrid():
+    """lfm2: gated short-conv layers interleaved with qk-normed attention."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="lfm2", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2, conv_L_cache=3,
+            layer_types=["conv", "full_attention", "conv"],
+            block_auto_adjust_ff_dim=False,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "lfm2"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layers_block_type == ("conv", "attention", "conv")
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_lfm2_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="lfm2", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2, conv_L_cache=3,
+            layer_types=["conv", "full_attention", "conv"],
+            block_auto_adjust_ff_dim=False,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 2 conv layers x (2 + 3 mlp) + 1 attn layer x (4 + 3 mlp)
+        assert len(rows) == 2 * 5 + 7, len(rows)
+        prompt = np.arange(1, 7).reshape(1, 6)
+        out = m.generate(prompt, max_new_tokens=3, dtype=jnp.float32)
+        seq = prompt.copy()
+        for _ in range(3):
+            logits = np.asarray(
+                forward_logits(m.spec, m.params, jnp.asarray(seq))
+            )
+            seq = np.concatenate(
+                [seq, logits[:, -1].argmax(-1)[:, None]], axis=1
+            )
+        np.testing.assert_array_equal(out[0], seq[0, 6:])
+
+
+def test_forward_parity_granitemoe():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="granitemoe", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            embedding_multiplier=6.0, attention_multiplier=0.3,
+            residual_multiplier=0.5, logits_scaling=2.0,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "granitemoe"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "topk_softmax"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_granitemoehybrid():
+    """granite 4.0 shape: mamba2 + attention hybrid, fused parallel experts
+    + fused shared MLP, NoPE attention, mup multipliers."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="granitemoehybrid", vocab_size=128, hidden_size=64,
+            intermediate_size=96, shared_intermediate_size=64,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=4,
+            num_experts_per_tok=2,
+            layer_types=["mamba", "attention", "mamba"],
+            mamba_n_heads=8, mamba_d_head=16, mamba_d_state=16,
+            mamba_n_groups=2, mamba_expand=2, mamba_chunk_size=8,
+            embedding_multiplier=2.0, residual_multiplier=0.7,
+            attention_multiplier=0.25, logits_scaling=3.0,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "gmh"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layers_block_type == ("mamba", "attention", "mamba")
+        assert spec.no_rope_layers == (0, 0, 0)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_granitemoehybrid_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="granitemoehybrid", vocab_size=128, hidden_size=64,
+            intermediate_size=96, shared_intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=2,
+            num_experts_per_tok=1, layer_types=["mamba", "attention"],
+            mamba_n_heads=8, mamba_d_head=16, mamba_d_state=16,
+            mamba_n_groups=2, mamba_expand=2, mamba_chunk_size=8,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # mamba layer: in/out + 2 experts x 3 + shared 2; attn: 4 + 6 + 2
+        assert len(rows) == (2 + 6 + 2) + (4 + 6 + 2), len(rows)
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 3)
+
+
+def test_forward_parity_jamba():
+    """jamba: NoPE attention + mamba1 (weighted dt/B/C norms) + periodic
+    MoE layers."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="jamba", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2,
+            attn_layer_period=2, attn_layer_offset=1,
+            expert_layer_period=2, expert_layer_offset=0,
+            num_experts=4, num_experts_per_tok=2, mamba_d_state=8,
+            mamba_d_conv=4, mamba_expand=2, mamba_dt_rank=8,
+            use_mamba_kernels=False, max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "jamba"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layers_block_type == ("mamba", "attention", "mamba",
+                                          "attention")
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
+
+
+def test_jamba_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="jamba", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            attn_layer_period=2, attn_layer_offset=1,
+            expert_layer_period=2, expert_layer_offset=0,
+            num_experts=2, num_experts_per_tok=1, mamba_d_state=8,
+            mamba_d_conv=4, mamba_expand=2, mamba_dt_rank=8,
+            use_mamba_kernels=False, max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # layer0 mamba+moe: 3 + 2x3; layer1 attn+dense: 4 + 3
+        assert len(rows) == (3 + 6) + (4 + 3), len(rows)
+        out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
+                         dtype=jnp.float32)
+        assert out.shape == (1, 3)
