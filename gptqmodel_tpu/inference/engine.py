@@ -74,7 +74,41 @@ def init_kv_cache(
                 ),
             })
             continue
+        if (spec.layers_block_type
+                and spec.layers_block_type[li] == "lightning"):  # minimax
+            caches.append({
+                "KV": jnp.zeros(
+                    (batch, spec.num_heads, spec.head_dim, spec.head_dim),
+                    jnp.float32,
+                ),
+            })
+            continue
+        if (spec.layers_block_type
+                and spec.layers_block_type[li] == "linear"):  # qwen3_next
+            conv_dim = (2 * spec.linear_num_k_heads * spec.linear_k_head_dim
+                        + spec.linear_num_v_heads * spec.linear_v_head_dim)
+            caches.append({
+                "conv": jnp.zeros(
+                    (batch, spec.mamba_d_conv - 1, conv_dim), dtype
+                ),
+                "S": jnp.zeros(
+                    (batch, spec.linear_num_v_heads, spec.linear_k_head_dim,
+                     spec.linear_v_head_dim), jnp.float32,
+                ),
+            })
+            continue
         c = {"pos": jnp.int32(0)}
+        if spec.falcon_h1:  # parallel hybrid: KV + (conv, ssm) in one dict
+            conv_dim = (spec.mamba_d_inner
+                        + 2 * spec.mamba_n_groups * spec.mamba_d_state)
+            hd_m = spec.mamba_d_inner // spec.mamba_n_heads
+            c["conv"] = jnp.zeros(
+                (batch, spec.mamba_d_conv - 1, conv_dim), dtype
+            )
+            c["ssm"] = jnp.zeros(
+                (batch, spec.mamba_n_heads, hd_m, spec.mamba_d_state),
+                jnp.float32,
+            )
         if mode == "int4":
             c["k"] = jnp.zeros(k_shape[:3] + (k_shape[3] // 2,), jnp.uint8)
             c["v"] = jnp.zeros(v_shape[:3] + (v_shape[3] // 2,), jnp.uint8)

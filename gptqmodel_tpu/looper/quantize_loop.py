@@ -95,10 +95,10 @@ def quantize_model(
     reader = CheckpointReader(model_dir)
     mdef = get_model_def(spec.model_type, tensor_names=reader.names())
     reader = mdef.wrap_reader(reader, hf_cfg)
-    reader = mdef.wrap_reader(reader, hf_cfg)
 
     conv1d = mdef.conv1d_suffixes
-    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
+    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d,
+                             layer_container=mdef.layers_container)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = (_cfg_path(hf_cfg, mdef.dynamic_expert_index)
                  if mdef.dynamic_expert_index else mdef.detected_num_experts)
@@ -265,7 +265,8 @@ def quantize_model(
 
     for li in range(spec.num_layers):
         t_layer = time.perf_counter()
-        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d)
+        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d,
+                               layer_container=mdef.layers_container)
         if R is not None:
             from gptqmodel_tpu.quantization.rotation import rotate_layer
 
@@ -397,7 +398,8 @@ def weight_only_quantize(
     mdef = get_model_def(spec.model_type, tensor_names=reader.names())
     reader = mdef.wrap_reader(reader, hf_cfg)
     conv1d = mdef.conv1d_suffixes
-    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d)
+    base = build_params_tree(reader, skip_layers=True, conv1d_suffixes=conv1d,
+                             layer_container=mdef.layers_container)
     plan = parse_module_tree(list(mdef.tree_for(qcfg.method)))
     n_experts = (_cfg_path(hf_cfg, mdef.dynamic_expert_index)
                  if mdef.dynamic_expert_index else mdef.detected_num_experts)
@@ -406,7 +408,8 @@ def weight_only_quantize(
     quant_log: list[dict] = []
     out_layers: list[dict] = []
     for li in range(spec.num_layers):
-        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d)
+        lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d,
+                               layer_container=mdef.layers_container)
         for m in modules:
             full = f"{plan.layers_path}.{li}.{m}"
             mcfg = qcfg.for_module(full)

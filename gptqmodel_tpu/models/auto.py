@@ -190,6 +190,7 @@ class BaseQModel:
         self.params = build_params_tree(
             reader, self.qcfg if self.quantized else None,
             conv1d_suffixes=mdef.conv1d_suffixes,
+            layer_container=mdef.layers_container,
         )
         if self.quantized:
             self._attach_adapters()

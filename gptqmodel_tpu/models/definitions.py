@@ -40,6 +40,18 @@ class ModelDef:
     def wrap_reader(self, reader, hf_cfg):
         return self.reader_wrapper(reader, hf_cfg) if self.reader_wrapper else reader
 
+    @property
+    def layers_container(self) -> str:
+        """Dotted path of the decoder-layer list (tree prefix before "#"),
+        e.g. "model.layers" — passed to build_params_tree so only THIS
+        indexed stack streams as layers (VL vision towers have their own)."""
+        parts = []
+        for el in self.module_tree:
+            if el == "#":
+                break
+            parts.append(el)
+        return ".".join(parts)
+
     def tree_for(self, method) -> tuple:
         """Resolve the module tree for a quant method (override or default)."""
         if self.module_tree_overrides:
@@ -466,6 +478,41 @@ _HUNYUAN_TREE = (
     },
 )
 
+# apertus (modeling_apertus.py:262-270): attention_layernorm /
+# feedforward_layernorm norm names, per-head q/k RMSNorm, non-gated xIELU
+# MLP (act params under mlp.act_fn are runtime-only, not quantized)
+_APERTUS_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "attention_layernorm": ("attention_layernorm:!",),
+        "self_attn": (
+            "q_norm:!", "k_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "feedforward_layernorm": ("feedforward_layernorm:!",),
+        "mlp": ("up_proj:0", "down_proj:1"),
+    },
+)
+
+# bitnet (modeling_bitnet.py:74,178): llama body + attn_sub_norm before
+# o_proj and ffn_sub_norm before down_proj
+_BITNET_TREE = (
+    "model",
+    "layers",
+    "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": (
+            "attn_sub_norm:!",
+            "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+        ),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp": ("ffn_sub_norm:!", "gate_proj:0", "up_proj:0", "down_proj:1"),
+    },
+)
+
 _PERSIMMON_TREE = (
     "model",
     "layers",
@@ -518,6 +565,52 @@ REGISTRY: dict[str, ModelDef] = {
         ).wrap_baichuan_reader,
     ),
     "minicpm": ModelDef(_LLAMA_TREE),
+    "diffllama": ModelDef(_LLAMA_TREE),
+    "xverse": ModelDef(_LLAMA_TREE),
+    "mimo": ModelDef(_LLAMA_TREE),
+    "exaone": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_exaone_reader"]
+        ).wrap_exaone_reader,
+    ),
+    "minicpm3": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": (
+                    "q_a_proj:0", "kv_a_proj_with_mqa:0",
+                    "q_b_proj:1", "kv_b_proj:1", "o_proj:2",
+                ),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+    ),
+    # VL families: quantize the text tower (reference definitions/
+    # base_qwen2_vl.py, llava.py — modality IMAGE quantizes language
+    # layers); vision tower + projector stay dense and re-export verbatim
+    "llava": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "qwen2_vl": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "qwen2_5_vl": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
     "gpt_oss": ModelDef(
         (
             "model",
@@ -555,8 +648,34 @@ REGISTRY: dict[str, ModelDef] = {
         _ERNIE_MOE_TREE, dynamic_expert_index="moe_num_experts"
     ),
     "helium": ModelDef(_LLAMA_TREE),
+    "seed_oss": ModelDef(_LLAMA_TREE),
+    "arcee": ModelDef(_NEMOTRON_TREE),
+    "apertus": ModelDef(_APERTUS_TREE),
+    "bitnet": ModelDef(_BITNET_TREE),
     "nemotron": ModelDef(_NEMOTRON_TREE),
     "hunyuan_v1_dense": ModelDef(_HUNYUAN_TREE),
+    "hunyuan_v1_moe": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": (
+                    "query_layernorm:!", "key_layernorm:!",
+                    "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                ),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": {
+                    "gate": ("wg:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                    "shared_mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                },
+            },
+        ),
+        dynamic_expert_index="num_experts",
+    ),
+    "dots1": ModelDef(_GLM4_MOE_TREE, dynamic_expert_index="n_routed_experts"),
     "persimmon": ModelDef(
         _PERSIMMON_TREE, pre_lm_head_norm="model.final_layernorm"
     ),
@@ -581,9 +700,59 @@ REGISTRY: dict[str, ModelDef] = {
         pre_lm_head_norm="model.decoder.final_layer_norm",
     ),
     "qwen3": ModelDef(_QWEN3_TREE),
+    "qwen3_next": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": (
+                    "q_norm:!", "k_norm:!",
+                    "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                ),
+                "linear_attn": (
+                    "norm:!", "in_proj_qkvz:0", "in_proj_ba:0", "out_proj:1",
+                ),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp:moe:?": {
+                    "": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                    "shared_expert": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+                    "shared_expert_gate": ("shared_expert_gate:!",),
+                },
+            },
+        ),
+        dynamic_expert_index="num_experts",
+    ),
     "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
     "qwen2_moe": ModelDef(_QWEN2_MOE_TREE, dynamic_expert_index="num_experts"),
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
+    "minimax": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                # full-attention layers: q/k/v/o; lightning layers:
+                # qkv_proj/output_gate/out_proj + full-width norm — absent
+                # leaves skip per layer kind
+                "self_attn": (
+                    "norm:!",
+                    "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                    "qkv_proj:0", "output_gate:0", "out_proj:1",
+                ),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "block_sparse_moe": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("w1:0", "w3:0", "w2:1")},
+                },
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+    ),
     "phimoe": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
     "dbrx": ModelDef(
         (
@@ -623,6 +792,31 @@ REGISTRY: dict[str, ModelDef] = {
         pre_lm_head_norm="gpt_neox.final_layer_norm",
     ),
     "gptj": ModelDef(_GPTJ_TREE, pre_lm_head_norm="transformer.ln_f"),
+    "codegen": ModelDef(
+        _GPTJ_TREE,
+        pre_lm_head_norm="transformer.ln_f",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_codegen_reader"]
+        ).wrap_codegen_reader,
+    ),
+    "gpt_neo": ModelDef(
+        (
+            "transformer",
+            "h",
+            "#",
+            {
+                "ln_1": ("ln_1:!",),
+                "attn": {
+                    "attention": (
+                        "q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1",
+                    ),
+                },
+                "ln_2": ("ln_2:!",),
+                "mlp": ("c_fc:0", "c_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="transformer.ln_f",
+    ),
     "falcon": ModelDef(_FALCON_TREE, pre_lm_head_norm="transformer.ln_f"),
     "phi": ModelDef(_PHI_TREE, pre_lm_head_norm="model.final_layernorm"),
     # mamba lineage (reference definitions/falcon_mamba.py:14): dt_proj is
@@ -767,6 +961,21 @@ REGISTRY: dict[str, ModelDef] = {
         ),
         pre_lm_head_norm="model.final_layernorm",
     ),
+    "falcon_h1": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "mamba": ("norm:!", "in_proj:0", "out_proj:1"),
+                "pre_ff_layernorm": ("pre_ff_layernorm:!",),
+                "feed_forward": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+        pre_lm_head_norm="model.final_layernorm",
+    ),
     "mamba2": ModelDef(
         (
             "backbone",
@@ -821,6 +1030,10 @@ SHARED_INPUT_LEAVES = {
     "up_proj": "gate_up",
     "w1": "gate_up",
     "w3": "gate_up",
+    "in_proj_qkvz": "qkvz_ba",  # qwen3_next deltanet: same normed hidden
+    "in_proj_ba": "qkvz_ba",
+    "qkv_proj": "qkv",  # fused qkv (phi3/internlm2) — singleton unless the
+    "output_gate": "qkv",  # minimax lightning gate shares the layer input
 }
 
 

@@ -88,6 +88,7 @@ def build_params_tree(
     layer_filter: int | None = None,
     skip_layers: bool = False,
     conv1d_suffixes: tuple = (),
+    layer_container: str | None = None,
 ) -> dict:
     """Materialize the params pytree from a checkpoint.
 
@@ -101,6 +102,14 @@ def build_params_tree(
     untouched).
     """
     tree: dict = {}
+    # ``layer_container`` (e.g. "model.layers" from ModelDef.layers_container)
+    # restricts decoder-layer streaming to THE decoder container: VL models
+    # carry a second indexed stack (model.visual.blocks / vision_tower...
+    # encoder.layers) that must load as plain weights, never as "layers"
+    layer_re = (
+        re.compile(rf"^({re.escape(layer_container)})\.(\d+)\.(.*)$")
+        if layer_container else _LAYER_RE
+    )
     modules = _group_module_tensors(reader.names())
 
     # bitsandbytes NF4 modules: {mod}.weight (packed) + a {mod}.weight.*
@@ -117,7 +126,7 @@ def build_params_tree(
             if mp == base or mp.startswith(base + ".weight")
         ]
         skip_paths.update(consumed)
-        m = _LAYER_RE.match(base)
+        m = layer_re.match(base)
         path = base
         if m is not None:
             if skip_layers:
@@ -135,7 +144,7 @@ def build_params_tree(
     for mod_path, leaves in modules.items():
         if mod_path in skip_paths:
             continue
-        m = _LAYER_RE.match(mod_path)
+        m = layer_re.match(mod_path)
         if m is not None:
             layer_idx = int(m.group(2))
             if skip_layers:
@@ -212,8 +221,44 @@ def build_params_tree(
                 if is_conv1d and leaf == "weight":
                     t = np.ascontiguousarray(t.T)
                 _insert_module(tree, parts, leaf, t)
+    _inject_runtime_layer_params(tree, layer_filter)
     _listify_layers(tree)
     return tree
+
+
+def _inject_runtime_layer_params(tree: dict, layer_filter: int | None):
+    """Derive runtime-only per-layer params (``_``-prefixed; the writer
+    skips them on export). Currently: diffllama's lambda_init constant
+    ``0.8 - 0.6*exp(-0.3*layer_idx)`` (modeling_diffllama.py:117), stored
+    as ``self_attn._lam_init`` so the jitted layer fns stay layer-generic."""
+    import math
+
+    def lam(i: int):
+        return np.float32(0.8 - 0.6 * math.exp(-0.3 * i))
+
+    def inject(sa: dict, i: int):
+        if "lambda_q1" in sa:  # diffllama
+            sa["_lam_init"] = lam(i)
+        if "output_gate" in sa and "slope_rate" not in sa:
+            # minimax lightning layers missing the persisted slope buffer:
+            # the forward re-derives slopes from the layer index
+            sa["_layer_idx"] = np.int32(i)
+
+    if layer_filter is not None:  # tree IS the (re-rooted) layer
+        sa = tree.get("self_attn")
+        if isinstance(sa, dict):
+            inject(sa, layer_filter)
+        return
+    for root in tree.values():
+        if not isinstance(root, dict):
+            continue
+        layers = root.get("layers")
+        if not isinstance(layers, dict):
+            continue
+        for idx, lp in layers.items():
+            sa = lp.get("self_attn") if isinstance(lp, dict) else None
+            if isinstance(sa, dict):
+                inject(sa, int(idx))
 
 
 def _insert_module(tree: dict, parts: list[str], leaf_key: str, value):
@@ -285,11 +330,16 @@ def _load_quant_linear(
 
 
 def _listify_layers(tree: dict):
-    """Convert all-digit-keyed dicts ({"0": .., "1": ..}) to lists in-place
-    (decoder layers, MoE experts, any ModuleList analog)."""
+    """Convert CONTIGUOUS all-digit-keyed dicts ({"0": .., "1": ..}) to
+    lists in-place (decoder layers, MoE experts, any ModuleList analog).
+    Gapped digit dicts (nn.Sequential with parameter-free slots, e.g.
+    qwen2_vl visual.merger.mlp.{0,2}) stay dicts — the writer flattens
+    either form back to the same names."""
     for key, val in list(tree.items()):
         if isinstance(val, dict):
-            if val and all(k.isdigit() for k in val):
+            if val and all(k.isdigit() for k in val) and set(val) == {
+                str(i) for i in range(len(val))
+            }:
                 lst = [val[str(i)] for i in range(len(val))]
                 tree[key] = lst
                 for sub in lst:

@@ -59,6 +59,51 @@ _BAICHUAN_RULES = [
     (r"(\.layers\.\d+)\.self_attn\.W_pack\.", r"\1.self_attn.qkv_proj."),
 ]
 
+# exaone (EXAONE-3.x, remote code; reference definitions/exaone.py tree):
+# llama body under transformer.h with gpt_neo-style nesting and c_fc_0/
+# c_fc_1/c_proj gate/up/down names
+_EXAONE_RULES = [
+    (r"^transformer\.wte\.", "model.embed_tokens."),
+    (r"^transformer\.ln_f\.", "model.norm."),
+    (r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm."),
+    (r"^transformer\.h\.(\d+)\.ln_2\.",
+     r"model.layers.\1.post_attention_layernorm."),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.out_proj\.",
+     r"model.layers.\1.self_attn.o_proj."),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.(q_proj|k_proj|v_proj)\.",
+     r"model.layers.\1.self_attn.\2."),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_fc_0\.", r"model.layers.\1.mlp.gate_proj."),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_fc_1\.", r"model.layers.\1.mlp.up_proj."),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.", r"model.layers.\1.mlp.down_proj."),
+]
+
+
+def wrap_exaone_reader(reader, hf_cfg: dict):
+    if any(n.startswith("transformer.h.") for n in reader.names()):
+        return RenameReader(reader, _EXAONE_RULES)
+    return reader
+
+
+_VL_RULES = [
+    (r"^model\.language_model\.", "model."),  # new-style nesting
+    (r"^language_model\.model\.", "model."),  # llava legacy save layout
+    (r"^language_model\.lm_head\.", "lm_head."),
+]
+
+
+def wrap_vl_reader(reader, hf_cfg: dict):
+    """VL text-tower canonicalization (llava / qwen2_vl / qwen2_5_vl):
+    {model.language_model | language_model.model}.* -> model.*; the vision
+    tower (visual / vision_tower) and multi_modal_projector pass through
+    untouched and re-export dense. qwen2_vl's legacy save layout is already
+    canonical (model.layers.* + top-level visual.*)."""
+    if any(
+        n.startswith(("model.language_model.", "language_model."))
+        for n in reader.names()
+    ):
+        return RenameReader(reader, _VL_RULES)
+    return reader
+
 
 def wrap_internlm2_reader(reader, hf_cfg: dict):
     return RenameReader(reader, _INTERNLM2_RULES)
@@ -66,6 +111,65 @@ def wrap_internlm2_reader(reader, hf_cfg: dict):
 
 def wrap_baichuan_reader(reader, hf_cfg: dict):
     return RenameReader(reader, _BAICHUAN_RULES)
+
+
+class CodeGenReader:
+    """codegen fused-qkv canonicalization (modeling_codegen.py:92-177).
+
+    Native: attn.qkv_proj [3h, h] whose OUT rows form mp_num=4 blocks of
+    [q(h/4) | v(h/4) | k(h/4)] (note the q,v,k order). Canonical: separate
+    q_proj/k_proj/v_proj [h, h] in plain head order (block-major, matching
+    _split_heads' reshape)."""
+
+    MP_NUM = 4
+
+    def __init__(self, reader, hf_cfg: dict):
+        self._r = reader
+        self._native = set(reader.names())
+
+    def names(self):
+        out = []
+        for n in self._native:
+            m = re.match(r"^(transformer\.h\.\d+\.attn)\.qkv_proj\.weight$", n)
+            if m is None:
+                out.append(n)
+                continue
+            for leaf in ("q_proj", "k_proj", "v_proj"):
+                out.append(f"{m.group(1)}.{leaf}.weight")
+        return out
+
+    def get(self, name: str):
+        if name in self._native:
+            return self._r.get(name)
+        m = re.match(
+            r"^(transformer\.h\.\d+\.attn)\.(q_proj|k_proj|v_proj)\.weight$",
+            name,
+        )
+        if m is None:
+            return self._r.get(name)
+        import numpy as np
+
+        W = self._r.get(f"{m.group(1)}.qkv_proj.weight")  # [3h, h]
+        h = W.shape[1]
+        blocks = W.reshape(self.MP_NUM, 3 * h // self.MP_NUM, h)
+        loc = h // self.MP_NUM
+        sel = {"q_proj": 0, "v_proj": 1, "k_proj": 2}[m.group(2)]
+        return np.ascontiguousarray(
+            blocks[:, sel * loc : (sel + 1) * loc].reshape(h, h)
+        )
+
+    def __contains__(self, name: str) -> bool:
+        try:
+            self.get(name)
+            return True
+        except Exception:
+            return False
+
+
+def wrap_codegen_reader(reader, hf_cfg: dict):
+    if any(".attn.qkv_proj." in n for n in reader.names()):
+        return CodeGenReader(reader, hf_cfg)
+    return reader
 
 
 class GptOssReader:

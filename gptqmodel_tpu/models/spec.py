@@ -116,6 +116,23 @@ class ModelSpec:
     mamba_dt_limit: tuple = (0.0, float("inf"))
     # bamba-style hybrids: per-layer "attention" | "mamba"
     layers_block_type: tuple = ()
+    # falcon_h1 parallel mamba2+attention hybrid with mup multipliers
+    falcon_h1: bool = False
+    key_multiplier: float = 0.0  # scales k after projection (0 = off)
+    # (attn_in, attn_out, ssm_in, ssm_out, mlp_gate, mlp_down)
+    fh1_multipliers: tuple = ()
+    fh1_ssm_multipliers: tuple = ()  # (z, x, B, C, dt) mup spans
+    mamba_norm_before_gate: bool = False  # falcon_h1: per-group norm THEN gate
+    # minimax lightning-attention hybrid
+    minimax_residual: bool = False  # normed-residual + per-kind alpha/beta
+    # (full_attn_a, full_attn_b, linear_attn_a, linear_attn_b, mlp_a, mlp_b)
+    minimax_factors: tuple = ()
+    # qwen3_next gated-attention + GatedDeltaNet hybrid
+    attn_output_gate: bool = False  # q_proj doubles as [q | sigmoid-gate]
+    linear_num_v_heads: int = 0  # DeltaNet value heads
+    linear_num_k_heads: int = 0
+    linear_k_head_dim: int = 0
+    linear_v_head_dim: int = 0
     # llama4 attention variants
     qk_norm_l2: bool = False  # weightless L2 norm on q/k AFTER rope
     attn_temp_tuning: bool = False  # NoPE-layer q temperature scaling
@@ -147,9 +164,33 @@ _LLAMA_FAMILY = {
 }
 
 
+# VL model_type -> forward semantics of the text tower (reference
+# definitions/base_qwen2_vl.py, llava quantize the language model; the
+# vision tower stays dense). The wrap_vl_reader remap canonicalizes
+# model.language_model.* -> model.*.
+_VL_TEXT_ARCH = {
+    "llava": None,  # use text_config.model_type (llama/mistral/...)
+    "qwen2_vl": "qwen2",
+    "qwen2_5_vl": "qwen2",
+}
+
+
 def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
     """Build a ModelSpec from a parsed HF ``config.json`` dict."""
     mt = cfg.get("model_type", "llama")
+    if mt in _VL_TEXT_ARCH:
+        from dataclasses import replace as _dc_replace
+
+        txt = dict(cfg.get("text_config") or {})
+        inner_mt = _VL_TEXT_ARCH[mt] or txt.get("model_type", "llama")
+        txt["model_type"] = inner_mt
+        rs = txt.get("rope_scaling")
+        if rs and rs.get("rope_type", rs.get("type")) in ("mrope", "default"):
+            # mrope with equal t/h/w position ids (text-only decode) is
+            # EXACTLY standard rope (modeling_qwen2_vl.py apply_multimodal_
+            # rotary_pos_emb); image-position decode is out of scope here
+            txt["rope_scaling"] = None
+        return _dc_replace(spec_from_hf_config(txt), model_type=mt)
     if mt == "opt":
         if cfg.get("word_embed_proj_dim", cfg["hidden_size"]) != cfg["hidden_size"]:
             raise NotImplementedError(
@@ -234,6 +275,65 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             dual_parallel_ln=True,
             rotary_dim=int(hd * cfg.get("rotary_pct", 0.25)),
             qkv_layout="neox_fused",
+        )
+    if mt == "gpt_neo":
+        # gpt2-family body with SPLIT nested attn.attention projections, NO
+        # attention scaling (GPTNeoSelfAttention omits the /sqrt(hd)), and
+        # global/local layer alternation with window_size
+        # (modeling_gpt_neo.py GPTNeoSelfAttention/GPTNeoBlock)
+        h = cfg["hidden_size"]
+        nh = cfg["num_heads"]
+        attn_layers = cfg.get("attention_layers")
+        if attn_layers is None:
+            # expand attention_types [[["global","local"],N]] the HF way
+            attn_layers = []
+            for item in cfg.get("attention_types", [[["global"], cfg["num_layers"]]]):
+                attn_layers.extend(item[0] * item[1])
+        return ModelSpec(
+            model_type=mt,
+            family="gpt2",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size") or 4 * h,
+            num_layers=cfg["num_layers"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation_function", "gelu_new"),
+            attn_scale=1.0,
+            sliding_window=cfg.get("window_size", 256),
+            layer_types=tuple(
+                "sliding_attention" if t == "local" else "full_attention"
+                for t in attn_layers
+            ),
+        )
+    if mt == "codegen":
+        # gptj body (parallel residual, rotate_every_two partial rotary,
+        # fc_in/fc_out MLP) behind an mp_num=4 block-fused qkv_proj that
+        # models/remap.wrap_codegen_reader splits back to q/k/v
+        # (modeling_codegen.py:92-177)
+        h = cfg["n_embd"]
+        nh = cfg["n_head"]
+        return ModelSpec(
+            model_type=mt,
+            family="neox",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("n_inner") or 4 * h,
+            num_layers=cfg["n_layer"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("n_positions", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("activation_function", "gelu_new"),
+            parallel_residual=True,
+            rotary_dim=cfg.get("rotary_dim") or h // nh,
+            rope_interleave=True,
         )
     if mt == "gptj":
         h = cfg["n_embd"]
@@ -466,6 +566,57 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             mamba_n_heads=cfg.get("mamba_n_heads", d_inner // 64),
             mamba_n_groups=cfg.get("mamba_n_groups", 1),
         )
+    if mt == "falcon_h1":
+        # EVERY layer runs mamba2 and attention IN PARALLEL on the same
+        # normed input, each with mup multipliers; the SSM in_proj is
+        # rescaled by a per-span mup vector (modeling_falcon_h1.py:1046-1135,
+        # compute_mup_vector :1172)
+        h = cfg["hidden_size"]
+        heads = cfg["num_attention_heads"]
+        hd = cfg.get("head_dim") or h // heads
+        d_ssm = cfg.get("mamba_d_ssm") or int(cfg.get("mamba_expand", 2) * h)
+        mlp_mults = cfg.get("mlp_multipliers") or (1.0, 1.0)
+        return ModelSpec(
+            model_type=mt,
+            falcon_h1=True,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size", 4 * h),
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=heads,
+            num_kv_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=hd,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 100000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            attention_bias=cfg.get("attention_bias", False),
+            mlp_bias=cfg.get("mlp_bias", False),
+            rope_scaling=cfg.get("rope_scaling"),
+            embedding_multiplier=float(cfg.get("embedding_multiplier") or 1.0),
+            logit_scale=float(cfg.get("lm_head_multiplier") or 1.0),
+            key_multiplier=float(cfg.get("key_multiplier") or 0.0),
+            fh1_multipliers=(
+                float(cfg.get("attention_in_multiplier") or 1.0),
+                float(cfg.get("attention_out_multiplier") or 1.0),
+                float(cfg.get("ssm_in_multiplier") or 1.0),
+                float(cfg.get("ssm_out_multiplier") or 1.0),
+                float(mlp_mults[0]), float(mlp_mults[1]),
+            ),
+            fh1_ssm_multipliers=tuple(
+                float(v) for v in (cfg.get("ssm_multipliers") or (1.0,) * 5)
+            ),
+            mamba_norm_before_gate=cfg.get("mamba_norm_before_gate", True),
+            mamba_d_inner=d_ssm,
+            mamba_d_state=cfg.get("mamba_d_state", 128),
+            mamba_d_conv=cfg.get("mamba_d_conv", 4),
+            mamba_n_heads=cfg.get("mamba_n_heads", d_ssm // 64),
+            mamba_n_groups=cfg.get("mamba_n_groups", 1),
+            mamba_dt_limit=tuple(
+                cfg.get("time_step_limit") or (0.0, float("inf"))
+            ),
+        )
     if mt == "mamba2":
         # SSD mixer: fused in_proj [gate|x+B+C|dt], scalar A per head,
         # grouped B/C, gated RMSNorm (modeling_mamba2.py:222)
@@ -542,6 +693,8 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 "apply_residual_connection_post_layernorm", False
             ),
         )
+    if "num_hidden_layers" not in cfg and "num_layers" in cfg:
+        cfg = {**cfg, "num_hidden_layers": cfg["num_layers"]}  # exaone
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or hidden // heads
@@ -767,6 +920,45 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
         if str(cfg.get("position_embedding", "")).upper() == "ALIBI":
             raise NotImplementedError("baichuan ALiBi variant not supported yet")
         common.update(attention_bias=False)
+    if mt == "exaone":
+        # remote-code EXAONE-3.x: llama body with num_layers /
+        # activation_function / layer_norm_epsilon field names (renamed to
+        # canonical llama tensors by models/remap.wrap_exaone_reader)
+        common.update(
+            num_layers=cfg.get("num_layers", cfg.get("num_hidden_layers")),
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            hidden_act=cfg.get("activation_function", "silu"),
+        )
+    if mt == "mimo":
+        # Xiaomi MiMo (remote code): qwen2 body (biased qkv in checkpoint)
+        # + MTP layers under model.mtp_layers that pass through dense
+        # (reference definitions/mimo.py subclasses LlamaQModel)
+        pass
+    if mt == "minicpm3":
+        # remote-code MiniCPM3: deepseek-style MLA (same tensor names,
+        # interleaved-pair rope from the deepseek code lineage) + minicpm
+        # mup multipliers (reference definitions/minicpm3.py tree)
+        L = cfg["num_hidden_layers"]
+        qk_rope = cfg.get("qk_rope_head_dim", 32)
+        qk_nope = cfg.get("qk_nope_head_dim", 64)
+        common.update(
+            mla=True,
+            head_dim=qk_nope + qk_rope,
+            num_kv_heads=heads,
+            q_lora_rank=cfg.get("q_lora_rank") or 0,
+            kv_lora_rank=cfg.get("kv_lora_rank") or 0,
+            qk_rope_head_dim=qk_rope,
+            qk_nope_head_dim=qk_nope,
+            v_head_dim=cfg.get("v_head_dim") or qk_nope,
+            rope_interleave=cfg.get("rope_interleave", True),
+            embedding_multiplier=float(cfg.get("scale_emb", 1.0)),
+            residual_multiplier=float(cfg.get("scale_depth", float(L) ** 0.5))
+            / float(L) ** 0.5,
+            logit_scale=1.0 / (
+                cfg["hidden_size"] / float(cfg.get("dim_model_base")
+                                           or cfg["hidden_size"])
+            ),
+        )
     if mt == "minicpm":
         # remote-code arch, llama tensor names + mup-style factors:
         # scale_emb on embeddings, scale_depth/sqrt(L) on residuals,
@@ -796,6 +988,54 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
     if mt == "hunyuan_v1_dense":
         # llama + per-head q/k RMSNorm under query/key_layernorm names
         common["qk_norm"] = True
+    if mt == "hunyuan_v1_moe":
+        # hunyuan attention + mixtral-style softmax->topk->renorm routing,
+        # always-on ungated shared_mlp; experts and shared MLP both use
+        # intermediate_size; gate Linear is nested as gate.wg
+        # (modeling_hunyuan_v1_moe.py:231-302)
+        ne, tk = cfg.get("num_experts", 1), cfg.get("moe_topk", 1)
+        if isinstance(ne, list):
+            if len(set(ne)) != 1:
+                raise NotImplementedError("hunyuan per-layer expert counts")
+            ne = ne[0]
+        if isinstance(tk, list):
+            if len(set(tk)) != 1:
+                raise NotImplementedError("hunyuan per-layer moe_topk")
+            tk = tk[0]
+        common.update(
+            qk_norm=True,
+            num_experts=int(ne),
+            num_experts_per_tok=int(tk),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=True,
+        )
+    if mt == "dots1":
+        # rednote dots.llm1: deepseek-v3 router (sigmoid + noaux_tc
+        # correction bias + group-limited top-k) WITHOUT MLA — standard GQA
+        # with per-head q/k RMSNorm — plus qwen-style sliding layer_types
+        # (modeling_dots1.py:173-360)
+        common.update(
+            qk_norm=True,
+            num_experts=cfg.get("n_routed_experts") or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok") or 0,
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            n_shared_experts=cfg.get("n_shared_experts") or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0),
+            moe_topk_method="noaux_tc",
+            moe_scoring="sigmoid",
+            n_group=cfg.get("n_group") or 0,
+            topk_group=cfg.get("topk_group") or 0,
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+        )
+    if mt == "apertus":
+        # per-head q/k RMSNorm + non-gated xIELU MLP (modeling_apertus.py:43,
+        # 186-213); the learnable act params live under mlp.act_fn
+        common["qk_norm"] = True
+    # seed_oss / arcee / bitnet need no flags: biases and sub-norms are
+    # presence-driven from the checkpoint (modeling_seed_oss.py:158
+    # attention_out_bias, modeling_arcee.py:50 non-gated relu2,
+    # modeling_bitnet.py:74,178 sub_norms)
     if mt in ("glm", "glm4", "glm4_moe"):
         # partial (factor 0.5) pair-interleaved rotary (modeling_glm.py:134),
         # fused gate_up MLP; glm4 adds sandwich norms
@@ -921,6 +1161,63 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             moe_scoring="llama4",
             moe_input_scaled=True,
             norm_topk_prob=False,
+        )
+    if mt == "minimax":
+        # MiniMax-Text-01/M1 hybrid: lightning (linear) attention layers
+        # with per-head layer-indexed decay slopes, sigmoid output gate and
+        # full-width RMSNorm; mixtral-style top-k MoE; residuals use the
+        # NORMED hidden with per-kind alpha/beta factors
+        # (modeling_minimax.py:118-575)
+        lt = cfg.get("layer_types") or ()
+        common.update(
+            minimax_residual=True,
+            minimax_factors=(
+                float(cfg.get("full_attn_alpha_factor", 1.0)),
+                float(cfg.get("full_attn_beta_factor", 1.0)),
+                float(cfg.get("linear_attn_alpha_factor", 1.0)),
+                float(cfg.get("linear_attn_beta_factor", 1.0)),
+                float(cfg.get("mlp_alpha_factor", 1.0)),
+                float(cfg.get("mlp_beta_factor", 1.0)),
+            ),
+            layers_block_type=tuple(
+                "lightning" if t == "linear_attention" else "attention"
+                for t in lt
+            ),
+            layer_types=(),
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=True,
+        )
+    if mt == "qwen3_next":
+        # hybrid GatedDeltaNet (linear_attention layers) + gated full
+        # attention (q_proj doubles width for a sigmoid output gate,
+        # partial rotary 0.25, per-head q/k RMSNorm) + qwen2_moe-style
+        # sparse MoE with gated shared expert
+        # (modeling_qwen3_next.py:321-400,564-776,794-857)
+        lt = cfg.get("layer_types") or ()
+        common.update(
+            qk_norm=True,
+            attn_output_gate=True,
+            # Qwen3NextRMSNorm is zero-centered: (1 + w) * normed
+            # (modeling_qwen3_next.py:215-229); the deltanet's RMSNormGated
+            # uses a plain ones-init weight
+            rms_norm_offset=True,
+            rotary_dim=int(head_dim * cfg.get("partial_rotary_factor", 0.25)),
+            layer_types=(),  # linear layers are not sliding-attention
+            layers_block_type=tuple(
+                "linear" if t == "linear_attention" else "attention"
+                for t in lt
+            ),
+            mamba_d_conv=cfg.get("linear_conv_kernel_dim", 4),
+            linear_num_v_heads=cfg.get("linear_num_value_heads", 0),
+            linear_num_k_heads=cfg.get("linear_num_key_heads", 0),
+            linear_k_head_dim=cfg.get("linear_key_head_dim", 0),
+            linear_v_head_dim=cfg.get("linear_value_head_dim", 0),
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
     if mt == "gpt_oss":
         # attention sinks + sliding alternation + yarn rope + clamped-GLU

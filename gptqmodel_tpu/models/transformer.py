@@ -455,6 +455,13 @@ def attention(
         qf = apply_linear(ap["q_proj"], h)
         kf = apply_linear(ap["k_proj"], h)
         vf = apply_linear(ap["v_proj"], h)
+    out_gate = None
+    if spec.attn_output_gate:  # qwen3_next: q_proj = per-head [q | gate]
+        qg = qf.reshape(B, T, nh, 2 * hd)
+        qf = qg[..., :hd].reshape(B, T, nh * hd)
+        out_gate = qg[..., hd:].reshape(B, T, nh * hd)
+    if spec.key_multiplier:  # falcon_h1 mup (modeling_falcon_h1.py:360)
+        kf = kf * spec.key_multiplier
     if spec.clip_qkv:  # olmo (modeling_olmo.py:174)
         qf = jnp.clip(qf, -spec.clip_qkv, spec.clip_qkv)
         kf = jnp.clip(kf, -spec.clip_qkv, spec.clip_qkv)
@@ -516,8 +523,11 @@ def attention(
 
     fused = _fused_decode_attention(
         spec, q, cache, attn_bias, scale, rep, hd
-    ) if (cache is not None and T == 1 and sinks is None) else None
-    if fused is not None:
+    ) if (cache is not None and T == 1 and sinks is None
+          and "lambda_q1" not in ap) else None
+    if "lambda_q1" in ap:  # diffllama differential attention
+        out = _diff_attention(spec, ap, q, k, v, attn_bias, scale, rep)
+    elif fused is not None:
         out = fused
     elif rep > 1:
         # GQA without materializing repeated K/V: fold the query-group dim
@@ -556,9 +566,50 @@ def attention(
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
 
+    if out_gate is not None:  # qwen3_next sigmoid output gate
+        out = out * jax.nn.sigmoid(out_gate.astype(jnp.float32)).astype(out.dtype)
+    if "attn_sub_norm" in ap:  # bitnet sub-LN before o_proj
+        # (modeling_bitnet.py:222 "diff with Llama")
+        out = rms_norm(out, ap["attn_sub_norm"]["weight"], spec.rms_norm_eps)
     oname = "o_proj" if "o_proj" in ap else "out_proj"  # lfm2 naming
     _tap(taps, tap_paths, f"{prefix}.{oname}", out)
     return apply_linear(ap[oname], out), cache
+
+
+def _diff_attention(spec: ModelSpec, ap: Params, q, k, v, attn_bias, scale, rep):
+    """DiffLlama differential attention (modeling_diffllama.py:159-220):
+    two softmax maps share one QK pass — v is head-halved and
+    feature-doubled, the two head-group outputs are subtracted with
+    lambda_full = exp(lq1·lk1) − exp(lq2·lk2) + lambda_init(layer), then a
+    parameter-free RMSNorm(2·hd) and a (1 − lambda_init) scale. lambda_init
+    is the loader-derived runtime param ``_lam_init``."""
+    B, nh, T, hd = q.shape
+    kx = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+    vx = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+    v2 = jnp.concatenate(jnp.split(vx, 2, axis=1), axis=-1)  # [B, nh/2, S, 2hd]
+    v2 = jnp.concatenate([v2, v2], axis=1)  # [B, nh, S, 2hd]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kx, preferred_element_type=jnp.float32
+    ) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v2.astype(q.dtype))
+    o1, o2 = jnp.split(out, 2, axis=1)  # head groups
+    lam1 = jnp.exp(jnp.sum(
+        ap["lambda_q1"].astype(jnp.float32) * ap["lambda_k1"].astype(jnp.float32)
+    )).astype(q.dtype)
+    lam2 = jnp.exp(jnp.sum(
+        ap["lambda_q2"].astype(jnp.float32) * ap["lambda_k2"].astype(jnp.float32)
+    )).astype(q.dtype)
+    lam_init = jnp.asarray(ap["_lam_init"], q.dtype)
+    lam_full = lam1 - lam2 + lam_init
+    out = o1 - lam_full * o2  # [B, nh/2, T, 2hd]
+    of = out.astype(jnp.float32)
+    out = (of * jax.lax.rsqrt(
+        jnp.mean(of * of, axis=-1, keepdims=True) + spec.rms_norm_eps
+    )).astype(q.dtype)
+    return (1.0 - lam_init) * out  # reshaped by the caller: nh/2 * 2hd = nh*hd
 
 
 def mla_attention(
@@ -658,6 +709,23 @@ def _act(name: str):
     }[name]
 
 
+def _xielu(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Apertus xIELU activation with learnable alpha_p/alpha_n (HF
+    activations.py XIELUActivation._xielu_python; beta/eps are persisted
+    buffers alongside the two parameters)."""
+    xf = x.astype(jnp.float32)
+    beta = jnp.asarray(p.get("beta", 0.5), jnp.float32)
+    eps = jnp.asarray(p.get("eps", -1e-6), jnp.float32)
+    alpha_p = jax.nn.softplus(jnp.asarray(p["alpha_p"], jnp.float32))
+    alpha_n = beta + jax.nn.softplus(jnp.asarray(p["alpha_n"], jnp.float32))
+    y = jnp.where(
+        xf > 0,
+        alpha_p * xf * xf + beta * xf,
+        (jnp.expm1(jnp.minimum(xf, eps)) - xf) * alpha_n + beta * xf,
+    )
+    return y.astype(x.dtype)
+
+
 def _glu(spec: ModelSpec, g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """act(g)*u, or gpt_oss clamped GLU (modeling_gpt_oss.py:117-135)."""
     if spec.glu_clamp_limit:
@@ -695,9 +763,13 @@ def gated_mlp(
         inner = _act(spec.hidden_act)(apply_linear(mp["c_fc"], h))
         _tap(taps, tap_paths, f"{prefix}.c_proj", inner, row_mask)
         return apply_linear(mp["c_proj"], inner)
-    elif "up_proj" in mp and "gate_proj" not in mp:  # nemotron up/down relu2
+    elif "up_proj" in mp and "gate_proj" not in mp:  # nemotron/arcee up/down
         _tap(taps, tap_paths, f"{prefix}.up_proj", h, row_mask)
-        inner = _act(spec.hidden_act)(apply_linear(mp["up_proj"], h))
+        pre = apply_linear(mp["up_proj"], h)
+        if spec.hidden_act == "xielu":  # apertus learnable xIELU
+            inner = _xielu(pre, mp["act_fn"])
+        else:
+            inner = _act(spec.hidden_act)(pre)
         _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
         return apply_linear(mp["down_proj"], inner)
     elif "w1" in mp:  # mixtral expert naming: w1=gate, w3=up, w2=down
@@ -714,6 +786,8 @@ def gated_mlp(
         g = apply_linear(mp["gate_proj"], h)
         u = apply_linear(mp["up_proj"], h)
     inner = _glu(spec, g, u)
+    if "ffn_sub_norm" in mp:  # bitnet sub-LN before down_proj
+        inner = rms_norm(inner, mp["ffn_sub_norm"]["weight"], spec.rms_norm_eps)
     _tap(taps, tap_paths, f"{prefix}.down_proj", inner, row_mask)
     return apply_linear(mp["down_proj"], inner)
 
@@ -815,8 +889,12 @@ def moe_mlp(
     """
     B, T, D = h.shape
     x = h.reshape(B * T, D)
-    router_name = "gate" if "gate" in mp else "router"
-    logits = apply_linear(mp[router_name], x).astype(jnp.float32)
+    router = mp["gate"] if "gate" in mp else mp["router"]
+    if "wg" in router:  # hunyuan_v1_moe nested gate.wg (fp32 Linear)
+        router = router["wg"]
+        logits = apply_linear(router, x.astype(jnp.float32))
+    else:
+        logits = apply_linear(router, x).astype(jnp.float32)
     if spec.moe_scoring == "sparsemixer":  # phimoe inference routing
         top_w, top_i = _sparsemixer_route(logits, spec.router_jitter)
     elif spec.moe_scoring == "topk_softmax":  # gpt_oss: topk THEN softmax
@@ -843,6 +921,8 @@ def moe_mlp(
                     x.dtype
                 ) * se
             out = out + se
+        if "shared_mlp" in mp:  # hunyuan ungated shared MLP
+            out = out + gated_mlp(spec, mp["shared_mlp"], x)
         return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
         out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
@@ -854,6 +934,8 @@ def moe_mlp(
                     x.dtype
                 ) * se
             out = out + se
+        if "shared_mlp" in mp:  # hunyuan ungated shared MLP
+            out = out + gated_mlp(spec, mp["shared_mlp"], x)
         return out.reshape(B, T, D)
 
     # routing weight per (token, expert): [N, E]
@@ -906,6 +988,11 @@ def moe_mlp(
         out = out + jax.nn.sigmoid(gate_logit.astype(jnp.float32)).astype(
             x.dtype
         ) * se
+    if "shared_mlp" in mp:  # hunyuan_v1_moe: ungated always-on shared MLP
+        out = out + gated_mlp(
+            spec, mp["shared_mlp"], x, prefix=f"{prefix}.shared_mlp",
+            taps=taps, tap_paths=tap_paths,
+        )
     return out.reshape(B, T, D)
 
 
@@ -1022,11 +1109,17 @@ def decoder_layer(
         normed = h
     else:
         normed = sublayer_norm(
-            spec, lp.get("input_layernorm") or lp.get("operator_norm"), h
+            spec, lp.get("input_layernorm") or lp.get("operator_norm")
+            or lp.get("attention_layernorm"), h  # apertus naming
         )
     if "conv" in lp:  # lfm2: gated short conv in the attn slot
         attn_out, cache = lfm2_shortconv(
             spec, lp["conv"], normed, cache, taps=taps, tap_paths=tap_paths,
+        )
+    elif "linear_attn" in lp:  # qwen3_next GatedDeltaNet layer
+        attn_out, cache = qwen3next_deltanet(
+            spec, lp["linear_attn"], normed, cache,
+            taps=taps, tap_paths=tap_paths,
         )
     elif "mamba" in lp:  # bamba/granitemoehybrid SSD or jamba mamba1 mixer
         mixer = mamba2_mixer if "dt_bias" in lp["mamba"] else mamba_mixer
@@ -1070,7 +1163,8 @@ def decoder_layer(
     else:
         h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
         pre_mlp = (lp.get("post_attention_layernorm")
-                   or lp.get("pre_ff_layernorm") or lp.get("ffn_norm"))
+                   or lp.get("pre_ff_layernorm") or lp.get("ffn_norm")
+                   or lp.get("feedforward_layernorm"))  # apertus naming
         normed2 = sublayer_norm(spec, pre_mlp, h)
 
     if "block_sparse_moe" in lp:  # mixtral/granitemoe container naming
@@ -1302,19 +1396,27 @@ def gpt2_attention(
     B, T, _ = h.shape
     nh, hd = spec.num_heads, spec.head_dim
     nkv = spec.num_kv_heads
-    _tap(taps, tap_paths, f"{prefix}.c_attn", h)
-    qkv = apply_linear(ap["c_attn"], h)
-    if nkv != nh:  # gpt_bigcode MQA: c_attn -> [q | k(1 head) | v(1 head)]
-        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
-        q = q.reshape(B, T, nh, hd)
-        k = k.reshape(B, T, nkv, hd)
-        v = v.reshape(B, T, nkv, hd)
-    elif spec.model_type == "gpt_bigcode":
-        # bigcode MHA: per-head fused [q_h|k_h|v_h] blocks
-        # (modeling_gpt_bigcode.py:220-223)
-        q, k, v = jnp.split(qkv.reshape(B, T, nh, 3 * hd), 3, axis=-1)
+    if "attention" in ap:  # gpt_neo: nested SPLIT q/k/v/out_proj Linears
+        aa = ap["attention"]
+        for leaf in ("q_proj", "k_proj", "v_proj"):
+            _tap(taps, tap_paths, f"{prefix}.attention.{leaf}", h)
+        q = apply_linear(aa["q_proj"], h).reshape(B, T, nh, hd)
+        k = apply_linear(aa["k_proj"], h).reshape(B, T, nkv, hd)
+        v = apply_linear(aa["v_proj"], h).reshape(B, T, nkv, hd)
     else:
-        q, k, v = (t.reshape(B, T, nh, hd) for t in jnp.split(qkv, 3, axis=-1))
+        _tap(taps, tap_paths, f"{prefix}.c_attn", h)
+        qkv = apply_linear(ap["c_attn"], h)
+        if nkv != nh:  # gpt_bigcode MQA: c_attn -> [q | k(1 head) | v(1 head)]
+            q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+            q = q.reshape(B, T, nh, hd)
+            k = k.reshape(B, T, nkv, hd)
+            v = v.reshape(B, T, nkv, hd)
+        elif spec.model_type == "gpt_bigcode":
+            # bigcode MHA: per-head fused [q_h|k_h|v_h] blocks
+            # (modeling_gpt_bigcode.py:220-223)
+            q, k, v = jnp.split(qkv.reshape(B, T, nh, 3 * hd), 3, axis=-1)
+        else:
+            q, k, v = (t.reshape(B, T, nh, hd) for t in jnp.split(qkv, 3, axis=-1))
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
@@ -1327,12 +1429,15 @@ def gpt2_attention(
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * (hd**-0.5)
+    ) * (spec.attn_scale or hd**-0.5)  # gpt_neo: NO scaling (attn_scale=1)
     if attn_bias is not None:
         logits = logits + attn_bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(q.dtype))
     out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    if "attention" in ap:  # gpt_neo out_proj naming
+        _tap(taps, tap_paths, f"{prefix}.attention.out_proj", out)
+        return apply_linear(ap["attention"]["out_proj"], out), cache
     _tap(taps, tap_paths, f"{prefix}.c_proj", out)
     return apply_linear(ap["c_proj"], out), cache
 
@@ -1475,6 +1580,8 @@ _NEOX_NAMES = {
                      attn="attention", o="dense"),
     "gptj": dict(root="transformer", layers="h", embed="wte",
                  final="ln_f", head="lm_head", attn="attn", o="out_proj"),
+    "codegen": dict(root="transformer", layers="h", embed="wte",
+                    final="ln_f", head="lm_head", attn="attn", o="out_proj"),
     "falcon": dict(root="transformer", layers="h", embed="word_embeddings",
                    final="ln_f", head="lm_head", attn="self_attention",
                    o="dense"),
@@ -1713,6 +1820,14 @@ def any_decoder_layer(
     tap_paths=frozenset(),
 ):
     """Family dispatcher used by the looper and the inference engine."""
+    if spec.falcon_h1:
+        return falcon_h1_decoder_layer(
+            spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths
+        )
+    if spec.minimax_residual:
+        return minimax_decoder_layer(
+            spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths
+        )
     if spec.family == "mamba":
         return mamba_decoder_layer(spec, lp, h, cache, taps, tap_paths)
     if spec.family == "opt":
@@ -1969,6 +2084,262 @@ def init_mamba_cache(spec: ModelSpec, batch: int, dtype=jnp.bfloat16):
     ]
 
 
+def falcon_h1_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Falcon-H1 layer (modeling_falcon_h1.py:1046-1135): mamba2 and
+    attention run IN PARALLEL on the same normed input, summed with mup
+    out-multipliers; gated MLP applies gate/down multipliers. One cache dict
+    carries both KV and (conv, ssm) states."""
+    at_in, at_out, _, ssm_out, g_m, d_m = spec.fh1_multipliers
+    normed = sublayer_norm(spec, lp["input_layernorm"], h)
+    mamba_out, cache = mamba2_mixer(
+        spec, lp["mamba"], normed, cache, prefix="mamba",
+        taps=taps, tap_paths=tap_paths,
+    )
+    attn_out, cache = attention(
+        spec, lp["self_attn"], normed * at_in, cos, sin, attn_bias, cache,
+        taps=taps, tap_paths=tap_paths,
+    )
+    h = h + mamba_out * ssm_out + attn_out * at_out
+    normed2 = sublayer_norm(spec, lp["pre_ff_layernorm"], h)
+    mp = lp["feed_forward"]
+    _tap(taps, tap_paths, "feed_forward.gate_proj", normed2)
+    _tap(taps, tap_paths, "feed_forward.up_proj", normed2)
+    g = apply_linear(mp["gate_proj"], normed2) * g_m
+    u = apply_linear(mp["up_proj"], normed2)
+    inner = _act(spec.hidden_act)(g) * u
+    _tap(taps, tap_paths, "feed_forward.down_proj", inner)
+    return h + apply_linear(mp["down_proj"], inner) * d_m, cache
+
+
+def minimax_lightning_attention(
+    spec: ModelSpec,
+    ap: Params,
+    h: jnp.ndarray,  # [B, T, hidden] (already normed by the layer)
+    cache: Optional[dict] = None,  # {"KV": [B, nh, hd, hd] f32}
+    prefix: str = "self_attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """MiniMax lightning (linear) attention (modeling_minimax.py:118-262):
+    silu(qkv_proj) per-head thirds, per-head exponential-decay linear
+    recurrence KV <- exp(-slope)*KV + k v^T with layer-indexed slopes,
+    full-width RMSNorm, sigmoid(output_gate(h)) gating, out_proj. The HF
+    block-chunked prefill is the same operator; one lax.scan here. slope is
+    read from the checkpoint buffer or derived from the loader-injected
+    runtime ``_layer_idx``."""
+    B, T, D = h.shape
+    nh, hd = spec.num_heads, spec.head_dim
+    _tap(taps, tap_paths, f"{prefix}.qkv_proj", h)
+    _tap(taps, tap_paths, f"{prefix}.output_gate", h)
+    qkv = jax.nn.silu(apply_linear(ap["qkv_proj"], h))
+    qkv = qkv.reshape(B, T, nh, 3 * hd)
+    q, k, v = (t.astype(jnp.float32)
+               for t in jnp.split(qkv, 3, axis=-1))  # [B,T,nh,hd]
+
+    if "slope_rate" in ap:  # persisted buffer
+        slope = jnp.asarray(ap["slope_rate"], jnp.float32).reshape(nh)
+    else:  # derive (get_slope_rate): base^(i+1) * layer factor
+        idx = jnp.asarray(ap["_layer_idx"], jnp.float32)
+        base = 1.0 / (2.0 ** (8.0 / nh))
+        rate = base ** jnp.arange(1, nh + 1, dtype=jnp.float32)
+        factor = 1.0 - idx / (spec.num_layers - 1 + 1e-5) + 1e-5
+        slope = rate * factor
+    ratio = jnp.exp(-slope)  # [nh]
+
+    KV0 = (
+        cache["KV"].astype(jnp.float32)
+        if cache is not None
+        else jnp.zeros((B, nh, hd, hd), jnp.float32)
+    )
+
+    def step(KV, t_in):
+        q_t, k_t, v_t = t_in  # [B, nh, hd]
+        KV = KV * ratio[None, :, None, None] + (
+            k_t[..., :, None] * v_t[..., None, :]
+        )
+        y_t = jnp.einsum("bnk,bnkv->bnv", q_t, KV)
+        return KV, y_t
+
+    xs = (q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+          v.transpose(1, 0, 2, 3))
+    KV_f, ys = jax.lax.scan(step, KV0, xs)
+    y = ys.transpose(1, 0, 2, 3).reshape(B, T, nh * hd)
+    if cache is not None:
+        cache = dict(cache, KV=KV_f.astype(cache["KV"].dtype))
+
+    y = rms_norm(y.astype(h.dtype), ap["norm"]["weight"], spec.rms_norm_eps)
+    gate = jax.nn.sigmoid(
+        apply_linear(ap["output_gate"], h).astype(jnp.float32)
+    ).astype(h.dtype)
+    y = gate * y
+    _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+    return apply_linear(ap["out_proj"], y), cache
+
+
+def minimax_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """MiniMax layer (modeling_minimax.py:486-575): residual is the NORMED
+    hidden, combined with per-kind alpha/beta factors."""
+    fa_a, fa_b, la_a, la_b, m_a, m_b = spec.minimax_factors or (1.0,) * 6
+    h1 = sublayer_norm(spec, lp["input_layernorm"], h)
+    ap = lp["self_attn"]
+    if "output_gate" in ap:  # lightning layer
+        attn_out, cache = minimax_lightning_attention(
+            spec, ap, h1, cache, taps=taps, tap_paths=tap_paths,
+        )
+        a, b = la_a, la_b
+    else:
+        attn_out, cache = attention(
+            spec, ap, h1, cos, sin, attn_bias, cache,
+            taps=taps, tap_paths=tap_paths,
+        )
+        a, b = fa_a, fa_b
+    h2 = h1 * a + attn_out * b
+    h3 = sublayer_norm(spec, lp["post_attention_layernorm"], h2)
+    moe_out = moe_mlp(
+        spec, lp["block_sparse_moe"], h3, prefix="block_sparse_moe",
+        taps=taps, tap_paths=tap_paths,
+    )
+    return h3 * m_a + moe_out * m_b, cache
+
+
+def _l2norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """FLA-style l2norm (modeling_qwen3_next.py:436): rsqrt(sum(x^2)+eps)."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def qwen3next_deltanet(
+    spec: ModelSpec,
+    mp: Params,
+    h: jnp.ndarray,  # [B, T, hidden]
+    cache: Optional[dict] = None,  # {"conv": [B,k-1,conv_dim], "S": [B,nv,hk,hv]}
+    prefix: str = "linear_attn",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Qwen3-Next GatedDeltaNet mixer (modeling_qwen3_next.py:564-776):
+    in_proj_qkvz/-ba with per-k-head grouped ordering, causal depthwise
+    conv + silu over [q|k|v], l2-normed q/k, gated delta rule recurrence
+    S <- S*exp(g) + k (v - S k)^T beta, per-head gated RMSNorm with silu(z),
+    out_proj. Prefill = one lax.scan over T (the reference's fla/causal-
+    conv1d CUDA-ext territory, SURVEY §2.6); decode = single update on the
+    carried (conv, S) states."""
+    B, T, D = h.shape
+    nk, nv = spec.linear_num_k_heads, spec.linear_num_v_heads
+    hk, hv = spec.linear_k_head_dim, spec.linear_v_head_dim
+    key_dim, value_dim = nk * hk, nv * hv
+    grp = nv // nk
+    k_sz = spec.mamba_d_conv
+    conv_dim = 2 * key_dim + value_dim
+
+    _tap(taps, tap_paths, f"{prefix}.in_proj_qkvz", h)
+    _tap(taps, tap_paths, f"{prefix}.in_proj_ba", h)
+    qkvz = apply_linear(mp["in_proj_qkvz"], h)  # [B,T, 2*key + 2*value]
+    ba = apply_linear(mp["in_proj_ba"], h)  # [B,T, 2*nv]
+
+    # grouped per-k-head ordering (fix_query_key_value_ordering)
+    qkvz = qkvz.reshape(B, T, nk, 2 * hk + 2 * grp * hv)
+    q = qkvz[..., :hk]  # [B,T,nk,hk]
+    kk = qkvz[..., hk : 2 * hk]
+    v = qkvz[..., 2 * hk : 2 * hk + grp * hv].reshape(B, T, nv, hv)
+    z = qkvz[..., 2 * hk + grp * hv :].reshape(B, T, nv, hv)
+    ba = ba.reshape(B, T, nk, 2 * grp)
+    b = ba[..., :grp].reshape(B, T, nv)
+    a = ba[..., grp:].reshape(B, T, nv)
+
+    # causal depthwise conv + silu over the FLATTENED [q|k|v] channels
+    mixed = jnp.concatenate(
+        [q.reshape(B, T, key_dim), kk.reshape(B, T, key_dim),
+         v.reshape(B, T, value_dim)], axis=-1,
+    )
+    conv_w = jnp.asarray(mp["conv1d"]["weight"])[:, 0, :]  # [conv_dim, k]
+    conv_b = mp["conv1d"].get("bias")
+    if cache is not None and T == 1:
+        window = jnp.concatenate([cache["conv"], mixed], axis=1)  # [B,k,cd]
+        xc = jnp.einsum("bkc,ck->bc", window.astype(jnp.float32),
+                        conv_w.astype(jnp.float32))[:, None, :]
+        if conv_b is not None:
+            xc = xc + conv_b.astype(xc.dtype)
+        xc = jax.nn.silu(xc).astype(h.dtype)
+        cache = dict(cache, conv=window[:, 1:, :])
+    else:
+        xc = jax.nn.silu(
+            _causal_conv1d(mixed, conv_w.astype(jnp.float32), conv_b, k_sz)
+        ).astype(h.dtype)
+        if cache is not None:
+            pad = jnp.pad(mixed, ((0, 0), (max(k_sz - 1 - T, 0), 0), (0, 0)))
+            cache = dict(cache, conv=pad[:, -(k_sz - 1):, :])
+
+    qc = xc[..., :key_dim].reshape(B, T, nk, hk)
+    kc = xc[..., key_dim : 2 * key_dim].reshape(B, T, nk, hk)
+    vc = xc[..., 2 * key_dim :].reshape(B, T, nv, hv)
+
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))
+    g = -jnp.exp(jnp.asarray(mp["A_log"]).astype(jnp.float32)) * jax.nn.softplus(
+        a.astype(jnp.float32) + jnp.asarray(mp["dt_bias"]).astype(jnp.float32)
+    )  # [B,T,nv]
+    if grp > 1:  # expand k-heads to v-heads
+        qc = jnp.repeat(qc, grp, axis=2)
+        kc = jnp.repeat(kc, grp, axis=2)
+
+    qf = _l2norm(qc.astype(jnp.float32)) * (hk ** -0.5)
+    kf = _l2norm(kc.astype(jnp.float32))
+    vf = vc.astype(jnp.float32)
+
+    S0 = (
+        cache["S"].astype(jnp.float32)
+        if cache is not None
+        else jnp.zeros((B, nv, hk, hv), jnp.float32)
+    )
+
+    def step(S, t_in):
+        q_t, k_t, v_t, g_t, b_t = t_in  # [B,nv,hk],[B,nv,hk],[B,nv,hv],[B,nv]x2
+        S = S * jnp.exp(g_t)[:, :, None, None]
+        kv = jnp.einsum("bnkv,bnk->bnv", S, k_t)
+        delta = (v_t - kv) * b_t[:, :, None]
+        S = S + k_t[..., :, None] * delta[..., None, :]
+        y_t = jnp.einsum("bnkv,bnk->bnv", S, q_t)
+        return S, y_t
+
+    xs = (
+        qf.transpose(1, 0, 2, 3), kf.transpose(1, 0, 2, 3),
+        vf.transpose(1, 0, 2, 3), g.transpose(1, 0, 2),
+        beta.transpose(1, 0, 2),
+    )
+    S_f, ys = jax.lax.scan(step, S0, xs)
+    y = ys.transpose(1, 0, 2, 3)  # [B,T,nv,hv]
+    if cache is not None:
+        cache = dict(cache, S=S_f.astype(cache["S"].dtype))
+
+    # per-head gated RMSNorm: norm -> weight -> * silu(z) (RMSNormGated)
+    w = jnp.asarray(mp["norm"]["weight"]).astype(jnp.float32)
+    var = jnp.mean(y * y, axis=-1, keepdims=True)
+    y = (y * jax.lax.rsqrt(var + spec.rms_norm_eps)) * w
+    y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(h.dtype)
+    y = y.reshape(B, T, value_dim)
+    _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+    return apply_linear(mp["out_proj"], y), cache
+
+
 def lfm2_shortconv(
     spec: ModelSpec,
     mp: Params,
@@ -2034,8 +2405,18 @@ def mamba2_mixer(
     ng = spec.mamba_n_groups
     conv_dim = d_in + 2 * ng * N
 
+    if spec.falcon_h1:  # ssm_in mup (modeling_falcon_h1.py:593)
+        h = h * spec.fh1_multipliers[2]
     _tap(taps, tap_paths, f"{prefix}.in_proj", h)
     proj = apply_linear(mp["in_proj"], h)
+    if spec.falcon_h1:  # per-span mup vector (compute_mup_vector :1172)
+        zm, xm, bm_, cm_, dtm = spec.fh1_ssm_multipliers
+        mup = np.concatenate([
+            np.full(d_in, zm, np.float32), np.full(d_in, xm, np.float32),
+            np.full(ng * N, bm_, np.float32), np.full(ng * N, cm_, np.float32),
+            np.full(nh, dtm, np.float32),
+        ])
+        proj = proj * jnp.asarray(mup, proj.dtype)
     gate, xbc, dt_raw = jnp.split(proj, [d_in, d_in + conv_dim], axis=-1)
 
     conv_w = jnp.asarray(mp["conv1d"]["weight"])[:, 0, :]  # [conv_dim, k]
@@ -2097,10 +2478,32 @@ def mamba2_mixer(
     ssm_f, ys = jax.lax.scan(step, ssm0, xs)
     y = ys.transpose(1, 0, 2, 3) + xf * Dv[None, None, :, None]
     y = y.reshape(B_, T, d_in)
-    # gated RMSNorm (MambaRMSNormGated, modeling_mamba2.py:204)
-    yf = y * jax.nn.silu(gate.astype(jnp.float32))
-    yf = yf * jax.lax.rsqrt(jnp.mean(yf * yf, -1, keepdims=True) + spec.rms_norm_eps)
-    y = (yf * jnp.asarray(mp["norm"]["weight"]).astype(jnp.float32)).astype(h.dtype)
+    if "norm" not in mp:
+        # falcon_h1 mamba_rms_norm=False: plain silu gating, no norm
+        # (modeling_falcon_h1.py:978-981)
+        y = (y * jax.nn.silu(gate.astype(jnp.float32))).astype(h.dtype)
+        if cache is not None:
+            cache = dict(cache, ssm=ssm_f.astype(cache["ssm"].dtype))
+        _tap(taps, tap_paths, f"{prefix}.out_proj", y)
+        return apply_linear(mp["out_proj"], y), cache
+    w_norm = jnp.asarray(mp["norm"]["weight"]).astype(jnp.float32)
+    if spec.mamba_norm_before_gate:
+        # falcon_h1: PER-GROUP norm -> weight -> * silu(gate)
+        # (FalconH1RMSNormGated, modeling_falcon_h1.py)
+        yg = y.reshape(B_, T, ng, d_in // ng)
+        yg = yg * jax.lax.rsqrt(
+            jnp.mean(yg * yg, -1, keepdims=True) + spec.rms_norm_eps
+        )
+        yf = (yg * w_norm.reshape(ng, d_in // ng)).reshape(B_, T, d_in)
+        y = (yf * jax.nn.silu(gate.astype(jnp.float32))).astype(h.dtype)
+    else:
+        # mamba2: gate first, FULL-width norm (MambaRMSNormGated,
+        # modeling_mamba2.py:204)
+        yf = y * jax.nn.silu(gate.astype(jnp.float32))
+        yf = yf * jax.lax.rsqrt(
+            jnp.mean(yf * yf, -1, keepdims=True) + spec.rms_norm_eps
+        )
+        y = (yf * w_norm).astype(h.dtype)
     if cache is not None:
         cache = dict(cache, ssm=ssm_f.astype(cache["ssm"].dtype))
     _tap(taps, tap_paths, f"{prefix}.out_proj", y)

@@ -128,6 +128,8 @@ def flatten_params(
         return out
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if k.startswith("_"):  # runtime-only derived params (loader
+                continue  # _inject_runtime_layer_params) never export
             flatten_params(
                 v, f"{prefix}.{k}" if prefix else k, out, v1_zeros,
                 conv1d_suffixes,

@@ -1,0 +1,33 @@
+"""On-TPU verify addendum: gpt_neo, codegen, diffllama quantize->generate."""
+import tempfile
+from pathlib import Path
+import numpy as np
+import jax
+print("platform:", jax.devices(), flush=True)
+import torch
+from transformers import AutoConfig, AutoModelForCausalLM
+from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+CASES = [
+    ("gpt_neo", dict(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+                     attention_types=[[["global", "local"], 1]], window_size=8,
+                     intermediate_size=128, max_position_embeddings=256)),
+    ("codegen", dict(vocab_size=128, n_embd=64, n_head=4, n_layer=2,
+                     rotary_dim=8, n_positions=256)),
+    ("diffllama", dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=256)),
+]
+for mt, over in CASES:
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(model_type=mt, **over)
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize([rng.integers(1, 128, size=(48,)) for _ in range(8)],
+                          batch_size=4)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4)
+        print(f"OK {mt}: {len(rows)} modules, gen {gen.shape}", flush=True)
+print("ALL-OK", flush=True)

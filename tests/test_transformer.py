@@ -54,6 +54,7 @@ def _jax_logits(model_dir):
     params = build_params_tree(
         mdef.wrap_reader(reader, hf_cfg),
         conv1d_suffixes=mdef.conv1d_suffixes,
+        layer_container=mdef.layers_container,
     )
     ids = np.arange(24).reshape(2, 12) % spec.vocab_size
     logits = forward_logits(spec, params, jnp.asarray(ids), dtype=jnp.float32)
@@ -1767,3 +1768,607 @@ def test_jamba_quantize_generate_e2e():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
                          dtype=jnp.float32)
         assert out.shape == (1, 3)
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        # seed_oss: separate attention_bias / attention_out_bias knobs
+        # (modeling_seed_oss.py:158) — both presence-driven from checkpoint
+        ("seed_oss", {"attention_bias": True, "attention_out_bias": False,
+                      "head_dim": 16}),
+        # arcee: non-gated up/down relu2 MLP (modeling_arcee.py:50)
+        ("arcee", {}),
+        # bitnet: attn/ffn sub-norms before o_proj/down_proj + relu2 GLU
+        # (modeling_bitnet.py:74,178)
+        ("bitnet", {"hidden_act": "relu2"}),
+    ],
+)
+def test_forward_parity_seed_arcee_bitnet(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_apertus():
+    """apertus: per-head q/k RMSNorm, attention_layernorm/feedforward_layernorm
+    naming, non-gated xIELU MLP with learnable alpha_p/alpha_n
+    (modeling_apertus.py:43-70,186-213)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, "apertus")
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.qk_norm and spec.hidden_act == "xielu"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_bitnet_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "bitnet", hidden_act="relu2")
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7, len(rows)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_forward_parity_dots1():
+    """dots1 (rednote): deepseek-v3 sigmoid/noaux_tc router with correction
+    bias + group-limited top-k, per-head qk-norm GQA (no MLA), dense
+    first_k layers, fused shared_experts (modeling_dots1.py:173-360)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "dots1",
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, n_shared_experts=1,
+            first_k_dense_replace=1, n_group=2, topk_group=1,
+            routed_scaling_factor=1.5, norm_topk_prob=True,
+            head_dim=16, sliding_window=None,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.moe_scoring == "sigmoid" and spec.qk_norm and not spec.mla
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_hunyuan_v1_moe():
+    """hunyuan_v1_moe: query/key_layernorm per-head norms, softmax->top-k
+    renormalized routing via nested gate.wg fp32 Linear, always-on ungated
+    shared_mlp (modeling_hunyuan_v1_moe.py:231-302)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "hunyuan_v1_moe",
+            num_experts=4, moe_topk=2, head_dim=16,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.num_experts == 4 and spec.qk_norm
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_hunyuan_moe_quantize_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "hunyuan_v1_moe", num_experts=2,
+                               moe_topk=1, head_dim=16)
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # 4 attn + 2 experts x 3 + shared_mlp x 3 per layer
+        assert len(rows) == 2 * (4 + 6 + 3), len(rows)
+        mods = {r["module"] for r in rows}
+        assert "mlp.shared_mlp.up_proj" in mods
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_forward_parity_gpt_neo():
+    """gpt_neo: nested attn.attention split projections, NO attention
+    scaling, global/local layer alternation with an 8-token window (< T=12,
+    so the local mask is load-bearing), learned positions, gelu_new MLP."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_neo", vocab_size=128, hidden_size=64,
+            num_layers=2, num_heads=4,
+            attention_types=[[["global", "local"], 1]], window_size=8,
+            intermediate_size=128, max_position_embeddings=256,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "m"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "gpt2" and spec.attn_scale == 1.0
+        assert spec.layer_types[1] == "sliding_attention"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_codegen():
+    """codegen: mp_num=4 block-fused qkv in q,v,k order (deinterleaved by
+    CodeGenReader), gptj-style parallel residual + rotate_every_two partial
+    rotary (modeling_codegen.py:92-177)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="codegen", vocab_size=128, n_embd=64, n_head=4,
+            n_layer=2, rotary_dim=8, n_positions=256, n_inner=None,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "m"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "neox" and spec.parallel_residual
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gpt_neo_quantize_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt_neo", vocab_size=128, hidden_size=64,
+            num_layers=2, num_heads=4,
+            attention_types=[[["global", "local"], 1]], window_size=8,
+            intermediate_size=128, max_position_embeddings=256,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 6, len(rows)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_forward_parity_diffllama():
+    """diffllama differential attention: halved softmax head pairs with
+    lambda_full = exp(lq1.lk1) - exp(lq2.lk2) + lambda_init(layer),
+    parameter-free RMSNorm(2hd), (1-lambda_init) scale
+    (modeling_diffllama.py:117-220). lambda_init is injected by the loader
+    as runtime-only _lam_init (never exported)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, "diffllama")
+        spec, params, ids, ours = _jax_logits(d)
+        lp0 = params["model"]["layers"][0]["self_attn"]
+        assert "_lam_init" in lp0 and abs(float(lp0["_lam_init"]) - 0.2) < 1e-6
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_diffllama_quantize_roundtrip():
+    """Quantize + save must NOT export the runtime _lam_init; reload must
+    re-derive it and generate."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.loader import CheckpointReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "diffllama")
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7, len(rows)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        names = list(CheckpointReader(out_dir).names())
+        assert not any("_lam_init" in n for n in names)
+        assert any("lambda_q1" in n for n in names)
+        m2 = GPTQModel.load(out_dir)
+        gen = m2.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                          dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def _tiny_vl_dir(tmp, kind):
+    import torch
+
+    if kind == "llava":
+        from transformers import LlavaConfig, LlavaForConditionalGeneration
+
+        cfg = LlavaConfig(
+            text_config=dict(
+                model_type="llama", vocab_size=128, hidden_size=64,
+                intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                max_position_embeddings=256,
+            ),
+            vision_config=dict(
+                model_type="clip_vision_model", hidden_size=32,
+                intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=28, patch_size=14,
+            ),
+            image_token_index=127,
+        )
+        torch.manual_seed(0)
+        model = LlavaForConditionalGeneration(cfg).to(torch.float32).eval()
+    else:
+        from transformers.models.qwen2_vl import (
+            Qwen2VLConfig, Qwen2VLForConditionalGeneration,
+        )
+
+        cfg = Qwen2VLConfig(
+            text_config=dict(
+                vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=256,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            ),
+            vision_config=dict(
+                depth=2, embed_dim=32, hidden_size=64, num_heads=2,
+                in_channels=3, spatial_merge_size=2, patch_size=14,
+                temporal_patch_size=2,
+            ),
+        )
+        torch.manual_seed(0)
+        model = Qwen2VLForConditionalGeneration(cfg).to(torch.float32).eval()
+    d = Path(tmp) / kind
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+@pytest.mark.parametrize("kind", ["llava", "qwen2_vl"])
+def test_forward_parity_vl_text_tower(kind):
+    """VL text-tower parity on text-only input: model.language_model.* is
+    canonicalized to model.* (wrap_vl_reader); qwen2_vl mrope with equal
+    t/h/w sections == standard rope. The vision tower loads as plain
+    weights (layer_container keeps its indexed blocks out of the decoder
+    stream)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_vl_dir(tmp, kind)
+        spec, params, ids, ours = _jax_logits(d)
+        assert "layers" in params["model"]  # renamed text tower
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_qwen2_vl_quantize_preserves_vision_tower():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.loader import CheckpointReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_vl_dir(tmp, "qwen2_vl")
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7, len(rows)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        names = list(CheckpointReader(out_dir).names())
+        assert any("visual.blocks." in n for n in names)
+        assert any("model.layers.0.self_attn.q_proj.qweight" == n for n in names)
+        m2 = GPTQModel.load(out_dir)
+        gen = m2.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                          dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_forward_parity_xverse_constructed():
+    """xverse (remote code): exact llama body + tensor names under its own
+    model_type (reference definitions/xverse.py subclasses LlamaQModel)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(
+            tmp, "llama", num_key_value_heads=4, attention_bias=False
+        )
+        cfg = dict(
+            model_type="xverse", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "xverse"
+        _write_ckpt(d, _torch_sd(tmodel), cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_exaone_constructed():
+    """exaone (EXAONE-3.x remote code): llama body under transformer.h with
+    attn.attention nesting and c_fc_0/c_fc_1/c_proj MLP names (reference
+    definitions/exaone.py tree) -> canonicalized by wrap_exaone_reader."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(tmp, "llama", attention_bias=False)
+        sd = _torch_sd(tmodel)
+        out = {"lm_head.weight": sd["lm_head.weight"],
+               "transformer.wte.weight": sd["model.embed_tokens.weight"],
+               "transformer.ln_f.weight": sd["model.norm.weight"]}
+        ren = {
+            "input_layernorm.weight": "ln_1.weight",
+            "post_attention_layernorm.weight": "ln_2.weight",
+            "self_attn.q_proj.weight": "attn.attention.q_proj.weight",
+            "self_attn.k_proj.weight": "attn.attention.k_proj.weight",
+            "self_attn.v_proj.weight": "attn.attention.v_proj.weight",
+            "self_attn.o_proj.weight": "attn.attention.out_proj.weight",
+            "mlp.gate_proj.weight": "mlp.c_fc_0.weight",
+            "mlp.up_proj.weight": "mlp.c_fc_1.weight",
+            "mlp.down_proj.weight": "mlp.c_proj.weight",
+        }
+        for i in range(2):
+            for canon, native in ren.items():
+                out[f"transformer.h.{i}.{native}"] = sd[
+                    f"model.layers.{i}.{canon}"]
+        cfg = dict(
+            model_type="exaone", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, layer_norm_epsilon=1e-6,
+            activation_function="silu", max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "exaone"
+        _write_ckpt(d, out, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_minicpm3_constructed():
+    """minicpm3 (remote code): deepseek-style MLA under the same tensor
+    names + minicpm mup factors (neutral here) — oracle is the HF
+    deepseek_v2 MLA-dense model (reference definitions/minicpm3.py tree)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(
+            tmp, "deepseek_v2", q_lora_rank=24, topk_method="greedy",
+            **dict(_DSV2_TINY, first_k_dense_replace=2),
+        )
+        cfg = dict(
+            model_type="minicpm3", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+            q_lora_rank=24, kv_lora_rank=16, qk_rope_head_dim=8,
+            qk_nope_head_dim=8, v_head_dim=8, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            scale_emb=1.0, scale_depth=float(2) ** 0.5, dim_model_base=64,
+        )
+        d = Path(tmp) / "minicpm3"
+        _write_ckpt(d, _torch_sd(tmodel), cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.mla and spec.q_lora_rank == 24
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_mimo_quantize_preserves_mtp_layers():
+    """mimo (remote code): qwen2 body + model.mtp_layers that must load and
+    re-export dense (reference definitions/mimo.py + out_of_model_tensors
+    pattern)."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.loader import CheckpointReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_llama_dir(tmp, "qwen2")
+        sd = _torch_sd(tmodel)
+        sd["model.mtp_layers.0.self_attn.q_proj.weight"] = (
+            np.ones((64, 64), np.float32)
+        )
+        cfg = dict(
+            model_type="mimo", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "mimo"
+        _write_ckpt(d, sd, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        m.quantize([rng.integers(1, 128, size=(48,)) for _ in range(8)],
+                   batch_size=4)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        names = list(CheckpointReader(out_dir).names())
+        assert "model.mtp_layers.0.self_attn.q_proj.weight" in names
+
+
+_Q3N_TINY = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16, linear_num_value_heads=4, linear_num_key_heads=2,
+    linear_key_head_dim=8, linear_value_head_dim=8, linear_conv_kernel_dim=4,
+    num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+    shared_expert_intermediate_size=64, decoder_sparse_step=1,
+    mlp_only_layers=[], norm_topk_prob=True, max_position_embeddings=256,
+    tie_word_embeddings=False,
+    layer_types=["linear_attention", "full_attention"],
+)
+
+
+def test_forward_parity_qwen3_next():
+    """qwen3_next hybrid: GatedDeltaNet linear-attention layer (grouped
+    qkvz/ba ordering, causal conv, l2-normed gated delta rule, gated
+    RMSNorm) + gated full attention (output sigmoid gate from the doubled
+    q_proj, partial rotary 0.25) + qwen2_moe-style MoE
+    (modeling_qwen3_next.py:321-857). HF prefill uses the chunked rule; our
+    lax.scan recurrence is the same operator algebraically."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, "qwen3_next", **_Q3N_TINY)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.attn_output_gate and spec.layers_block_type[0] == "linear"
+        assert spec.rotary_dim == 4
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_qwen3_next_quantize_generate_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "qwen3_next",
+            **dict(_Q3N_TINY, num_experts=2, num_experts_per_tok=1),
+        )
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=8))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # layer0 linear_attn (3) + moe (2x3 + shared 3); layer1 attn (4) + same
+        assert len(rows) == (3 + 9) + (4 + 9), len(rows)
+        mods = {r["module"] for r in rows}
+        assert "linear_attn.in_proj_qkvz" in mods
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+_MINIMAX_TINY = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=32,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+    max_position_embeddings=256, tie_word_embeddings=False,
+    layer_types=["linear_attention", "full_attention"], block_size=256,
+    full_attn_alpha_factor=1.0, full_attn_beta_factor=1.0,
+    linear_attn_alpha_factor=1.0, linear_attn_beta_factor=1.0,
+    mlp_alpha_factor=1.0, mlp_beta_factor=1.0,
+)
+
+
+def test_forward_parity_minimax():
+    """minimax hybrid: lightning linear attention (silu qkv, per-head
+    layer-indexed decay, sigmoid output gate, full-width RMSNorm) + full
+    attention + mixtral MoE; residuals use the NORMED hidden with
+    alpha/beta factors (modeling_minimax.py:118-575)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "minimax",
+            **dict(_MINIMAX_TINY, linear_attn_beta_factor=0.7,
+                   mlp_alpha_factor=0.9),
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.minimax_residual
+        assert spec.layers_block_type == ("lightning", "attention")
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_minimax_slope_derivation_without_buffer():
+    """Checkpoints without the persisted slope_rate buffer must re-derive
+    per-head slopes from the loader-injected _layer_idx."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, "minimax", **_MINIMAX_TINY)
+        sd = {k: v for k, v in _torch_sd(tmodel).items()
+              if not k.endswith(("slope_rate", "query_decay", "key_decay",
+                                 "diagonal_decay"))}
+        import json as _json
+        cfg = _json.loads((d / "config.json").read_text())
+        d2 = Path(tmp) / "stripped"
+        _write_ckpt(d2, sd, cfg)
+        spec, params, ids, ours = _jax_logits(d2)
+        lp0 = params["model"]["layers"][0]["self_attn"]
+        assert "_layer_idx" in lp0 and "slope_rate" not in lp0
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_minimax_quantize_generate_e2e():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(
+            tmp, "minimax",
+            **dict(_MINIMAX_TINY, num_local_experts=2, num_experts_per_tok=1),
+        )
+        rng = np.random.default_rng(0)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # layer0 lightning: qkv+gate+out (3) + 2x3 experts;
+        # layer1 full attn: 4 + 2x3
+        assert len(rows) == (3 + 6) + (4 + 6), len(rows)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_forward_parity_falcon_h1():
+    """falcon_h1: EVERY layer runs mamba2 + attention in parallel on the
+    same normed input, with mup multipliers on embeddings/k/attn/ssm/mlp/
+    lm_head and a per-span mup vector on the SSM in_proj; per-group gated
+    norm BEFORE the gate (modeling_falcon_h1.py:1046-1235)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon_h1", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            mamba_d_ssm=64, mamba_n_heads=4, mamba_n_groups=2,
+            mamba_d_state=16, mamba_d_conv=4, mamba_expand=1,
+            mamba_use_mlp=True,
+            embedding_multiplier=2.0, lm_head_multiplier=0.5,
+            key_multiplier=0.9, attention_in_multiplier=1.1,
+            attention_out_multiplier=0.8, ssm_in_multiplier=1.2,
+            ssm_out_multiplier=0.7, mlp_multipliers=[1.3, 0.6],
+            ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.05],
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "m"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.falcon_h1 and spec.key_multiplier == 0.9
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_falcon_h1_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon_h1", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            mamba_d_ssm=64, mamba_n_heads=8, mamba_n_groups=2,
+            mamba_d_state=16, mamba_d_conv=4, mamba_expand=1,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # per layer: attn 4 + mamba in/out 2 + mlp 3
+        assert len(rows) == 2 * 9, len(rows)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
