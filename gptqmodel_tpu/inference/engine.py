@@ -98,6 +98,13 @@ def init_kv_cache(
             })
             continue
         c = {"pos": jnp.int32(0)}
+        if spec.longcat:  # dual attention sublayers per logical layer
+            c["k"] = jnp.zeros(k_shape, dtype)
+            c["v"] = jnp.zeros(v_shape, dtype)
+            c["k2"] = jnp.zeros(k_shape, dtype)
+            c["v2"] = jnp.zeros(v_shape, dtype)
+            caches.append(c)
+            continue
         if spec.falcon_h1:  # parallel hybrid: KV + (conv, ssm) in one dict
             conv_dim = (spec.mamba_d_inner
                         + 2 * spec.mamba_n_groups * spec.mamba_d_state)

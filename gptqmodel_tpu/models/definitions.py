@@ -611,6 +611,44 @@ REGISTRY: dict[str, ModelDef] = {
             "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
         ).wrap_vl_reader,
     ),
+    "llava_onevision": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "mistral3": ModelDef(
+        _LLAMA_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "qwen3_vl": ModelDef(
+        _QWEN3_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "qwen3_vl_moe": ModelDef(
+        _QWEN3_MOE_TREE,
+        dynamic_expert_index="text_config.num_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "glm4v": ModelDef(
+        _GLM4_TREE,
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
+    "glm4v_moe": ModelDef(
+        _GLM4_MOE_TREE,
+        dynamic_expert_index="text_config.n_routed_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+        ).wrap_vl_reader,
+    ),
     "gpt_oss": ModelDef(
         (
             "model",
@@ -635,7 +673,64 @@ REGISTRY: dict[str, ModelDef] = {
     "cohere2": ModelDef(_COHERE_TREE),
     "olmo": ModelDef(_LLAMA_TREE),
     "olmo2": ModelDef(_OLMO2_TREE),
+    "olmo3": ModelDef(_OLMO2_TREE),
     "olmoe": ModelDef(_OLMOE_TREE, dynamic_expert_index="num_experts"),
+    "flex_olmo": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "self_attn": (
+                    "q_norm:!", "k_norm:!",
+                    "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                ),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "mlp": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+                "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+            },
+        ),
+        dynamic_expert_index="num_experts",
+    ),
+    "ministral": ModelDef(_LLAMA_TREE),
+    "code_llama": ModelDef(_LLAMA_TREE),
+    "vaultgemma": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "pre_feedforward_layernorm": ("pre_feedforward_layernorm:!",),
+                "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+            },
+        ),
+    ),
+    "granitemoeshared": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "input_layernorm": ("input_layernorm:!",),
+                "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+                "post_attention_layernorm": ("post_attention_layernorm:!",),
+                "block_sparse_moe": {
+                    "gate": ("gate:!",),
+                    "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+                },
+                "shared_mlp": ("gate_up_proj:0", "down_proj:1"),
+            },
+        ),
+        dynamic_expert_index="num_local_experts",
+        reader_wrapper=__import__(
+            "gptqmodel_tpu.models.remap", fromlist=["wrap_granitemoe_reader"]
+        ).wrap_granitemoe_reader,
+    ),
     "exaone4": ModelDef(_EXAONE4_TREE),
     "glm": ModelDef(_GLM_TREE),
     "glm4": ModelDef(_GLM4_TREE),
@@ -729,6 +824,30 @@ REGISTRY: dict[str, ModelDef] = {
     "qwen3_moe": ModelDef(_QWEN3_MOE_TREE, dynamic_expert_index="num_experts"),
     "qwen2_moe": ModelDef(_QWEN2_MOE_TREE, dynamic_expert_index="num_experts"),
     "mixtral": ModelDef(_MIXTRAL_TREE, dynamic_expert_index="num_local_experts"),
+    "longcat_flash": ModelDef(
+        (
+            "model",
+            "layers",
+            "#",
+            {
+                "self_attn": {
+                    "0": ("q_a_proj:0", "q_b_proj:0", "q_proj:0",
+                          "kv_a_proj_with_mqa:0", "kv_b_proj:0", "o_proj:1"),
+                    "1": ("q_a_proj:2", "q_b_proj:2", "q_proj:2",
+                          "kv_a_proj_with_mqa:2", "kv_b_proj:2", "o_proj:3"),
+                },
+                "mlps": {
+                    "0": ("gate_proj:1", "up_proj:1", "down_proj:2"),
+                    "1": ("gate_proj:3", "up_proj:3", "down_proj:4"),
+                },
+                "mlp": {
+                    "router": ("router:!",),
+                    "experts": {"#": ("gate_proj:1", "up_proj:1", "down_proj:2")},
+                },
+            },
+        ),
+        dynamic_expert_index="n_routed_experts",
+    ),
     "minimax": ModelDef(
         (
             "model",
@@ -993,6 +1112,13 @@ REGISTRY: dict[str, ModelDef] = {
 
 
 REGISTRY["llama4_text"] = REGISTRY["llama4"]
+REGISTRY["lfm2_vl"] = ModelDef(
+    REGISTRY["lfm2"].module_tree,
+    pre_lm_head_norm="model.embedding_norm",
+    reader_wrapper=__import__(
+        "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+    ).wrap_vl_reader,
+)
 
 
 def get_model_def(model_type: str, tensor_names=None) -> ModelDef:

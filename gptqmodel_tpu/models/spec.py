@@ -116,6 +116,11 @@ class ModelSpec:
     mamba_dt_limit: tuple = (0.0, float("inf"))
     # bamba-style hybrids: per-layer "attention" | "mamba"
     layers_block_type: tuple = ()
+    # longcat_flash dual-sublayer + shortcut-MoE layers
+    longcat: bool = False
+    zero_expert_num: int = 0  # identity experts appended after the routed set
+    mla_scale_q_lora: float = 0.0  # (hidden/q_lora_rank)^0.5 mup (0 = off)
+    mla_scale_kv_lora: float = 0.0
     # falcon_h1 parallel mamba2+attention hybrid with mup multipliers
     falcon_h1: bool = False
     key_multiplier: float = 0.0  # scales k after projection (0 = off)
@@ -170,8 +175,15 @@ _LLAMA_FAMILY = {
 # model.language_model.* -> model.*.
 _VL_TEXT_ARCH = {
     "llava": None,  # use text_config.model_type (llama/mistral/...)
+    "llava_onevision": None,  # qwen2 text tower
+    "mistral3": None,  # mistral text tower (pixtral vision)
     "qwen2_vl": "qwen2",
     "qwen2_5_vl": "qwen2",
+    "qwen3_vl": "qwen3",
+    "qwen3_vl_moe": "qwen3_moe",
+    "glm4v": "glm4",
+    "glm4v_moe": "glm4_moe",
+    "lfm2_vl": "lfm2",
 }
 
 
@@ -189,6 +201,16 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             # mrope with equal t/h/w position ids (text-only decode) is
             # EXACTLY standard rope (modeling_qwen2_vl.py apply_multimodal_
             # rotary_pos_emb); image-position decode is out of scope here
+            if mt in ("glm4v", "glm4v_moe") and rs.get("mrope_section"):
+                # glm4v rotates 2*sum(mrope_section) dims with interleaved
+                # pairs — full-head for the published configs
+                # (modeling_glm4v.py:459-485), unlike glm4's half
+                hd_t = txt.get("head_dim") or (
+                    txt["hidden_size"] // txt["num_attention_heads"]
+                )
+                txt["partial_rotary_factor"] = (
+                    2.0 * sum(rs["mrope_section"]) / hd_t
+                )
             txt["rope_scaling"] = None
         return _dc_replace(spec_from_hf_config(txt), model_type=mt)
     if mt == "opt":
@@ -830,6 +852,49 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
         # norms on sublayer outputs only; full-width q/k RMSNorm
         # (modeling_olmo2.py:149-166,250-257)
         common.update(norm_after=True, qk_norm_wide=True)
+    if mt == "olmo3":
+        # olmo2 body + sliding/full layer_types; sliding layers use the
+        # UNSCALED default rope (modeling_olmo3.py:48-53 per-type rotary)
+        common.update(norm_after=True, qk_norm_wide=True)
+        if common.get("rope_scaling") and common.get("layer_types"):
+            common["rope_local_theta"] = common["rope_theta"]
+    if mt == "flex_olmo":
+        # olmo2-style post-only norms + wide q/k norm, olmoe-style MoE
+        # (modeling_flex_olmo.py:314-360)
+        common.update(
+            norm_after=True,
+            qk_norm_wide=True,
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", False),
+        )
+    if mt == "vaultgemma":
+        # gemma2 attention (query_pre_attn_scalar, softcaps, rms offset)
+        # with PLAIN pre-norms: input_layernorm + pre_feedforward_layernorm,
+        # no post norms (modeling_vaultgemma.py:238-280)
+        common.update(
+            embedding_multiplier=float(hidden) ** 0.5,
+            rms_norm_offset=True,
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar", 0.0) or 0.0,
+            attn_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
+            logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+        )
+    if mt == "granitemoeshared":
+        # granitemoe + always-on fused shared MLP (input_linear/output_linear
+        # split by the granitemoe reader); same mup multipliers
+        common.update(
+            embedding_multiplier=cfg.get("embedding_multiplier", 1.0),
+            attn_scale=cfg.get("attention_multiplier", 0.0) or 0.0,
+            residual_multiplier=cfg.get("residual_multiplier", 1.0),
+            logit_scale=1.0 / (cfg.get("logits_scaling", 1.0) or 1.0),
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring="topk_softmax",
+            norm_topk_prob=False,
+        )
     if mt == "olmoe":
         # olmo2-style wide q/k norm, standard pre-norms, 64-expert top-8 MoE
         # (modeling_olmoe.py:286-307,581)
@@ -1160,6 +1225,39 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             moe_intermediate_size=cfg.get("intermediate_size", 0),
             moe_scoring="llama4",
             moe_input_scaled=True,
+            norm_topk_prob=False,
+        )
+    if mt == "longcat_flash":
+        # dual-sublayer layers (2 MLA attns + 2 dense MLPs + shortcut MoE
+        # with zero/identity experts); MLA carries lora mup scalings
+        # (modeling_longcat_flash.py:288-500)
+        qk_rope = cfg.get("qk_rope_head_dim", 64)
+        qk_nope = cfg.get("qk_nope_head_dim", 128)
+        qlr = cfg.get("q_lora_rank") or 0
+        kvlr = cfg.get("kv_lora_rank") or 0
+        common.update(
+            longcat=True,
+            # num_hidden_layers counts SUBLAYERS (2 per logical layer);
+            # num_layers is the logical decoder-layer count
+            num_layers=cfg.get("num_layers")
+            or cfg["num_hidden_layers"] // 2,
+            mla=True,
+            head_dim=qk_nope + qk_rope,
+            num_kv_heads=heads,
+            q_lora_rank=qlr,
+            kv_lora_rank=kvlr,
+            qk_rope_head_dim=qk_rope,
+            qk_nope_head_dim=qk_nope,
+            v_head_dim=cfg.get("v_head_dim", 128),
+            rope_interleave=True,
+            mla_scale_q_lora=(hidden / qlr) ** 0.5 if qlr else 0.0,
+            mla_scale_kv_lora=(hidden / kvlr) ** 0.5 if kvlr else 0.0,
+            num_experts=(cfg.get("n_routed_experts") or 0)
+            + (cfg.get("zero_expert_num") or 0),
+            zero_expert_num=cfg.get("zero_expert_num") or 0,
+            num_experts_per_tok=cfg.get("moe_topk", 0),
+            moe_intermediate_size=cfg.get("expert_ffn_hidden_size", 0),
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             norm_topk_prob=False,
         )
     if mt == "minimax":

@@ -648,6 +648,8 @@ def mla_attention(
         qa = rms_norm(qa, ap["q_a_layernorm"]["weight"], spec.rms_norm_eps)
         _tap(taps, tap_paths, f"{prefix}.q_b_proj", qa)
         q = apply_linear(ap["q_b_proj"], qa)
+    if spec.mla_scale_q_lora:  # longcat lora mup (modeling :368-371)
+        q = q * spec.mla_scale_q_lora
     q = q.reshape(B, T, nh, qk_dim).transpose(0, 2, 1, 3)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
@@ -655,6 +657,8 @@ def mla_attention(
     ckv = apply_linear(ap["kv_a_proj_with_mqa"], h)
     c_kv, k_pe = ckv[..., : spec.kv_lora_rank], ckv[..., spec.kv_lora_rank :]
     c_kv = rms_norm(c_kv, ap["kv_a_layernorm"]["weight"], spec.rms_norm_eps)
+    if spec.mla_scale_kv_lora:  # longcat lora mup on the latent
+        c_kv = c_kv * spec.mla_scale_kv_lora
     _tap(taps, tap_paths, f"{prefix}.kv_b_proj", c_kv)
     kv = apply_linear(ap["kv_b_proj"], c_kv)
     kv = kv.reshape(B, T, nh, nope + vd).transpose(0, 2, 1, 3)
@@ -1164,7 +1168,8 @@ def decoder_layer(
         h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
         pre_mlp = (lp.get("post_attention_layernorm")
                    or lp.get("pre_ff_layernorm") or lp.get("ffn_norm")
-                   or lp.get("feedforward_layernorm"))  # apertus naming
+                   or lp.get("feedforward_layernorm")  # apertus naming
+                   or lp.get("pre_feedforward_layernorm"))  # vaultgemma
         normed2 = sublayer_norm(spec, pre_mlp, h)
 
     if "block_sparse_moe" in lp:  # mixtral/granitemoe container naming
@@ -1820,6 +1825,10 @@ def any_decoder_layer(
     tap_paths=frozenset(),
 ):
     """Family dispatcher used by the looper and the inference engine."""
+    if spec.longcat:
+        return longcat_decoder_layer(
+            spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths
+        )
     if spec.falcon_h1:
         return falcon_h1_decoder_layer(
             spec, lp, h, cos, sin, attn_bias, cache, taps, tap_paths
@@ -2082,6 +2091,110 @@ def init_mamba_cache(spec: ModelSpec, batch: int, dtype=jnp.bfloat16):
         }
         for _ in range(spec.num_layers)
     ]
+
+
+def longcat_moe(
+    spec: ModelSpec,
+    mp: Params,
+    x: jnp.ndarray,  # [N, hidden]
+    prefix: str = "mlp",
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Longcat shortcut MoE (modeling_longcat_flash.py:120-180): softmax
+    scores + correction bias select top-k over routed + IDENTITY (zero
+    compute) experts; weights are the raw scores * routed_scaling_factor.
+    Identity expert slots contribute w*x directly."""
+    cls = mp["router"]["classifier"]
+    logits = x.astype(jnp.float32) @ jnp.asarray(
+        cls["weight"], jnp.float32).T
+    if "bias" in cls:
+        logits = logits + jnp.asarray(cls["bias"], jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)
+    bias = jnp.asarray(
+        mp["router"]["e_score_correction_bias"], jnp.float32).reshape(-1)
+    _, top_i = jax.lax.top_k(scores + bias[None, :], spec.num_experts_per_tok)
+    top_w = jnp.take_along_axis(scores, top_i, axis=1)
+    top_w = top_w * spec.routed_scaling_factor
+
+    E = spec.num_experts
+    n_routed = E - spec.zero_expert_num
+    w_full = jnp.zeros((x.shape[0], E), jnp.float32)
+    w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(top_w, top_i, w_full)
+    out = jnp.zeros_like(x)
+    for e in range(n_routed):
+        we = w_full[:, e]
+        routed = (we > 0).astype(x.dtype)
+        if taps is not None:
+            y = gated_mlp(
+                spec, mp["experts"][e], x * routed[:, None],
+                prefix=f"{prefix}.experts.{e}", taps=taps,
+                tap_paths=tap_paths, row_mask=routed,
+            )
+        else:
+            y = gated_mlp(spec, mp["experts"][e], x)
+        out = out + y * we[:, None].astype(x.dtype)
+    if spec.zero_expert_num:
+        w_zero = jnp.sum(w_full[:, n_routed:], axis=1)
+        out = out + x * w_zero[:, None].astype(x.dtype)
+    return out
+
+
+def longcat_decoder_layer(
+    spec: ModelSpec,
+    lp: Params,
+    h: jnp.ndarray,
+    cos,
+    sin,
+    attn_bias,
+    cache: Optional[dict] = None,  # {"pos","k","v","k2","v2"}
+    taps=None,
+    tap_paths=frozenset(),
+):
+    """Longcat dual-sublayer layer (modeling_longcat_flash.py:413-500):
+    attn0 -> (shortcut MoE of the post-attn0 norm) + dense mlp0 -> attn1 ->
+    dense mlp1 + shortcut output. Two KV sub-caches per logical layer."""
+    B, T, D = h.shape
+
+    def sub(idx: int, hin, ckeys):
+        c = None
+        if cache is not None:
+            c = {"pos": cache["pos"], "k": cache[ckeys[0]],
+                 "v": cache[ckeys[1]]}
+        out, c = mla_attention(
+            spec, lp["self_attn"][idx], hin, cos, sin, attn_bias, c,
+            prefix=f"self_attn.{idx}", taps=taps, tap_paths=tap_paths,
+        )
+        return out, c
+
+    normed0 = rms_norm(h, lp["input_layernorm"][0]["weight"], spec.rms_norm_eps)
+    attn0, c0 = sub(0, normed0, ("k", "v"))
+    h = h + attn0
+    normed1 = rms_norm(
+        h, lp["post_attention_layernorm"][0]["weight"], spec.rms_norm_eps
+    )
+    x = normed1.reshape(B * T, D)
+    shortcut = longcat_moe(
+        spec, lp["mlp"], x, prefix="mlp", taps=taps, tap_paths=tap_paths,
+    ).reshape(B, T, D)
+    h = h + gated_mlp(
+        spec, lp["mlps"][0], normed1, prefix="mlps.0",
+        taps=taps, tap_paths=tap_paths,
+    )
+    normed2 = rms_norm(h, lp["input_layernorm"][1]["weight"], spec.rms_norm_eps)
+    attn1, c1 = sub(1, normed2, ("k2", "v2"))
+    h = h + attn1
+    normed3 = rms_norm(
+        h, lp["post_attention_layernorm"][1]["weight"], spec.rms_norm_eps
+    )
+    h = h + gated_mlp(
+        spec, lp["mlps"][1], normed3, prefix="mlps.1",
+        taps=taps, tap_paths=tap_paths,
+    ) + shortcut
+    if cache is not None:
+        cache = dict(cache, k=c0["k"], v=c0["v"], k2=c1["k"], v2=c1["v"],
+                     pos=c0["pos"])
+    return h, cache
 
 
 def falcon_h1_decoder_layer(

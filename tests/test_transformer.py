@@ -2372,3 +2372,172 @@ def test_falcon_h1_quantize_generate_e2e():
         gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
                          dtype=jnp.float32)
         assert gen.shape == (1, 4)
+
+
+@pytest.mark.parametrize(
+    "model_type,over",
+    [
+        # ministral: mistral + explicit sliding/full layer_types
+        ("ministral", {"sliding_window": 8, "head_dim": 16,
+                       "layer_types": ["sliding_attention", "full_attention"]}),
+        # olmo3: olmo2 post-only norms + wide qk-norm + sliding alternation
+        ("olmo3", {"sliding_window": 8,
+                   "layer_types": ["sliding_attention", "full_attention"]}),
+        # vaultgemma: gemma2 attention with plain pre-norms
+        ("vaultgemma", {"head_dim": 16, "query_pre_attn_scalar": 16,
+                        "attn_logit_softcapping": None, "pad_token_id": 0,
+                        "layer_types": ["sliding_attention", "full_attention"],
+                        "sliding_window": 8}),
+    ],
+)
+def test_forward_parity_ministral_olmo3_vaultgemma(model_type, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(tmp, model_type, **over)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_flex_olmo():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "flex_olmo", pad_token_id=0,
+            num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.norm_after and spec.qk_norm_wide and spec.num_experts == 4
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_forward_parity_granitemoeshared():
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_llama_dir(
+            tmp, "granitemoeshared",
+            num_local_experts=4, num_experts_per_tok=2,
+            shared_intermediate_size=64,
+            embedding_multiplier=2.0, attention_multiplier=0.2,
+            residual_multiplier=0.8, logits_scaling=2.0,
+        )
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def _tiny_vl2_dir(tmp, mt):
+    """Second VL batch: build tiny vision+text composites from AutoConfig."""
+    import torch
+    from transformers import AutoConfig
+
+    t64 = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+               num_hidden_layers=2, num_attention_heads=4,
+               num_key_value_heads=2, max_position_embeddings=256,
+               tie_word_embeddings=False)
+    if mt == "mistral3":
+        cfg = AutoConfig.for_model(
+            model_type=mt,
+            text_config=dict(model_type="mistral", sliding_window=None, **t64),
+            vision_config=dict(model_type="pixtral", hidden_size=32,
+                               intermediate_size=64, num_hidden_layers=1,
+                               num_attention_heads=2, image_size=28,
+                               patch_size=14, head_dim=16),
+            multimodal_projector_bias=False, vision_feature_layer=-1,
+        )
+    elif mt == "llava_onevision":
+        cfg = AutoConfig.for_model(
+            model_type=mt, image_token_index=127, video_token_index=126,
+            text_config=dict(model_type="qwen2", **t64),
+            vision_config=dict(model_type="siglip_vision_model",
+                               hidden_size=32, intermediate_size=64,
+                               num_hidden_layers=1, num_attention_heads=2,
+                               image_size=28, patch_size=14),
+        )
+    elif mt == "glm4v":
+        cfg = AutoConfig.for_model(
+            model_type=mt, image_token_id=127, video_token_id=126,
+            text_config=dict(model_type="glm4v_text", **t64, head_dim=16,
+                             rope_scaling={"type": "default",
+                                           "mrope_section": [2, 3, 3]}),
+            vision_config=dict(hidden_size=32, intermediate_size=64,
+                               depth=2, num_heads=2, image_size=28,
+                               patch_size=14, out_hidden_size=64),
+        )
+    else:
+        raise AssertionError(mt)
+    torch.manual_seed(0)
+    from transformers import AutoModelForImageTextToText
+
+    model = AutoModelForImageTextToText.from_config(cfg).to(torch.float32).eval()
+    d = Path(tmp) / mt
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+@pytest.mark.parametrize("mt", ["mistral3", "llava_onevision", "glm4v"])
+def test_forward_parity_vl_batch2(mt):
+    """Second VL text-tower batch on text-only input (reference
+    definitions/mistral3.py, llava_qwen2, glm4v)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_vl2_dir(tmp, mt)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_forward_parity_longcat_flash():
+    """longcat_flash: dual-sublayer layers (2 MLA attns with lora mup
+    scalings + 2 dense MLPs) and a shortcut MoE with zero/identity experts
+    (modeling_longcat_flash.py:120-500)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="longcat_flash", vocab_size=128, hidden_size=64,
+            ffn_hidden_size=128, expert_ffn_hidden_size=32,
+            num_layers=2, num_attention_heads=4,
+            kv_lora_rank=16, q_lora_rank=24, qk_rope_head_dim=8,
+            qk_nope_head_dim=8, v_head_dim=8, head_dim=8,
+            n_routed_experts=4, zero_expert_num=2, moe_topk=2,
+            routed_scaling_factor=1.5, max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "m"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.longcat and spec.zero_expert_num == 2
+        assert spec.num_experts == 6
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
+def test_longcat_quantize_generate_e2e():
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="longcat_flash", vocab_size=128, hidden_size=64,
+            ffn_hidden_size=128, expert_ffn_hidden_size=32,
+            num_layers=2, num_attention_heads=4,
+            kv_lora_rank=16, q_lora_rank=24, qk_rope_head_dim=8,
+            qk_nope_head_dim=8, v_head_dim=8, head_dim=8,
+            n_routed_experts=2, zero_expert_num=2, moe_topk=1,
+            max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval(
+        ).save_pretrained(Path(tmp) / "m", safe_serialization=True)
+        m = GPTQModel.load(Path(tmp) / "m", QuantizeConfig(bits=4, group_size=8))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # per layer: 2 attn x 5 + 2 mlps x 3 + 2 experts x 3
+        assert len(rows) == 2 * (10 + 6 + 6), len(rows)
+        gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                         dtype=jnp.float32)
+        assert gen.shape == (1, 4)
