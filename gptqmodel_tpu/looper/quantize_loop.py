@@ -61,13 +61,19 @@ from gptqmodel_tpu.quantization.rtn import rtn_quantize
 
 
 def _cfg_path(cfg: dict, key: str):
-    """hf-config lookup supporting dotted nesting (dbrx ffn_config.*)."""
-    cur = cfg
-    for part in key.split("."):
-        if not isinstance(cur, dict):
-            return None
-        cur = cur.get(part)
-    return cur
+    """hf-config lookup supporting dotted nesting (dbrx ffn_config.*) and
+    "|"-separated fallback paths (VL archs whose text config nests under
+    text_config / llm_config / language_config depending on release)."""
+    for cand in key.split("|"):
+        cur = cfg
+        for part in cand.split("."):
+            if not isinstance(cur, dict):
+                cur = None
+                break
+            cur = cur.get(part)
+        if cur is not None:
+            return cur
+    return None
 
 log = logging.getLogger("gptqmodel_tpu")
 

@@ -1120,6 +1120,646 @@ REGISTRY["lfm2_vl"] = ModelDef(
     ).wrap_vl_reader,
 )
 
+# ---------------------------------------------------------------------------
+# Alias archs — llama-body clones under other model_type strings (reference
+# auto.py MODEL_MAP maps these onto LlamaQModel/Qwen3QModel/DeepSeekV3QModel
+# etc.; spec.py._SPEC_ALIASES gives them the matching forward semantics).
+for _alias, _src in {
+    "yi": "llama",  # auto.py "100% llama clone"
+    "stablelm_epoch": "llama",
+    "longllama": "llama",
+    "instella": "llama",
+    "mobilellm": "llama",
+    "dream": "llama",  # diffusion LM over a qwen2 body (definitions/dream.py)
+    "deci": "llama",  # decilm/nemotron-nas variable-GQA NAS (definitions/decilm.py)
+    "nemotron-nas": "llama",
+    "ministral3": "llama",  # definitions/ministral3.py — plain llama tree
+    "llava_qwen2": "llama",  # definitions/llava_qwen2.py — canonical model.*
+    "marin": "qwen3",  # auto.py maps marin -> Qwen3QModel
+    "kimi_k2": "deepseek_v3",  # auto.py "100% DeepSeekV3QModel clone"
+    "telechat": "llama",  # telechat2 llama-shaped body (definitions/telechat2.py)
+}.items():
+    REGISTRY[_alias] = REGISTRY[_src]
+
+_VL_WRAP = __import__(
+    "gptqmodel_tpu.models.remap", fromlist=["wrap_vl_reader"]
+).wrap_vl_reader
+
+# VL / audio text-tower archs: quantize the language tower; the vision or
+# audio tower + projector stay dense and re-export verbatim. wrap_vl_reader
+# canonicalizes {model.language_model | language_model.model | llm.model |
+# language.model | thinker.model}.* -> model.*.
+REGISTRY["voxtral"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["glm_ocr"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["glmasr"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["deepseek_vl"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["ovis"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["ovis2"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["ovis2_5"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["ovis2_6_next"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["ovis2_6_moe"] = ModelDef(
+    _QWEN3_MOE_TREE,
+    dynamic_expert_index="llm_config.num_experts|text_config.num_experts",
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["minicpmv"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["minicpmo"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["minicpmv4_6"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["internvl_chat"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["interns1"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["mllama"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["mllama_text_model"] = ModelDef(_LLAMA_TREE)
+REGISTRY["deepseek_vl_v2"] = ModelDef(
+    _DEEPSEEK_TREE,
+    dynamic_expert_index=(
+        "language_config.n_routed_experts|text_config.n_routed_experts"
+    ),
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["deepseek_ocr2"] = ModelDef(
+    _DEEPSEEK_TREE,
+    dynamic_expert_index=(
+        "language_config.n_routed_experts|text_config.n_routed_experts"
+        "|n_routed_experts"
+    ),
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["kimi_k25"] = ModelDef(
+    _DEEPSEEK_TREE,
+    dynamic_expert_index=(
+        "language_config.n_routed_experts|text_config.n_routed_experts"
+        "|n_routed_experts"
+    ),
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["qwen2_5_omni"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
+REGISTRY["qwen3_omni_moe"] = ModelDef(
+    _QWEN3_MOE_TREE,
+    dynamic_expert_index="thinker_config.text_config.num_experts",
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["phi4mm"] = ModelDef(
+    _PHI3_TREE,
+    reader_wrapper=__import__(
+        "gptqmodel_tpu.models.remap", fromlist=["wrap_phi4mm_reader"]
+    ).wrap_phi4mm_reader,
+)
+# moss: codegen-family body (fused mp_num=4 qkv_proj deinterleaved by the
+# codegen reader; definitions/moss.py tree = ln_1 / attn qkv_proj+out_proj /
+# mlp fc_in+fc_out under transformer.h)
+REGISTRY["moss"] = ModelDef(
+    _GPTJ_TREE,
+    pre_lm_head_norm="transformer.ln_f",
+    reader_wrapper=__import__(
+        "gptqmodel_tpu.models.remap", fromlist=["wrap_codegen_reader"]
+    ).wrap_codegen_reader,
+)
+
+# ---------------------------------------------------------------------------
+# Batch-3 MoE / hybrid archs (reference definitions/<name>.py trees). Forward
+# support: archs whose layer structure matches an existing family run through
+# the structural forward (per-layer experts detection); the rest are
+# quantize-tree + weight-only (RTN/FP8/GGUF) coverage until their forward
+# lands (STATUS.md tracks which).
+
+_GUD = ("gate_proj:0", "up_proj:0", "down_proj:1")
+
+# afmoe (definitions/afmoe.py): llama attn + optional MoE with an ungated
+# shared expert
+REGISTRY["afmoe"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "gate": ("gate:!",),
+                "shared_expert": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts",
+)
+
+# klear (definitions/klear.py): llama attn + deepseek-style routed+shared MoE
+REGISTRY["klear"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts",
+)
+
+# laguna (definitions/laguna.py): llama attn + per-head q/k norms + dense
+# g_proj output gate + MoE with singular/plural shared expert naming
+REGISTRY["laguna"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!", "g_proj:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "shared_expert": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts",
+)
+
+# hy_v3 (definitions/hy_v3.py): hunyuan-3 — qk norms + routed/shared MoE
+# with dense-fallback prefix layers
+REGISTRY["hy_v3"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts",
+)
+
+# cohere2_moe (definitions/cohere2_moe.py): parallel-residual cohere block
+# with dense prefix layers + routed MoE
+REGISTRY["cohere2_moe"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts",
+)
+
+# solar_open (definitions/solar_open.py): llama attn + routed+shared MoE
+# with a dense score-correction bias
+REGISTRY["solar_open"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# solar_open2 (definitions/solar_open2.py): adds Kimi-Delta linear-attention
+# layers sharing the q/k/v/o projections (dense KDA decay/beta/conv params)
+REGISTRY["solar_open2"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!", "o_norm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "g_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# grinmoe (definitions/grinmoe.py): phimoe sparsemixer body (w1/w3/w2)
+REGISTRY["grinmoe"] = REGISTRY["phimoe"]
+
+# minimax_m2 (definitions/minimax_m2.py): per-head q/k norms + w1/w3/w2 MoE
+# with sigmoid scoring + score-correction bias
+REGISTRY["minimax_m2"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "block_sparse_moe:moe": {
+                "gate": ("gate:!",),
+                "e_score_correction_bias": ("e_score_correction_bias:!",),
+                "experts": {"#": ("w1:0", "w3:0", "w2:1")},
+            },
+        },
+    ),
+    dynamic_expert_index="num_local_experts",
+)
+
+# mimo_v2 (definitions/mimo_v2.py): split or fused qkv + dense/MoE layers
+# per moe_layer_freq
+REGISTRY["mimo_v2"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "qkv_proj:0", "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# glm4_moe_lite (definitions/glm4_moe_lite.py): MLA attention (lite q_proj or
+# full q_a/q_b) + glm4_moe-style routed/shared MoE
+REGISTRY["glm4_moe_lite"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_proj:0", "q_a_proj:0", "kv_a_proj_with_mqa:0",
+                "q_b_proj:1", "kv_b_proj:1", "o_proj:2",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# glm_moe_dsa (definitions/glm_moe_dsa.py): GLM-5 MLA + DSA indexer
+# projections (dotted leaf paths)
+REGISTRY["glm_moe_dsa"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_proj:0", "q_a_proj:0", "kv_a_proj_with_mqa:0",
+                "indexer.wk:0", "q_b_proj:1", "kv_b_proj:1",
+                "indexer.wq_b:1", "o_proj:2",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# deepseek_v4 (definitions/deepseek_v4.py): next-gen MLA split
+# (q_a/q_b + o_a/o_b + joint kv_proj with norms)
+REGISTRY["deepseek_v4"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_a_norm:!", "q_b_norm:!", "kv_norm:!", "o_a_proj:!",
+                "q_a_proj:0", "q_b_proj:0", "o_b_proj:1", "kv_proj:2",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# axk2 (definitions/axk2.py): SKT A.X-K2 — MLA with fused q_gate_proj
+REGISTRY["axk2"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_a_proj:0", "kv_a_proj_with_mqa:0",
+                "q_gate_proj:1", "kv_b_proj:1", "o_proj:2",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="n_routed_experts",
+)
+
+# brumby (definitions/brumby.py): retention attention with dense g_proj gate
+REGISTRY["brumby"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!", "g_proj:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": _GUD,
+        },
+    ),
+)
+
+# lfm2_moe (definitions/lfm2_moe.py): lfm2 conv/attention body + w1/w3/w2
+# MoE with dense-fallback layers
+REGISTRY["lfm2_moe"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "operator_norm": ("operator_norm:!",),
+            "self_attn": (
+                "q_layernorm:!", "k_layernorm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1",
+            ),
+            "conv": ("in_proj:0", "out_proj:1"),
+            "ffn_norm": ("ffn_norm:!",),
+            "feed_forward:moe:?": {
+                "": ("w1:0", "w3:0", "w2:1"),
+                "gate": ("gate:!",),
+                "experts": {"#": ("w1:0", "w3:0", "w2:1")},
+            },
+        },
+    ),
+    pre_lm_head_norm="model.embedding_norm",
+    dynamic_expert_index="num_experts",
+)
+
+# hymba (definitions/hymba.py): parallel mamba+attention heads, single-expert
+# MoE MLP
+REGISTRY["hymba"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "mamba": ("in_proj:0", "out_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "moe:moe": {"experts": {"#": _GUD}},
+        },
+    ),
+    pre_lm_head_norm="model.final_layernorm",
+    dynamic_expert_index="num_experts",
+)
+
+# zamba / zamba2 (definitions/zamba.py, zamba2.py): mamba backbone layers
+# with an interleaved shared transformer block (mamba_decoder) + fused
+# linear adapter
+_ZAMBA_TREE = (
+    "model", "layers", "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "mamba": ("in_proj:0", "out_proj:1"),
+        "linear": ("linear:0",),
+        "mamba_decoder": {
+            "input_layernorm": ("input_layernorm:!",),
+            "mamba": ("in_proj:0", "out_proj:1"),
+        },
+    },
+)
+REGISTRY["zamba"] = ModelDef(_ZAMBA_TREE, pre_lm_head_norm="model.final_layernorm")
+REGISTRY["zamba2"] = ModelDef(_ZAMBA_TREE, pre_lm_head_norm="model.final_layernorm")
+
+# nemotron_h (definitions/nemotron_h.py): mamba2/attention/MLP layers under a
+# single mixer attribute, selected per layer by hybrid_override_pattern
+REGISTRY["nemotron_h"] = ModelDef(
+    (
+        "backbone", "layers", "#",
+        {
+            "norm": ("norm:!",),
+            "mixer": (
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                "in_proj:2", "out_proj:2",
+                "gate_proj:3", "up_proj:3", "down_proj:4",
+            ),
+        },
+    ),
+    pre_lm_head_norm="backbone.norm_f",
+)
+
+# dbrx_converted (definitions/dbrx_converted.py): pre-split dbrx exports
+REGISTRY["dbrx_converted"] = ModelDef(
+    (
+        "transformer", "blocks", "#",
+        {
+            "norm_attn_norm": {
+                "attn": ("q_proj:0", "k_proj:0", "v_proj:0", "out_proj:1"),
+            },
+            "ffn:moe": {
+                "experts": {"mlp": {"#": ("w1:0", "v1:0", "w2:1")}},
+            },
+        },
+    ),
+    pre_lm_head_norm="transformer.norm_f",
+    dynamic_expert_index="ffn_config.moe_num_experts",
+)
+
+# gemma3n (definitions/gemma3n.py): gemma3 body + v_norm and per-layer-input
+# adapter projections (altup/laurel params stay dense)
+_GEMMA3N_BLOCK = {
+    "input_layernorm": ("input_layernorm:!",),
+    "self_attn": (
+        "q_norm:!", "k_norm:!", "v_norm:!",
+        "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+    ),
+    "post_attention_layernorm": ("post_attention_layernorm:!",),
+    "pre_feedforward_layernorm": ("pre_feedforward_layernorm:!",),
+    "mlp": _GUD,
+    "post_feedforward_layernorm": ("post_feedforward_layernorm:!",),
+    "per_layer_input_gate": ("per_layer_input_gate:0",),
+    "post_per_layer_input_norm": ("post_per_layer_input_norm:!",),
+    "per_layer_projection": ("per_layer_projection:1",),
+}
+REGISTRY["gemma3n_text"] = ModelDef(("model", "layers", "#", _GEMMA3N_BLOCK))
+REGISTRY["gemma3n"] = ModelDef(
+    ("model", "layers", "#", _GEMMA3N_BLOCK), reader_wrapper=_VL_WRAP
+)
+# gemma4 (definitions/gemma4.py, gemma4_unified.py): same adapter block shape
+REGISTRY["gemma4_text"] = REGISTRY["gemma3n_text"]
+REGISTRY["gemma4"] = REGISTRY["gemma3n"]
+REGISTRY["gemma4_unified"] = REGISTRY["gemma3n"]
+REGISTRY["gemma4_unified_text"] = REGISTRY["gemma3n_text"]
+
+# intern_s2_preview (definitions/intern_s2_preview.py): qwen3-next-style
+# hybrid tower under model.language_model
+REGISTRY["intern_s2_preview"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+            ),
+            "linear_attn": (
+                "norm:!", "in_proj_qkv:0", "in_proj_z:1", "out_proj:2",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "gate": ("gate:!",),
+                "shared_expert_gate": ("shared_expert_gate:!",),
+                "shared_expert": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index="num_experts|text_config.num_experts",
+    reader_wrapper=_VL_WRAP,
+)
+
+# inkling_mm_model (definitions/inkling.py): MLA-ish attn with r_proj +
+# routed MoE tower under model.language_model
+REGISTRY["inkling_mm_model"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_norm:!", "k_norm:!",
+                "q_proj:0", "k_proj:0", "v_proj:0", "r_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": _GUD,
+                "gate": ("gate:!",),
+                "shared_experts": _GUD,
+                "experts": {"#": _GUD},
+            },
+        },
+    ),
+    dynamic_expert_index=(
+        "n_routed_experts|text_config.n_routed_experts"
+        "|language_config.n_routed_experts"
+    ),
+    reader_wrapper=_VL_WRAP,
+)
+
+# ernie4_5_vl_moe (definitions/ernie4_5_vl_moe.py): text+vision expert pools
+# under model.language_model; text-only calibration exercises text_moe
+_ERNIE_VL_MOE = {
+    "input_layernorm": ("input_layernorm:!",),
+    "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+    "post_attention_layernorm": ("post_attention_layernorm:!",),
+    "mlp:moe:?": {
+        "": _GUD,
+        "shared_experts": _GUD,
+        "text_moe": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "upe_proj:0",
+                              "down_proj:1")},
+        },
+        "vision_moe": {
+            "gate": ("gate:!",),
+            "experts": {"#": ("gate_proj:0", "up_proj:0", "upe_proj:0",
+                              "down_proj:1")},
+        },
+    },
+}
+REGISTRY["ernie4_5_vl_moe"] = ModelDef(
+    ("model", "layers", "#", _ERNIE_VL_MOE),
+    dynamic_expert_index="moe_num_experts|text_config.moe_num_experts",
+    reader_wrapper=_VL_WRAP,
+)
+REGISTRY["ernie4_5_moe_vl"] = REGISTRY["ernie4_5_vl_moe"]
+
+# text-only tower aliases (reference registers the *_text model_types
+# separately so standalone text configs load directly)
+REGISTRY["qwen2_vl_text"] = REGISTRY["llama"]
+REGISTRY["qwen2_5_vl_text"] = REGISTRY["llama"]
+REGISTRY["glm4v_moe_text"] = REGISTRY["glm4_moe"]
+
+# bailing_moe / bailing_hybrid + llada2_moe (definitions/bailing_moe.py,
+# llada2.py): fused attention.query_key_value/dense canonicalized to
+# self_attn.qkv_proj/o_proj by wrap_bailing_reader
+_BAILING_TREE = (
+    "model", "layers", "#",
+    {
+        "input_layernorm": ("input_layernorm:!",),
+        "self_attn": ("q_norm:!", "k_norm:!", "qkv_proj:0", "o_proj:1"),
+        "post_attention_layernorm": ("post_attention_layernorm:!",),
+        "mlp:moe:?": {
+            "": _GUD,
+            "gate": ("gate:!",),
+            "shared_experts": _GUD,
+            "experts": {"#": _GUD},
+        },
+    },
+)
+_BAILING_WRAP = __import__(
+    "gptqmodel_tpu.models.remap", fromlist=["wrap_bailing_reader"]
+).wrap_bailing_reader
+REGISTRY["bailing_moe"] = ModelDef(
+    _BAILING_TREE, dynamic_expert_index="num_experts",
+    reader_wrapper=_BAILING_WRAP,
+)
+REGISTRY["bailing_hybrid"] = REGISTRY["bailing_moe"]
+REGISTRY["llada2_moe"] = ModelDef(
+    _BAILING_TREE, dynamic_expert_index="num_experts",
+    reader_wrapper=_BAILING_WRAP,
+)
+
 
 def get_model_def(model_type: str, tensor_names=None) -> ModelDef:
     """Resolve a ModelDef; unknown archs auto-detect from tensor names.

@@ -88,20 +88,68 @@ _VL_RULES = [
     (r"^model\.language_model\.", "model."),  # new-style nesting
     (r"^language_model\.model\.", "model."),  # llava legacy save layout
     (r"^language_model\.lm_head\.", "lm_head."),
+    (r"^llm\.model\.", "model."),  # ovis / minicpm-v tower nesting
+    (r"^llm\.lm_head\.", "lm_head."),
+    (r"^language\.model\.", "model."),  # deepseek_vl_v2 tower nesting
+    (r"^language\.lm_head\.", "lm_head."),
+    (r"^thinker\.model\.", "model."),  # qwen omni thinker nesting
+    (r"^thinker\.lm_head\.", "lm_head."),
 ]
+
+_VL_PREFIXES = (
+    "model.language_model.",
+    "language_model.",
+    "llm.model.",
+    "language.model.",
+    "thinker.model.",
+)
 
 
 def wrap_vl_reader(reader, hf_cfg: dict):
-    """VL text-tower canonicalization (llava / qwen2_vl / qwen2_5_vl):
-    {model.language_model | language_model.model}.* -> model.*; the vision
-    tower (visual / vision_tower) and multi_modal_projector pass through
-    untouched and re-export dense. qwen2_vl's legacy save layout is already
-    canonical (model.layers.* + top-level visual.*)."""
-    if any(
-        n.startswith(("model.language_model.", "language_model."))
-        for n in reader.names()
-    ):
+    """VL text-tower canonicalization (llava / qwen2_vl / ovis / minicpm-v /
+    deepseek_vl(_v2) / qwen omni thinker): {model.language_model |
+    language_model.model | llm.model | language.model | thinker.model}.* ->
+    model.*; the vision/audio towers (visual / vision_tower / vpm / apm /
+    audio_tower) and projectors pass through untouched and re-export dense.
+    qwen2_vl's legacy save layout is already canonical (model.layers.* +
+    top-level visual.*)."""
+    if any(n.startswith(_VL_PREFIXES) for n in reader.names()):
         return RenameReader(reader, _VL_RULES)
+    return reader
+
+
+_PHI4MM_RULES = [
+    # phi4mm wraps every projection in a vision/speech LoRA adapter shell;
+    # the frozen base weight lives under <proj>.base_layer (reference
+    # definitions/phi4.py:17-41 quantizes exactly those base_layer leaves).
+    # The lora_A/lora_B adapter stacks pass through untouched (dense).
+    (r"\.(qkv_proj|o_proj|gate_up_proj|down_proj)\.base_layer\.", r".\1."),
+]
+
+
+def wrap_phi4mm_reader(reader, hf_cfg: dict):
+    if any(".base_layer." in n for n in reader.names()):
+        return RenameReader(reader, _PHI4MM_RULES)
+    return reader
+
+
+_BAILING_RULES = [
+    # bailing_moe (Ling) / llada2_moe: fused attention block under
+    # ``attention.*`` with a word_embeddings embed table (reference
+    # definitions/bailing_moe.py, llada2.py trees)
+    (r"^model\.word_embeddings\.", "model.embed_tokens."),
+    (r"(\.layers\.\d+)\.attention\.query_key_value\.",
+     r"\1.self_attn.qkv_proj."),
+    (r"(\.layers\.\d+)\.attention\.dense\.", r"\1.self_attn.o_proj."),
+    (r"(\.layers\.\d+)\.attention\.query_layernorm\.",
+     r"\1.self_attn.q_norm."),
+    (r"(\.layers\.\d+)\.attention\.key_layernorm\.", r"\1.self_attn.k_norm."),
+]
+
+
+def wrap_bailing_reader(reader, hf_cfg: dict):
+    if any(".attention.query_key_value." in n for n in reader.names()):
+        return RenameReader(reader, _BAILING_RULES)
     return reader
 
 

@@ -184,16 +184,74 @@ _VL_TEXT_ARCH = {
     "glm4v": "glm4",
     "glm4v_moe": "glm4_moe",
     "lfm2_vl": "lfm2",
+    # batch 3 towers (reader remap in models/remap.wrap_vl_reader)
+    "voxtral": None,  # llama text tower (definitions/voxtral.py)
+    "glm_ocr": None,
+    "glmasr": None,
+    "deepseek_vl": None,  # llama tower (definitions/deepseek_vl.py)
+    "deepseek_vl_v2": "deepseek_v2",  # language_config MoE tower
+    "deepseek_ocr2": "deepseek_v2",
+    "kimi_k25": "deepseek_v3",  # deepseek-v3 text backbone (kimi_k25.py)
+    "ovis": None,  # llm_config tower (definitions/ovis.py)
+    "ovis2": None,
+    "ovis2_5": "qwen3",
+    "ovis2_6_next": "qwen3",
+    "ovis2_6_moe": "qwen3_moe",
+    "minicpmv": None,  # llm tower under llm.* (definitions/minicpmv.py)
+    "minicpmo": None,
+    "minicpmv4_6": "qwen3",
+    "internvl_chat": None,  # llm_config (qwen2/qwen3/internlm2 towers)
+    "interns1": None,
+    "qwen2_5_omni": None,  # thinker.model tower (base_qwen2_5_omni.py)
+    "qwen3_omni_moe": "qwen3_moe",
+}
+
+# Alias model_types whose body is exactly another registered arch
+# (reference auto.py MODEL_MAP maps them onto the same QModel class).
+_SPEC_ALIASES = {
+    "yi": "llama",
+    "stablelm_epoch": "llama",
+    "longllama": "llama",
+    "instella": "llama",
+    "mobilellm": "llama",
+    "deci": "llama",  # uniform-config decilm only (NAS block_configs N/A)
+    "nemotron-nas": "llama",
+    "ministral3": "mistral",
+    "telechat": "llama",
+    "dream": "qwen2",  # diffusion LM over a qwen2 body
+    "llava_qwen2": "qwen2",
+    "marin": "qwen3",
+    "kimi_k2": "deepseek_v3",
+    "moss": "codegen",  # codegen body (fused mp_num=4 qkv)
+    "phi4mm": "phi3",  # phi3 body + LoRA shells (flattened by reader)
+    "mllama_text_model": "llama",  # self-attn layers; cross-attn dense
+    "grinmoe": "phimoe",  # sparsemixer w1/w3/w2 body (definitions/grinmoe.py)
+    "qwen2_vl_text": "qwen2",  # standalone text-tower configs
+    "qwen2_5_vl_text": "qwen2",
+    "glm4v_moe_text": "glm4_moe",
 }
 
 
 def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
     """Build a ModelSpec from a parsed HF ``config.json`` dict."""
     mt = cfg.get("model_type", "llama")
+    if mt in _SPEC_ALIASES:
+        from dataclasses import replace as _dc_replace
+
+        inner = dict(cfg)
+        inner["model_type"] = _SPEC_ALIASES[mt]
+        return _dc_replace(spec_from_hf_config(inner), model_type=mt)
     if mt in _VL_TEXT_ARCH:
         from dataclasses import replace as _dc_replace
 
-        txt = dict(cfg.get("text_config") or {})
+        txt = dict(
+            cfg.get("text_config")
+            or cfg.get("llm_config")  # ovis / internvl_chat
+            or cfg.get("language_config")  # deepseek_vl_v2 / kimi_k25
+            or (cfg.get("thinker_config") or {}).get("text_config")  # omni
+            or {k: v for k, v in cfg.items() if k != "model_type"}
+            # minicpmv/minicpmo inline the llm fields in the top config
+        )
         inner_mt = _VL_TEXT_ARCH[mt] or txt.get("model_type", "llama")
         txt["model_type"] = inner_mt
         rs = txt.get("rope_scaling")
@@ -818,7 +876,7 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
             rope_interleave=cfg.get("rope_interleave", True),
         )
-    if mt in ("cohere", "cohere2"):
+    if mt in ("cohere", "cohere2", "cohere2_moe"):
         # CohereLayerNorm (mean-centered, weight, no bias), shared-ln
         # parallel residual, interleaved rope, scaled logits, tied embeds
         # (modeling_cohere.py:51,323-338,498)
@@ -831,7 +889,7 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             qk_norm_ln=bool(cfg.get("use_qk_norm", False)),
         )
-        if mt == "cohere2":
+        if mt in ("cohere2", "cohere2_moe"):
             # full-attention layers skip RoPE (modeling_cohere2.py:217)
             common["rope_sliding_only"] = True
             if not common["layer_types"]:
@@ -1349,6 +1407,74 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 for i in range(cfg["num_hidden_layers"])
             )
 
+    # ---- batch-3 MoE archs (no transformers-native oracle at our pin;
+    # semantics are config-driven with deepseek/qwen-moe defaults — trees in
+    # models/definitions.py cite the reference definitions/<mt>.py files) ----
+    _DS_LIKE_MOE = {
+        "klear", "hy_v3", "solar_open", "solar_open2", "bailing_moe",
+        "bailing_hybrid", "llada2_moe", "mimo_v2", "glm4_moe_lite", "axk2",
+        "deepseek_v4", "glm_moe_dsa", "inkling_mm_model", "kimi_k2",
+    }
+    if mt in _DS_LIKE_MOE or mt in ("afmoe", "cohere2_moe", "lfm2_moe"):
+        common.update(
+            num_experts=(cfg.get("n_routed_experts")
+                         or cfg.get("num_experts") or 0),
+            num_experts_per_tok=(cfg.get("num_experts_per_tok")
+                                 or cfg.get("moe_top_k") or 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=bool(cfg.get("norm_topk_prob", False)),
+            n_shared_experts=(cfg.get("n_shared_experts")
+                              or cfg.get("num_shared_experts") or 0),
+            first_k_dense_replace=(cfg.get("first_k_dense_replace")
+                                   or cfg.get("num_dense_layers") or 0),
+            moe_topk_method=cfg.get("topk_method", "greedy"),
+            moe_scoring=cfg.get(
+                "scoring_func", cfg.get("score_function", "softmax")
+            ),
+            n_group=cfg.get("n_group") or 0,
+            topk_group=cfg.get("topk_group") or 0,
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+        )
+        if cfg.get("use_qk_norm") or cfg.get("use_qk_layernorm"):
+            common["qk_norm"] = True
+    if mt in ("glm4_moe_lite", "glm_moe_dsa", "axk2") and cfg.get(
+        "kv_lora_rank"
+    ):
+        qk_rope = cfg.get("qk_rope_head_dim", 64)
+        qk_nope = cfg.get("qk_nope_head_dim", 128)
+        common.update(
+            mla=True,
+            head_dim=qk_nope + qk_rope,
+            num_kv_heads=heads,
+            q_lora_rank=cfg.get("q_lora_rank") or 0,
+            kv_lora_rank=cfg.get("kv_lora_rank") or 0,
+            qk_rope_head_dim=qk_rope,
+            qk_nope_head_dim=qk_nope,
+            v_head_dim=cfg.get("v_head_dim", 128),
+        )
+    if mt == "minimax_m2":
+        # per-head q/k RMSNorm + sigmoid-scored w1/w3/w2 MoE with a
+        # score-correction bias (definitions/minimax_m2.py)
+        common.update(
+            qk_norm=True,
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            moe_scoring=cfg.get("scoring_func", "sigmoid"),
+            norm_topk_prob=bool(cfg.get("norm_topk_prob", True)),
+        )
+    if mt == "lfm2_moe":
+        common.update(
+            qk_norm=True,
+            rms_norm_eps=cfg.get("norm_eps", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            mamba_d_conv=cfg.get("conv_L_cache", 3),
+            layers_block_type=tuple(
+                "attention" if t == "full_attention" else "conv"
+                for t in (cfg.get("layer_types") or [])
+            ),
+            layer_types=(),
+        )
     if mt not in _LLAMA_FAMILY:
         # Unregistered arch: fall back to llama-shaped interpretation (the
         # reference's auto module-tree detection analog; may still work for

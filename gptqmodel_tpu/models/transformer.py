@@ -1605,7 +1605,10 @@ _NEOX_NAMES = {
 
 
 def _neox_names(spec: ModelSpec) -> dict:
-    return _NEOX_NAMES.get(spec.model_type, _NEOX_NAMES["gpt_neox"])
+    from gptqmodel_tpu.models.spec import _SPEC_ALIASES
+
+    mt = _SPEC_ALIASES.get(spec.model_type, spec.model_type)
+    return _NEOX_NAMES.get(mt, _NEOX_NAMES["gpt_neox"])
 
 
 def _apply_partial_rope(spec: ModelSpec, q, k, cos, sin):

@@ -1,0 +1,391 @@
+"""Batch-3 model breadth: alias archs, VL tower prefixes, reader flattens.
+
+Covers the reference MODEL_MAP entries that are body-clones of other archs
+(auto.py: yi/stablelm_epoch/longllama -> LlamaQModel, marin -> Qwen3QModel,
+dream -> qwen2 body, moss -> codegen body, phi4mm -> phi3 + LoRA shells) and
+the VL text-tower prefix families (llm.model.* ovis/minicpmv,
+language.model.* deepseek_vl_v2, thinker.model.* qwen omni,
+model.language_model.* deepseek_vl/interns1).
+
+Oracle strategy: these model_types have no transformers-native classes at
+our pin, so we construct checkpoints from the *canonical* torch body and
+rewrite config.json / tensor names to the alias layout — parity then proves
+the remap + spec alias reproduce the canonical semantics exactly.
+"""
+
+import json
+import tempfile
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _tiny_body(tmp, model_type, **over):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    base = dict(
+        model_type=model_type,
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    base.update(over)
+    cfg = AutoConfig.for_model(**base)
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+    d = Path(tmp) / model_type
+    model.save_pretrained(d, safe_serialization=True)
+    return d, model
+
+
+def _patch_model_type(d, alias):
+    cfg = json.loads((Path(d) / "config.json").read_text())
+    cfg["model_type"] = alias
+    (Path(d) / "config.json").write_text(json.dumps(cfg))
+
+
+def _jax_logits(model_dir, n_ids=24):
+    from gptqmodel_tpu.models.definitions import get_model_def
+    from gptqmodel_tpu.models.loader import CheckpointReader, build_params_tree
+    from gptqmodel_tpu.models.spec import load_hf_config, spec_from_hf_config
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    hf_cfg = load_hf_config(model_dir)
+    spec = spec_from_hf_config(hf_cfg)
+    reader = CheckpointReader(model_dir)
+    mdef = get_model_def(spec.model_type, tensor_names=reader.names())
+    params = build_params_tree(
+        mdef.wrap_reader(reader, hf_cfg),
+        conv1d_suffixes=mdef.conv1d_suffixes,
+        layer_container=mdef.layers_container,
+    )
+    ids = np.arange(n_ids).reshape(2, n_ids // 2) % spec.vocab_size
+    logits = forward_logits(spec, params, jnp.asarray(ids), dtype=jnp.float32)
+    return spec, params, ids, np.asarray(logits)
+
+
+def _torch_logits(model, ids):
+    import torch
+
+    with torch.no_grad():
+        return model(torch.tensor(ids)).logits.numpy()
+
+
+def _torch_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _write_ckpt(d, tensors, config):
+    from safetensors.numpy import save_file
+
+    d = Path(d)
+    d.mkdir(parents=True, exist_ok=True)
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in tensors.items()},
+        d / "model.safetensors",
+    )
+    (d / "config.json").write_text(json.dumps(config))
+
+
+# --------------------------------------------------------------------------
+# alias archs: same body, different model_type string
+
+
+@pytest.mark.parametrize(
+    "alias,body,over",
+    [
+        ("yi", "llama", {}),
+        ("telechat", "llama", {}),
+        ("instella", "llama", {}),
+        ("dream", "qwen2", {}),
+        ("marin", "qwen3", {"head_dim": 16}),
+        ("ministral3", "mistral", {"sliding_window": None}),
+    ],
+)
+def test_alias_forward_parity(alias, body, over):
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_body(tmp, body, **over)
+        _patch_model_type(d, alias)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.model_type == alias
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_moss_parity_constructed():
+    """moss = codegen body (fused mp_num=4 qkv, definitions/moss.py) under
+    its own model_type; the codegen reader deinterleaves qkv_proj."""
+    with tempfile.TemporaryDirectory() as tmp:
+        import torch
+        from transformers import AutoConfig, AutoModelForCausalLM
+
+        cfg = AutoConfig.for_model(
+            model_type="codegen", vocab_size=128, n_embd=64, n_layer=2,
+            n_head=4, n_positions=256, rotary_dim=16, n_inner=None,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        d = Path(tmp) / "moss"
+        tmodel.save_pretrained(d, safe_serialization=True)
+        _patch_model_type(d, "moss")
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# VL tower prefixes
+
+
+def _renamed_tower(sd, prefix):
+    """Rename canonical llama tensors into a VL tower layout."""
+    out = {}
+    for k, v in sd.items():
+        if k == "lm_head.weight":
+            # ovis keeps lm_head under llm.*; new-style keeps it top-level
+            out[
+                (prefix + "lm_head.weight")
+                if prefix in ("llm.", "language.", "thinker.")
+                else k
+            ] = v
+        elif k.startswith("model."):
+            out[prefix + k if prefix.endswith(".") else k] = v
+        else:
+            out[k] = v
+    return out
+
+
+@pytest.mark.parametrize(
+    "mt,prefix,cfg_key",
+    [
+        ("ovis", "llm.", "llm_config"),
+        ("minicpmv", "llm.", None),  # llm fields inline in the top config
+        ("deepseek_vl", "model.language_model#", "language_config"),
+        ("qwen2_5_omni", "thinker.", "thinker_config"),
+    ],
+)
+def test_vl_prefix_forward_parity(mt, prefix, cfg_key):
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_body(tmp, "llama")
+        sd = _torch_sd(tmodel)
+        if prefix == "model.language_model#":
+            # new-style nesting: model.* -> model.language_model.*
+            out = {}
+            for k, v in sd.items():
+                if k.startswith("model."):
+                    out["model.language_model." + k[len("model."):]] = v
+                else:
+                    out[k] = v
+        else:
+            out = _renamed_tower(sd, prefix)
+        # a vision-tower tensor that must pass through untouched
+        out["visual.head.weight"] = np.zeros((4, 4), np.float32)
+        llama_fields = dict(
+            model_type="llama", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-6, max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+        if cfg_key is None:
+            cfg = dict(llama_fields, model_type=mt)
+        elif cfg_key == "thinker_config":
+            cfg = {"model_type": mt, cfg_key: {"text_config": llama_fields}}
+        else:
+            cfg = {"model_type": mt, cfg_key: llama_fields}
+        d = Path(tmp) / mt
+        _write_ckpt(d, out, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.model_type == mt
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_ovis_quantize_preserves_tower_and_reloads():
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.loader import CheckpointReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_body(tmp, "llama")
+        out = _renamed_tower(_torch_sd(tmodel), "llm.")
+        out["visual.head.weight"] = np.zeros((4, 4), np.float32)
+        cfg = dict(
+            model_type="ovis",
+            llm_config=dict(
+                model_type="llama", vocab_size=128, hidden_size=64,
+                intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                rms_norm_eps=1e-6, max_position_embeddings=256,
+                tie_word_embeddings=False,
+            ),
+        )
+        d = Path(tmp) / "ovis"
+        _write_ckpt(d, out, cfg)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        assert len(rows) == 2 * 7, len(rows)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        names = list(CheckpointReader(out_dir).names())
+        assert "visual.head.weight" in names
+        assert "model.layers.0.self_attn.q_proj.qweight" in names
+        m2 = GPTQModel.load(out_dir)
+        gen = m2.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                          dtype=jnp.float32)
+        assert gen.shape == (1, 4)
+
+
+def test_phi4mm_base_layer_flatten():
+    """phi4mm: phi3 body whose projections sit under LoRA shells; the
+    reference quantizes <proj>.base_layer (definitions/phi4.py:17-41) —
+    wrap_phi4mm_reader flattens those names; lora_A/B pass through."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src, tmodel = _tiny_body(
+            tmp, "phi3", intermediate_size=96, pad_token_id=0
+        )
+        sd = _torch_sd(tmodel)
+        out = {}
+        for k, v in sd.items():
+            for proj in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj"):
+                tag = f".{proj}.weight"
+                if k.endswith(tag):
+                    k = k[: -len(tag)] + f".{proj}.base_layer.weight"
+                    break
+            out[k] = v
+        out["model.layers.0.self_attn.qkv_proj.lora_A.vision.weight"] = (
+            np.zeros((2, 64), np.float32)
+        )
+        cfg = json.loads((Path(src) / "config.json").read_text())
+        cfg["model_type"] = "phi4mm"
+        d = Path(tmp) / "phi4mm"
+        _write_ckpt(d, out, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# registry / spec smoke for every batch-3 model_type
+
+
+def test_batch3_registry_and_spec_smoke():
+    from gptqmodel_tpu.models.definitions import REGISTRY
+
+    new_types = [
+        "yi", "stablelm_epoch", "longllama", "instella", "mobilellm",
+        "dream", "deci", "nemotron-nas", "ministral3", "llava_qwen2",
+        "marin", "kimi_k2", "telechat", "voxtral", "glm_ocr", "glmasr",
+        "deepseek_vl", "deepseek_vl_v2", "deepseek_ocr2", "kimi_k25",
+        "ovis", "ovis2", "ovis2_5", "ovis2_6_next", "ovis2_6_moe",
+        "minicpmv", "minicpmo", "minicpmv4_6", "internvl_chat", "interns1",
+        "mllama", "mllama_text_model", "qwen2_5_omni", "qwen3_omni_moe",
+        "phi4mm", "moss",
+        # batch-B MoE / hybrid archs
+        "afmoe", "klear", "laguna", "hy_v3", "cohere2_moe", "solar_open",
+        "solar_open2", "grinmoe", "minimax_m2", "mimo_v2", "glm4_moe_lite",
+        "glm_moe_dsa", "deepseek_v4", "axk2", "brumby", "lfm2_moe", "hymba",
+        "zamba", "zamba2", "nemotron_h", "dbrx_converted", "gemma3n",
+        "gemma3n_text", "gemma4", "gemma4_text", "gemma4_unified",
+        "gemma4_unified_text", "intern_s2_preview", "inkling_mm_model",
+        "ernie4_5_vl_moe", "ernie4_5_moe_vl", "qwen2_vl_text",
+        "qwen2_5_vl_text", "glm4v_moe_text", "bailing_moe", "bailing_hybrid",
+        "llada2_moe",
+    ]
+    for t in new_types:
+        assert t in REGISTRY, t
+        assert REGISTRY[t].layers_container, t
+
+
+def test_batch3_trees_parse_and_expand():
+    """Every new tree parses through the DSL and builds concrete subsets
+    (catches leaf typos / bad nesting before a real checkpoint does)."""
+    from gptqmodel_tpu.models.definitions import REGISTRY
+    from gptqmodel_tpu.models.module_tree import parse_module_tree
+
+    for t in [
+        "afmoe", "klear", "laguna", "hy_v3", "cohere2_moe", "solar_open",
+        "solar_open2", "minimax_m2", "mimo_v2", "glm4_moe_lite",
+        "glm_moe_dsa", "deepseek_v4", "axk2", "brumby", "lfm2_moe", "hymba",
+        "zamba", "zamba2", "nemotron_h", "dbrx_converted", "gemma3n",
+        "intern_s2_preview", "inkling_mm_model", "ernie4_5_vl_moe",
+        "bailing_moe", "llada2_moe",
+    ]:
+        plan = parse_module_tree(list(REGISTRY[t].module_tree))
+        subsets = plan.build_subsets(num_experts=4)
+        assert subsets and all(subsets), t
+        assert plan.layers_path, t
+
+
+def _bailing_ckpt(d, L=2, h=64, heads=4, kv=2, E=4, top=2, inter=96, V=128):
+    """Constructed tiny bailing_moe checkpoint (fused attention.query_key_value
+    + deepseek-style routed/shared MoE; reference definitions/bailing_moe.py)."""
+    rng = np.random.default_rng(0)
+    hd = h // heads
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    t = {"model.word_embeddings.weight": w(V, h),
+         "model.norm.weight": np.ones(h, np.float32),
+         "lm_head.weight": w(V, h)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        t[p + "attention.query_key_value.weight"] = w(h + 2 * kv * hd, h)
+        t[p + "attention.dense.weight"] = w(h, h)
+        t[p + "mlp.gate.weight"] = w(E, h)
+        for e in range(E):
+            ep = p + f"mlp.experts.{e}."
+            t[ep + "gate_proj.weight"] = w(inter, h)
+            t[ep + "up_proj.weight"] = w(inter, h)
+            t[ep + "down_proj.weight"] = w(h, inter)
+        sp = p + "mlp.shared_experts."
+        t[sp + "gate_proj.weight"] = w(inter, h)
+        t[sp + "up_proj.weight"] = w(inter, h)
+        t[sp + "down_proj.weight"] = w(h, inter)
+    cfg = dict(
+        model_type="bailing_moe", vocab_size=V, hidden_size=h,
+        intermediate_size=inter, num_hidden_layers=L,
+        num_attention_heads=heads, num_key_value_heads=kv,
+        rms_norm_eps=1e-6, max_position_embeddings=256,
+        num_experts=E, num_experts_per_tok=top, moe_intermediate_size=inter,
+        num_shared_experts=1, norm_topk_prob=True,
+        tie_word_embeddings=False,
+    )
+    _write_ckpt(d, t, cfg)
+
+
+def test_bailing_moe_quantize_e2e():
+    """bailing_moe mechanical e2e: remapped fused qkv + routed/shared MoE
+    quantizes, saves, reloads, generates (no HF oracle at our pin)."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = Path(tmp) / "bailing"
+        _bailing_ckpt(d)
+        m = GPTQModel.load(d, QuantizeConfig(bits=4, group_size=32))
+        rng = np.random.default_rng(0)
+        rows = m.quantize(
+            [rng.integers(1, 128, size=(48,)) for _ in range(8)], batch_size=4
+        )
+        # per layer: qkv+o (2) + 4 experts x3 + shared x3 + (maybe failsafe)
+        assert len(rows) >= 2 * (2 + 3), len(rows)
+        out_dir = Path(tmp) / "q"
+        m.save(out_dir)
+        m2 = GPTQModel.load(out_dir)
+        gen = m2.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=4,
+                          dtype=jnp.float32)
+        assert gen.shape == (1, 4)
