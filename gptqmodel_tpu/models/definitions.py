@@ -1750,6 +1750,41 @@ _BAILING_TREE = (
 _BAILING_WRAP = __import__(
     "gptqmodel_tpu.models.remap", fromlist=["wrap_bailing_reader"]
 ).wrap_bailing_reader
+
+# chatglm (chatglm2/3, glm-4 remote code; reference definitions/chatglm.py):
+# glm-family body canonicalized by wrap_chatglm_reader; quantizes fused
+# qkv + dense + fused swiglu per layer
+REGISTRY["chatglm"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("qkv_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": ("gate_up_proj:0", "down_proj:1"),
+        },
+    ),
+    reader_wrapper=__import__(
+        "gptqmodel_tpu.models.remap", fromlist=["wrap_chatglm_reader"]
+    ).wrap_chatglm_reader,
+)
+
+# qwen (QWen-1 remote code; reference definitions/qwen.py): llama body with
+# fused biased c_attn + w1/w2 swiglu, canonicalized by wrap_qwen1_reader
+REGISTRY["qwen"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("qkv_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    ),
+    reader_wrapper=__import__(
+        "gptqmodel_tpu.models.remap", fromlist=["wrap_qwen1_reader"]
+    ).wrap_qwen1_reader,
+)
 REGISTRY["bailing_moe"] = ModelDef(
     _BAILING_TREE, dynamic_expert_index="num_experts",
     reader_wrapper=_BAILING_WRAP,

@@ -153,6 +153,60 @@ def wrap_bailing_reader(reader, hf_cfg: dict):
     return reader
 
 
+_CHATGLM_RULES = [
+    # chatglm2/3 / glm-4 remote-code layout (reference definitions/chatglm.py
+    # tree): glm-family body (fused qkv w/ bias, fused swiglu h_to_4h, half
+    # interleaved rotary) under transformer.encoder.*
+    (r"^transformer\.embedding\.word_embeddings\.", "model.embed_tokens."),
+    (r"^transformer\.encoder\.final_layernorm\.", "model.norm."),
+    (r"^transformer\.output_layer\.", "lm_head."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.input_layernorm\.",
+     r"model.layers.\1.input_layernorm."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.post_attention_layernorm\.",
+     r"model.layers.\1.post_attention_layernorm."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.self_attention\.query_key_value\.",
+     r"model.layers.\1.self_attn.qkv_proj."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.self_attention\.dense\.",
+     r"model.layers.\1.self_attn.o_proj."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.mlp\.dense_h_to_4h\.",
+     r"model.layers.\1.mlp.gate_up_proj."),
+    (r"^transformer\.encoder\.layers\.(\d+)\.mlp\.dense_4h_to_h\.",
+     r"model.layers.\1.mlp.down_proj."),
+]
+
+
+def wrap_chatglm_reader(reader, hf_cfg: dict):
+    if any(n.startswith("transformer.encoder.layers.") for n in reader.names()):
+        return RenameReader(reader, _CHATGLM_RULES)
+    return reader
+
+
+_QWEN1_RULES = [
+    # qwen (QWen-1 remote code, reference definitions/qwen.py tree): llama
+    # body under transformer.h with fused biased c_attn and w1/w2 swiglu
+    # where w2 is the SILU (gate) branch: c_proj(w1(x) * silu(w2(x)))
+    (r"^transformer\.wte\.", "model.embed_tokens."),
+    (r"^transformer\.ln_f\.", "model.norm."),
+    (r"^transformer\.h\.(\d+)\.ln_1\.", r"model.layers.\1.input_layernorm."),
+    (r"^transformer\.h\.(\d+)\.ln_2\.",
+     r"model.layers.\1.post_attention_layernorm."),
+    (r"^transformer\.h\.(\d+)\.attn\.c_attn\.",
+     r"model.layers.\1.self_attn.qkv_proj."),
+    (r"^transformer\.h\.(\d+)\.attn\.c_proj\.",
+     r"model.layers.\1.self_attn.o_proj."),
+    (r"^transformer\.h\.(\d+)\.mlp\.w2\.", r"model.layers.\1.mlp.gate_proj."),
+    (r"^transformer\.h\.(\d+)\.mlp\.w1\.", r"model.layers.\1.mlp.up_proj."),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.",
+     r"model.layers.\1.mlp.down_proj."),
+]
+
+
+def wrap_qwen1_reader(reader, hf_cfg: dict):
+    if any(n.startswith("transformer.h.") for n in reader.names()):
+        return RenameReader(reader, _QWEN1_RULES)
+    return reader
+
+
 def wrap_internlm2_reader(reader, hf_cfg: dict):
     return RenameReader(reader, _INTERNLM2_RULES)
 

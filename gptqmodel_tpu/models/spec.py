@@ -145,6 +145,8 @@ class ModelSpec:
     attn_temp_scale: float = 0.1
     attention_chunk_size: int = 0  # chunked-causal mask on chunked layers
     moe_input_scaled: bool = False  # llama4: routing weight scales the INPUT
+    # mllama: cross-attention layer indices, skipped on text-only forward
+    skip_layers: tuple = ()
 
 
 _LLAMA_FAMILY = {
@@ -202,6 +204,7 @@ _VL_TEXT_ARCH = {
     "minicpmv4_6": "qwen3",
     "internvl_chat": None,  # llm_config (qwen2/qwen3/internlm2 towers)
     "interns1": None,
+    "mllama": None,  # mllama_text_model tower (cross-attn layers skipped)
     "qwen2_5_omni": None,  # thinker.model tower (base_qwen2_5_omni.py)
     "qwen3_omni_moe": "qwen3_moe",
 }
@@ -224,7 +227,6 @@ _SPEC_ALIASES = {
     "kimi_k2": "deepseek_v3",
     "moss": "codegen",  # codegen body (fused mp_num=4 qkv)
     "phi4mm": "phi3",  # phi3 body + LoRA shells (flattened by reader)
-    "mllama_text_model": "llama",  # self-attn layers; cross-attn dense
     "grinmoe": "phimoe",  # sparsemixer w1/w3/w2 body (definitions/grinmoe.py)
     "qwen2_vl_text": "qwen2",  # standalone text-tower configs
     "qwen2_5_vl_text": "qwen2",
@@ -775,6 +777,8 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
         )
     if "num_hidden_layers" not in cfg and "num_layers" in cfg:
         cfg = {**cfg, "num_hidden_layers": cfg["num_layers"]}  # exaone
+    if "vocab_size" not in cfg and "padded_vocab_size" in cfg:
+        cfg = {**cfg, "vocab_size": cfg["padded_vocab_size"]}  # chatglm
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or hidden // heads
@@ -1406,6 +1410,47 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
                 "full_attention" if (i + 1) % pat == 0 else "sliding_attention"
                 for i in range(cfg["num_hidden_layers"])
             )
+
+    if mt == "mllama_text_model":
+        # llama body; cross-attention layers (cross_attention_layers) carry
+        # dense cross_attn + gates and are SKIPPED on text-only forward
+        # (modeling_mllama.py MllamaTextModel.forward)
+        common.update(
+            skip_layers=tuple(cfg.get("cross_attention_layers") or ()),
+        )
+    if mt == "chatglm":
+        # chatglm2/3 / glm-4 remote code (canonicalized to the glm family by
+        # models/remap.wrap_chatglm_reader): RMSNorm, fused biased qkv, MQA
+        # via multi_query_group_num, half-width pair-interleaved rotary,
+        # fused swiglu; rope theta scales by rope_ratio
+        kvh = (cfg.get("multi_query_group_num")
+               if cfg.get("multi_query_attention") else heads) or heads
+        hd = cfg.get("kv_channels") or head_dim
+        common.update(
+            num_layers=cfg.get("num_layers", cfg.get("num_hidden_layers", 0)),
+            vocab_size=cfg.get("padded_vocab_size", cfg.get("vocab_size", 0)),
+            intermediate_size=cfg.get(
+                "ffn_hidden_size", cfg.get("intermediate_size", 4 * hidden)
+            ),
+            num_kv_heads=kvh,
+            head_dim=hd,
+            rms_norm_eps=cfg.get("layernorm_epsilon", 1e-5),
+            rope_theta=10000.0 * float(cfg.get("rope_ratio") or 1.0),
+            max_position_embeddings=cfg.get("seq_length", 8192),
+            attention_bias=bool(cfg.get("add_qkv_bias", True)),
+            rotary_dim=hd // 2,
+            rope_interleave=True,
+        )
+    if mt == "qwen":
+        # QWen-1 remote code (canonicalized by wrap_qwen1_reader): llama
+        # body, fused biased c_attn, w1/w2 each intermediate_size//2 wide
+        common.update(
+            intermediate_size=cfg.get("intermediate_size", 4 * hidden) // 2,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+            rope_theta=cfg.get("rotary_emb_base", 10000.0),
+            max_position_embeddings=cfg.get("seq_length", 8192),
+            attention_bias=True,  # bias on the fused c_attn only
+        )
 
     # ---- batch-3 MoE archs (no transformers-native oracle at our pin;
     # semantics are config-driven with deepseek/qwen-moe defaults — trees in

@@ -1900,6 +1900,14 @@ def model_hidden(
         )
     for i, lp in enumerate(model_layers(spec, params)):
         cache_i = caches[i] if caches is not None else None
+        if i in spec.skip_layers:
+            # mllama cross-attention layers are skipped entirely on the
+            # text-only path (modeling_mllama.py MllamaTextModel.forward:
+            # "For text-only path we should skip cross attention layers");
+            # their cache slot passes through untouched
+            if new_caches is not None:
+                new_caches.append(cache_i)
+            continue
         c_i, s_i, b_i = layer_rope_bias(spec, i, ctx)
         h, cache_i = any_decoder_layer(spec, lp, h, c_i, s_i, b_i, cache_i)
         if new_caches is not None:

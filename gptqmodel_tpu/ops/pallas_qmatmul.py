@@ -255,6 +255,88 @@ def _qmm_rt_sym_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _qmm_rt_sym_fused_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, bits, kt, nt, gpk, zero_const
+):
+    """Fused-dequant variant of the sym rt kernel: scales fold into the bf16
+    weight tile (offset subtracted exactly in the bf16 integer domain first),
+    giving ONE large MXU dot per unpack plane plus a single rank-``gpk``
+    zero-point correction matmul per K-tile — instead of a dot + f32 acc
+    update per group. Cuts VPU traffic on the [bm, nt] accumulator by
+    ~gpk/(pf/2+1)x. Precision matches the marlin/exllama CUDA kernels
+    (fp16-domain dequant before the GEMM, gptqmodel_ext/marlin): code*scale
+    rounds to bf16 (2^-8 rel), vs the per-group path's f32 P*scale."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pf = 32 // bits
+    R = kt // pf
+    g = kt // gpk
+    u = qw_ref[:].astype(jnp.uint32)
+    x = x_ref[:].astype(jnp.bfloat16)
+    sfb = s_ref[:]  # [gpk, nt] bf16
+    bm = x.shape[0]
+
+    def scaled_tile(wa, a, gpp):
+        # per-group row-scale via static sublane slices + lane broadcast
+        # (3D reshape/broadcast forms lower to Mosaic gathers — avoid)
+        return jnp.concatenate(
+            [
+                wa[gi * g : (gi + 1) * g, :] * sfb[a * gpp + gi, :][None, :]
+                for gi in range(gpp)
+            ],
+            axis=0,
+        )
+
+    acc = acc_ref[:]
+    if bits == 8:
+        gpp = R // g
+        for a in range(pf):
+            t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
+                0x4B000000
+            )
+            wf = pltpu.bitcast(t.astype(jnp.int32), jnp.float32) - jnp.float32(
+                8388608.0
+            )
+            wa = wf.astype(jnp.bfloat16)  # codes 0..255, exact in bf16
+            acc += jnp.dot(
+                x[:, a * gpp * g : (a + 1) * gpp * g], scaled_tile(wa, a, gpp),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        gpp = (2 * R) // g
+        fmask, magic = _MAGIC_BF16[bits]
+        off = jnp.bfloat16(_MAGIC_OFFSET)
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
+            # (128 + code) - 128 == code, exact (both <= 2^8 in bf16)
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16) - off
+            acc += jnp.dot(
+                x[:, a * gpp * g : (a + 1) * gpp * g], scaled_tile(wa, a, gpp),
+                preferred_element_type=jnp.float32,
+            )
+    # single zero-point correction for the whole K-tile: acc -= X1 @ (z*s)
+    xf = x.astype(jnp.float32)
+    X1 = jnp.concatenate(
+        [
+            jnp.sum(xf[:, gi * g : (gi + 1) * g], axis=1, keepdims=True)
+            for gi in range(gpk)
+        ],
+        axis=1,
+    )
+    zs = jnp.float32(zero_const) * sfb.astype(jnp.float32)
+    acc -= jnp.dot(X1, zs, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def rt_supported(bits: int, group_size: int, K: int) -> bool:
     """rt layout contract: magic bits (bf16 for 2/4, f32 for 8),
     128-lane-aligned groups, tiles of >= 8 groups (Mosaic sublane rule for
@@ -395,8 +477,13 @@ def qmatmul(
     if rt:
         assert rt_supported(bits, group_size, K), (bits, group_size, K)
         if zero_const >= 0.0:  # sym fast path: no zvals input, bf16 scales
+            sym_impl = (
+                _qmm_rt_sym_fused_kernel
+                if os.environ.get("GPTQ_TPU_RT_FUSED", "0") == "1"
+                else _qmm_rt_sym_kernel
+            )
             kernel = functools.partial(
-                _qmm_rt_sym_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk,
+                sym_impl, bits=bits, kt=bk, nt=bn, gpk=gpk,
                 zero_const=float(zero_const),
             )
             return pl.pallas_call(

@@ -276,6 +276,123 @@ def test_phi4mm_base_layer_flatten():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
 
 
+def test_chatglm_parity_constructed():
+    """chatglm (remote code) == glm family body under native tensor names:
+    construct from a tiny torch glm model (fused qkv+bias, fused swiglu,
+    half interleaved rotary are IDENTICAL semantics — transformers' glm is
+    the chatglm/glm-4 port), rename to the chatglm layout, translate the
+    config; parity proves wrap_chatglm_reader + the spec branch."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="glm", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=256, rms_norm_eps=1e-6,
+            attention_bias=True, tie_word_embeddings=False, pad_token_id=0,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        sd = _torch_sd(tmodel)
+        out = {
+            "transformer.embedding.word_embeddings.weight":
+                sd["model.embed_tokens.weight"],
+            "transformer.encoder.final_layernorm.weight":
+                sd["model.norm.weight"],
+            "transformer.output_layer.weight": sd["lm_head.weight"],
+        }
+        for i in range(2):
+            s, d = f"model.layers.{i}.", f"transformer.encoder.layers.{i}."
+            out[d + "input_layernorm.weight"] = sd[s + "input_layernorm.weight"]
+            out[d + "post_attention_layernorm.weight"] = (
+                sd[s + "post_attention_layernorm.weight"]
+            )
+            out[d + "self_attention.query_key_value.weight"] = np.concatenate(
+                [sd[s + f"self_attn.{p}_proj.weight"] for p in "qkv"], axis=0
+            )
+            out[d + "self_attention.query_key_value.bias"] = np.concatenate(
+                [sd[s + f"self_attn.{p}_proj.bias"] for p in "qkv"], axis=0
+            )
+            out[d + "self_attention.dense.weight"] = (
+                sd[s + "self_attn.o_proj.weight"]
+            )
+            out[d + "mlp.dense_h_to_4h.weight"] = (
+                sd[s + "mlp.gate_up_proj.weight"]
+            )
+            out[d + "mlp.dense_4h_to_h.weight"] = sd[s + "mlp.down_proj.weight"]
+        glm_cfg = dict(
+            model_type="chatglm", num_layers=2, padded_vocab_size=128,
+            hidden_size=64, ffn_hidden_size=96, num_attention_heads=4,
+            kv_channels=16, multi_query_attention=True,
+            multi_query_group_num=2, layernorm_epsilon=1e-6,
+            add_qkv_bias=True, seq_length=256, rope_ratio=1.0,
+            tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "chatglm"
+        _write_ckpt(d, out, glm_cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.rotary_dim == 8 and spec.rope_interleave
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_qwen1_parity_constructed():
+    """qwen (QWen-1 remote code) == llama body with fused biased c_attn and
+    w1/w2 swiglu (w2 = silu branch). Constructed from a tiny torch llama
+    with attention_bias (o_proj bias zeroed — qwen has none)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="llama", vocab_size=128, hidden_size=64,
+            intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            max_position_embeddings=256, rms_norm_eps=1e-6,
+            attention_bias=True, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        with torch.no_grad():
+            for lyr in tmodel.model.layers:
+                lyr.self_attn.o_proj.bias.zero_()
+        sd = _torch_sd(tmodel)
+        out = {
+            "transformer.wte.weight": sd["model.embed_tokens.weight"],
+            "transformer.ln_f.weight": sd["model.norm.weight"],
+            "lm_head.weight": sd["lm_head.weight"],
+        }
+        for i in range(2):
+            s, d = f"model.layers.{i}.", f"transformer.h.{i}."
+            out[d + "ln_1.weight"] = sd[s + "input_layernorm.weight"]
+            out[d + "ln_2.weight"] = sd[s + "post_attention_layernorm.weight"]
+            out[d + "attn.c_attn.weight"] = np.concatenate(
+                [sd[s + f"self_attn.{p}_proj.weight"] for p in "qkv"], axis=0
+            )
+            out[d + "attn.c_attn.bias"] = np.concatenate(
+                [sd[s + f"self_attn.{p}_proj.bias"] for p in "qkv"], axis=0
+            )
+            out[d + "attn.c_proj.weight"] = sd[s + "self_attn.o_proj.weight"]
+            out[d + "mlp.w2.weight"] = sd[s + "mlp.gate_proj.weight"]
+            out[d + "mlp.w1.weight"] = sd[s + "mlp.up_proj.weight"]
+            out[d + "mlp.c_proj.weight"] = sd[s + "mlp.down_proj.weight"]
+        qcfg = dict(
+            model_type="qwen", vocab_size=128, hidden_size=64,
+            intermediate_size=192,  # qwen convention: 2x the per-proj width
+            num_hidden_layers=2, num_attention_heads=4,
+            layer_norm_epsilon=1e-6, seq_length=256,
+            tie_word_embeddings=False,
+        )
+        d = Path(tmp) / "qwen"
+        _write_ckpt(d, out, qcfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.intermediate_size == 96
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
 # --------------------------------------------------------------------------
 # registry / spec smoke for every batch-3 model_type
 
@@ -301,7 +418,7 @@ def test_batch3_registry_and_spec_smoke():
         "gemma4_unified_text", "intern_s2_preview", "inkling_mm_model",
         "ernie4_5_vl_moe", "ernie4_5_moe_vl", "qwen2_vl_text",
         "qwen2_5_vl_text", "glm4v_moe_text", "bailing_moe", "bailing_hybrid",
-        "llada2_moe",
+        "llada2_moe", "chatglm", "qwen",
     ]
     for t in new_types:
         assert t in REGISTRY, t

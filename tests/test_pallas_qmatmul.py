@@ -189,6 +189,57 @@ def test_rt_sym_fast_path_matches_xla(bits):
     assert rel < 1e-2, rel  # bf16 scales add ~0.4% on top of bf16 dequant
 
 
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_rt_sym_fused_variant_matches_xla(bits, monkeypatch):
+    """GPTQ_TPU_RT_FUSED=1 folds scales into the bf16 weight tile (one big
+    dot per plane + rank-gpk zero correction); precision = marlin-style
+    bf16-domain dequant, so same tolerance as the per-group sym kernel."""
+    monkeypatch.setenv("GPTQ_TPU_RT_FUSED", "1")
+    rng = np.random.default_rng(7)
+    K, N, g = 2048, 256, 128
+    codes = rng.integers(0, 2**bits, size=(N, K), dtype=np.int64)
+    scales = rng.uniform(0.005, 0.05, size=(K // g, N)).astype(np.float16)
+    zeros = np.full((K // g, N), 2 ** (bits - 1), np.int64)
+    p = make_quant_linear(Q=codes, scales=scales, zeros=zeros, g_idx=None,
+                          bias=None, bits=bits, group_size=g, sym=True)
+    p = registry.post_init_module(p)
+    assert p.rt_layout and p.zero_const == float(2 ** (bits - 1))
+    x = jnp.asarray(rng.standard_normal((8, K)), dtype=jnp.bfloat16)
+    ref = np.asarray(qlinear_forward_xla(p, x), np.float32)
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), np.float32)
+    finally:
+        registry.set_backend("auto")
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1.5e-2, rel
+
+
+def test_rt_sym_fused_variant_pow2_exact(monkeypatch):
+    """Power-of-two scales stay EXACT through the fused path (code*2^k and
+    the zero correction are bf16-representable) — the layout guard that
+    catches any unpack-order/offset regression bit-exactly."""
+    monkeypatch.setenv("GPTQ_TPU_RT_FUSED", "1")
+    rng = np.random.default_rng(9)
+    K, N, g = 1024, 128, 128
+    codes = rng.integers(0, 16, size=(N, K), dtype=np.int64)
+    scales = (2.0 ** rng.integers(-8, -4, size=(K // g, N))).astype(np.float32)
+    zeros = np.full((K // g, N), 8, np.int64)
+    p = make_quant_linear(Q=codes, scales=scales, zeros=zeros, g_idx=None,
+                          bias=None, bits=4, group_size=g, sym=True)
+    p = registry.post_init_module(p)
+    assert p.rt_layout
+    # one-hot rows recover individual dequantized weights exactly
+    x = jnp.asarray(np.eye(K, dtype=np.float32)[:8], dtype=jnp.bfloat16)
+    ref = np.asarray(qlinear_forward_xla(p, x), np.float32)
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), np.float32)
+    finally:
+        registry.set_backend("auto")
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_rt_layout_export_is_interchange():
     """Saving an rt-repacked module must write the interchange layout."""
     from gptqmodel_tpu.models.writer import flatten_params
