@@ -1164,7 +1164,7 @@ REGISTRY["ovis2_6_moe"] = ModelDef(
 )
 REGISTRY["minicpmv"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
 REGISTRY["minicpmo"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
-REGISTRY["minicpmv4_6"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
+# minicpmv4_6 re-registered below with the qwen3_5-style hybrid tree
 REGISTRY["internvl_chat"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
 REGISTRY["interns1"] = ModelDef(_QWEN3_TREE, reader_wrapper=_VL_WRAP)
 REGISTRY["mllama"] = ModelDef(_LLAMA_TREE, reader_wrapper=_VL_WRAP)
@@ -1795,6 +1795,199 @@ REGISTRY["llada2_moe"] = ModelDef(
     reader_wrapper=_BAILING_WRAP,
 )
 
+_REMAP = __import__(
+    "gptqmodel_tpu.models.remap",
+    fromlist=["wrap_rw_reader", "wrap_nemotron_omni_reader",
+              "wrap_telechat_reader", "wrap_hrm_reader"],
+)
+
+# internlm v1 (remote code; reference definitions/internlm.py: LlamaQModel
+# subclass): llama body with qkv/o bias (config key "bias")
+REGISTRY["internlm"] = REGISTRY["llama"]
+
+# inkling (reference auto.py maps "inkling_mm_model"; some configs say
+# "inkling")
+REGISTRY["inkling"] = REGISTRY["inkling_mm_model"]
+
+# RefinedWeb / RefinedWebModel (falcon-rw remote code; reference
+# definitions/rw.py): falcon body, ln_1/ln_2 canonicalized by wrap_rw_reader
+for _rw in ("RefinedWeb", "RefinedWebModel", "refinedWeb", "refinedWebModel",
+            "refinedweb", "refinedwebmodel"):
+    REGISTRY[_rw] = ModelDef(
+        _FALCON_TREE, pre_lm_head_norm="transformer.ln_f",
+        reader_wrapper=_REMAP.wrap_rw_reader,
+    )
+
+# telechat/telechat2 (remote code; reference definitions/telechat2.py):
+# llama body under transformer.h with query + fused per-head key_value,
+# split/canonicalized by wrap_telechat_reader
+REGISTRY["telechat"] = ModelDef(
+    _LLAMA_TREE, reader_wrapper=_REMAP.wrap_telechat_reader,
+)
+REGISTRY["telechat2"] = REGISTRY["telechat"]
+
+# gpt_pangu (PanguAlpha remote code; reference definitions/pangu_alpha.py):
+# gpt2-style pre-LN blocks with SEPARATE q/k/v Linears, gelu c_fc/c_proj
+# MLP, learned absolute positions; the top_query_layer passes through dense
+REGISTRY["gpt_pangu"] = ModelDef(
+    (
+        "transformer", "h", "#",
+        {
+            "ln_1": ("ln_1:!",),
+            "attn": ("q_proj:0", "k_proj:0", "v_proj:0", "c_proj:1"),
+            "ln_2": ("ln_2:!",),
+            "mlp": ("c_fc:0", "c_proj:1"),
+        },
+    ),
+    pre_lm_head_norm="transformer.ln_f",
+)
+
+# nemotron_labs_diffusion (reference definitions/nemotron_labs_diffusion.py):
+# llama-block encoder with a diffusion head in place of lm_head
+REGISTRY["nemotron_labs_diffusion"] = ModelDef(
+    (
+        "encoder", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1"),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    ),
+    lm_head="diffusion_head",
+    pre_lm_head_norm="encoder.norm",
+)
+
+# nemotronh_nano_omni_reasoning_v3 (reference definitions/nemotron_omni.py):
+# nemotron_h backbone under language_model.*, canonicalized by
+# wrap_nemotron_omni_reader; vision/sound towers re-export dense
+REGISTRY["nemotronh_nano_omni_reasoning_v3"] = ModelDef(
+    REGISTRY["nemotron_h"].module_tree,
+    pre_lm_head_norm="backbone.norm_f",
+    reader_wrapper=_REMAP.wrap_nemotron_omni_reader,
+)
+
+# nemotron_h_puzzle (reference definitions/nemotron_h_puzzle.py): NAS
+# "puzzle" nemotron_h whose mixer slot may also hold a latent-compressed
+# MoE (fc1/fc2 latent projections around up/down experts)
+REGISTRY["nemotron_h_puzzle"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "norm": ("norm:!",),
+            "mixer:moe:?": {
+                "": (
+                    "q_proj:0", "k_proj:0", "v_proj:0", "in_proj:0",
+                    "o_proj:1", "out_proj:1",
+                ),
+                "fc1_latent_proj:2": ("fc1_latent_proj:0",),
+                "experts": {"#": ("up_proj:0", "down_proj:1")},
+                "fc2_latent_proj:3": ("fc2_latent_proj:0",),
+                "shared_experts": ("up_proj:0", "down_proj:1"),
+            },
+        },
+    ),
+    pre_lm_head_norm="model.norm_f",
+    dynamic_expert_index="n_routed_experts",
+)
+
+# hrm_text (reference definitions/hrm_text.py): dual L_module/H_module
+# decoder stacks flattened to one model.layers stack by wrap_hrm_reader;
+# attention carries a gated branch (gate_proj) beside q/k/v
+REGISTRY["hrm_text"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_proj:0", "k_proj:0", "v_proj:0", "gate_proj:0", "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        },
+    ),
+    reader_wrapper=_REMAP.wrap_hrm_reader,
+)
+
+# minimax_m3_vl (reference definitions/minimax_m3_vl.py): minimax-m2-style
+# MoE text tower under model.language_model with a deepseek-v3.2-style
+# attention indexer (quantized alongside q/k/v; the dense forward ignores
+# the index selection — a superset of sparse attention)
+REGISTRY["minimax_m3_vl"] = ModelDef(
+    (
+        "model", "layers", "#",
+        {
+            "input_layernorm": ("input_layernorm:!",),
+            "self_attn": (
+                "q_proj:0", "q_norm:!", "k_proj:0", "k_norm:!", "v_proj:0",
+                "indexer.q_proj:0", "indexer.q_norm:!",
+                "indexer.k_proj:0", "indexer.k_norm:!",
+                "o_proj:1",
+            ),
+            "post_attention_layernorm": ("post_attention_layernorm:!",),
+            "mlp:moe:?": {
+                "": ("gate_up_proj:0", "down_proj:1"),
+                "gate": ("gate:!", "e_score_correction_bias:!"),
+                "shared_experts": ("gate_up_proj:0", "down_proj:1"),
+                "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+            },
+        },
+    ),
+    dynamic_expert_index="num_local_experts|text_config.num_local_experts",
+    reader_wrapper=_VL_WRAP,
+)
+
+# qwen3_5 family (reference definitions/qwen3_5.py, qwen3_5_moe.py):
+# qwen3_next-style hybrid (gated full attention + GatedDeltaNet linear
+# layers) with SEPARATE deltanet projections (in_proj_qkv / in_proj_z /
+# in_proj_b / in_proj_a instead of fused qkvz/ba); VL variants nest the
+# tower under model.language_model (mtp tensors pass through dense)
+_QWEN3_5_LINEAR = (
+    "norm:!", "conv1d:!",
+    "in_proj_qkv:0", "in_proj_z:1", "in_proj_b:!:1", "in_proj_a:!:1",
+    "out_proj:2",
+)
+_QWEN3_5_BLOCK = {
+    "input_layernorm": ("input_layernorm:!",),
+    "self_attn": (
+        "q_norm:!", "k_norm:!",
+        "q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+    ),
+    "linear_attn": _QWEN3_5_LINEAR,
+    "post_attention_layernorm": ("post_attention_layernorm:!",),
+    "mlp": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+}
+_QWEN3_5_MOE_BLOCK = {
+    **_QWEN3_5_BLOCK,
+    "mlp:moe:?": {
+        "gate": ("gate:!",),
+        "shared_expert_gate": ("shared_expert_gate:!",),
+        "shared_expert": ("gate_proj:0", "up_proj:0", "down_proj:1"),
+        "experts": {"#": ("gate_proj:0", "up_proj:0", "down_proj:1")},
+    },
+}
+_QWEN3_5_MOE_BLOCK.pop("mlp")
+REGISTRY["qwen3_5_text"] = ModelDef(
+    ("model", "layers", "#", _QWEN3_5_BLOCK),
+)
+REGISTRY["qwen3_5"] = ModelDef(
+    ("model", "layers", "#", _QWEN3_5_BLOCK), reader_wrapper=_VL_WRAP,
+)
+REGISTRY["qwen3_5_moe_text"] = ModelDef(
+    ("model", "layers", "#", _QWEN3_5_MOE_BLOCK),
+    dynamic_expert_index="num_experts|text_config.num_experts",
+)
+REGISTRY["qwen3_5_moe"] = ModelDef(
+    ("model", "layers", "#", _QWEN3_5_MOE_BLOCK),
+    dynamic_expert_index="num_experts|text_config.num_experts",
+    reader_wrapper=_VL_WRAP,
+)
+# minicpmv4_6's language tower is the same qwen3_5-style hybrid (reference
+# definitions/minicpmv_4_6.py tree carries the identical linear_attn leaves)
+REGISTRY["minicpmv4_6"] = ModelDef(
+    ("model", "layers", "#", _QWEN3_5_BLOCK), reader_wrapper=_VL_WRAP,
+)
+
 
 def get_model_def(model_type: str, tensor_names=None) -> ModelDef:
     """Resolve a ModelDef; unknown archs auto-detect from tensor names.
@@ -1833,6 +2026,8 @@ SHARED_INPUT_LEAVES = {
     "w3": "gate_up",
     "in_proj_qkvz": "qkvz_ba",  # qwen3_next deltanet: same normed hidden
     "in_proj_ba": "qkvz_ba",
+    "in_proj_qkv": "qkvz_ba",  # qwen3_5 split deltanet: same normed hidden
+    "in_proj_z": "qkvz_ba",
     "qkv_proj": "qkv",  # fused qkv (phi3/internlm2) — singleton unless the
     "output_gate": "qkv",  # minimax lightning gate shares the layer input
 }

@@ -207,6 +207,135 @@ def wrap_qwen1_reader(reader, hf_cfg: dict):
     return reader
 
 
+_RW_RULES = [
+    # RefinedWeb / RefinedWebModel (falcon-rw remote code; reference
+    # definitions/rw.py tree): falcon body under transformer.h with ln_1/ln_2
+    # norm names instead of the transformers falcon port's
+    # input_layernorm/post_attention_layernorm
+    (r"(\.h\.\d+)\.ln_1\.", r"\1.input_layernorm."),
+    (r"(\.h\.\d+)\.ln_2\.", r"\1.post_attention_layernorm."),
+]
+
+
+def wrap_rw_reader(reader, hf_cfg: dict):
+    if any(".ln_1." in n for n in reader.names()):
+        return RenameReader(reader, _RW_RULES)
+    return reader
+
+
+_NEMOTRON_OMNI_RULES = [
+    # nemotronh_nano_omni_reasoning_v3 (reference definitions/
+    # nemotron_omni.py): a nemotron_h backbone nested under language_model;
+    # the vision/sound towers + projectors pass through and re-export dense
+    (r"^language_model\.backbone\.", "backbone."),
+    (r"^language_model\.lm_head\.", "lm_head."),
+]
+
+
+def wrap_nemotron_omni_reader(reader, hf_cfg: dict):
+    if any(n.startswith("language_model.backbone.") for n in reader.names()):
+        return RenameReader(reader, _NEMOTRON_OMNI_RULES)
+    return reader
+
+
+def wrap_hrm_reader(reader, hf_cfg: dict):
+    """hrm_text (reference definitions/hrm_text.py): TWO stacked decoder
+    containers (model.L_module.layers / model.H_module.layers) with identical
+    block structure. Flattened into one model.layers stack (L first, then H
+    offset by L's depth) so the single-container looper/forward machinery
+    applies; the attention-side gate_proj rides along as a plain leaf."""
+    names = list(reader.names())
+    if not any(".L_module.layers." in n or ".H_module.layers." in n
+               for n in names):
+        return reader
+    n_l = 0
+    for n in names:
+        m = re.match(r"^model\.L_module\.layers\.(\d+)\.", n)
+        if m:
+            n_l = max(n_l, int(m.group(1)) + 1)
+    rules = [
+        (r"^model\.L_module\.layers\.(\d+)\.", r"model.layers.\1."),
+        (r"^model\.L_module\.", "model."),
+    ]
+    for n in names:
+        m = re.match(r"^model\.H_module\.layers\.(\d+)\.", n)
+        if m:
+            i = int(m.group(1))
+            rules.append((
+                rf"^model\.H_module\.layers\.{i}\.",
+                rf"model.layers.{n_l + i}.",
+            ))
+    rules.append((r"^model\.H_module\.", "model."))
+    return RenameReader(reader, rules)
+
+
+class TeleChatReader:
+    """telechat/telechat2 canonicalization (reference definitions/
+    telechat2.py tree: transformer.h.#.self_attention.{query,key_value,
+    dense} + gate/up/down MLP). Native key_value fuses K and V per head:
+    [nkv, 2*hd] with k in the first hd columns of each head block. Split
+    into canonical k_proj/v_proj; query -> q_proj, dense -> o_proj;
+    word_embeddings/ln_f -> embed_tokens/norm."""
+
+    _RULES = [
+        (r"^transformer\.word_embeddings\.", "model.embed_tokens."),
+        (r"^transformer\.ln_f\.", "model.norm."),
+        (r"^transformer\.h\.(\d+)\.input_layernorm\.",
+         r"model.layers.\1.input_layernorm."),
+        (r"^transformer\.h\.(\d+)\.post_attention_layernorm\.",
+         r"model.layers.\1.post_attention_layernorm."),
+        (r"^transformer\.h\.(\d+)\.self_attention\.query\.",
+         r"model.layers.\1.self_attn.q_proj."),
+        (r"^transformer\.h\.(\d+)\.self_attention\.dense\.",
+         r"model.layers.\1.self_attn.o_proj."),
+        (r"^transformer\.h\.(\d+)\.mlp\.gate_proj\.",
+         r"model.layers.\1.mlp.gate_proj."),
+        (r"^transformer\.h\.(\d+)\.mlp\.up_proj\.",
+         r"model.layers.\1.mlp.up_proj."),
+        (r"^transformer\.h\.(\d+)\.mlp\.down_proj\.",
+         r"model.layers.\1.mlp.down_proj."),
+    ]
+
+    def __init__(self, reader, hf_cfg: dict):
+        self._r = RenameReader(reader, self._RULES)
+        heads = hf_cfg.get("n_head") or hf_cfg.get("num_attention_heads")
+        hidden = hf_cfg["hidden_size"]
+        self.hd = hidden // heads
+        self._kv = {}  # canonical k/v name -> (native kv name, 0|1)
+        for n in reader.names():
+            m = re.match(
+                r"^transformer\.h\.(\d+)\.self_attention\.key_value"
+                r"\.(weight|bias)$", n)
+            if m:
+                for j, leaf in enumerate(("k_proj", "v_proj")):
+                    self._kv[f"model.layers.{m.group(1)}.self_attn."
+                             f"{leaf}.{m.group(2)}"] = (n, j)
+
+    def names(self):
+        return [n for n in self._r.names()
+                if ".self_attention.key_value." not in n] + list(self._kv)
+
+    def get(self, name: str):
+        if name in self._kv:
+            import numpy as np
+
+            native, j = self._kv[name]
+            W = self._r.get(native)  # weight [2*nkv*hd, hidden] | bias [...]
+            halves = W.reshape(-1, 2, self.hd, *W.shape[1:])
+            return np.ascontiguousarray(
+                halves[:, j].reshape(-1, *W.shape[1:]))
+        return self._r.get(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._kv or name in self._r
+
+
+def wrap_telechat_reader(reader, hf_cfg: dict):
+    if any(".self_attention.key_value." in n for n in reader.names()):
+        return TeleChatReader(reader, hf_cfg)
+    return reader
+
+
 def wrap_internlm2_reader(reader, hf_cfg: dict):
     return RenameReader(reader, _INTERNLM2_RULES)
 

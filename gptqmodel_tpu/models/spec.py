@@ -201,7 +201,12 @@ _VL_TEXT_ARCH = {
     "ovis2_6_moe": "qwen3_moe",
     "minicpmv": None,  # llm tower under llm.* (definitions/minicpmv.py)
     "minicpmo": None,
-    "minicpmv4_6": "qwen3",
+    # qwen3_5-style hybrid tower (definitions/minicpmv_4_6.py linear_attn)
+    "minicpmv4_6": "qwen3_5_text",
+    "qwen3_5": "qwen3_5_text",  # VL nesting (definitions/qwen3_5.py)
+    "qwen3_5_moe": "qwen3_5_moe_text",
+    "minimax_m3_vl": "minimax_m2",  # m2 MoE body + attn indexer (m3_vl.py)
+    "nemotronh_nano_omni_reasoning_v3": None,  # nemotron_h text_config
     "internvl_chat": None,  # llm_config (qwen2/qwen3/internlm2 towers)
     "interns1": None,
     "mllama": None,  # mllama_text_model tower (cross-attn layers skipped)
@@ -220,7 +225,9 @@ _SPEC_ALIASES = {
     "deci": "llama",  # uniform-config decilm only (NAS block_configs N/A)
     "nemotron-nas": "llama",
     "ministral3": "mistral",
-    "telechat": "llama",
+    "inkling": "inkling_mm_model",
+    "nemotron_labs_diffusion": "llama",  # llama-block diffusion encoder
+    "nemotron_h_puzzle": "nemotron_h",
     "dream": "qwen2",  # diffusion LM over a qwen2 body
     "llava_qwen2": "qwen2",
     "marin": "qwen3",
@@ -311,6 +318,31 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             max_position_embeddings=cfg.get("n_positions", 1024),
             tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             hidden_act=cfg.get("activation_function", "gelu_new"),
+        )
+    if mt == "gpt_pangu":
+        # PanguAlpha remote code (reference definitions/pangu_alpha.py):
+        # gpt2-style pre-LN blocks with SEPARATE q/k/v nn.Linears (no Conv1D
+        # transpose), gelu c_fc/c_proj MLP, learned absolute positions; the
+        # top-query layer's extra tensors pass through dense
+        h = cfg.get("hidden_size") or cfg["n_embd"]
+        nh = cfg.get("num_attention_heads") or cfg.get("num_heads") or cfg["n_head"]
+        return ModelSpec(
+            model_type=mt,
+            family="gpt2",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("intermediate_size")
+            or cfg.get("n_inner") or 4 * h,
+            num_layers=cfg.get("num_hidden_layers") or cfg.get("num_layers")
+            or cfg["n_layer"],
+            num_heads=nh,
+            num_kv_heads=nh,
+            head_dim=h // nh,
+            rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+            max_position_embeddings=cfg.get("max_position_embeddings")
+            or cfg.get("n_positions", 1024),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            hidden_act=cfg.get("activation_function", "gelu"),
         )
     if mt == "gpt_bigcode":
         # starcoder1: gpt2 layout with nn.Linear (no Conv1D transpose) and
@@ -438,6 +470,21 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             rotary_dim=cfg.get("rotary_dim") or h // nh,
             rope_interleave=True,  # gptj rotate_every_two pairs
         )
+    if mt.lower() in ("refinedweb", "refinedwebmodel"):
+        # falcon-rw remote code (reference definitions/rw.py): falcon body
+        # with GPT-style config keys (n_layer/n_head/n_head_kv)
+        from dataclasses import replace as _dc_replace
+
+        inner = dict(cfg)
+        inner["model_type"] = "falcon"
+        for src, dst in (("n_layer", "num_hidden_layers"),
+                         ("n_head", "num_attention_heads"),
+                         ("n_head_kv", "num_kv_heads")):
+            if src in inner and dst not in inner:
+                inner[dst] = inner[src]
+        # RW-1b: parallel_attn=False multi_query=False alibi=True;
+        # RW-7b: parallel_attn=True multi_query=True — all pass through
+        return _dc_replace(spec_from_hf_config(inner), model_type=mt)
     if mt == "falcon":
         h = cfg["hidden_size"]
         nh = cfg["num_attention_heads"]
@@ -779,6 +826,15 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
         cfg = {**cfg, "num_hidden_layers": cfg["num_layers"]}  # exaone
     if "vocab_size" not in cfg and "padded_vocab_size" in cfg:
         cfg = {**cfg, "vocab_size": cfg["padded_vocab_size"]}  # chatglm
+    if "num_attention_heads" not in cfg and "n_head" in cfg:
+        cfg = {**cfg, "num_attention_heads": cfg["n_head"]}  # telechat
+    if "num_attention_heads" not in cfg and "num_heads" in cfg:
+        cfg = {**cfg, "num_attention_heads": cfg["num_heads"]}  # hrm_text
+    if "num_hidden_layers" not in cfg and "n_layer" in cfg:
+        cfg = {**cfg, "num_hidden_layers": cfg["n_layer"]}
+    if "num_hidden_layers" not in cfg and ("L_layers" in cfg or "H_layers" in cfg):
+        cfg = {**cfg, "num_hidden_layers": int(cfg.get("L_layers") or 0)
+               + int(cfg.get("H_layers") or 0)}  # hrm_text dual stacks
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or hidden // heads
@@ -1349,12 +1405,15 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             moe_intermediate_size=cfg.get("intermediate_size", 0),
             norm_topk_prob=True,
         )
-    if mt == "qwen3_next":
+    if mt in ("qwen3_next", "qwen3_5_text", "qwen3_5_moe_text"):
         # hybrid GatedDeltaNet (linear_attention layers) + gated full
         # attention (q_proj doubles width for a sigmoid output gate,
         # partial rotary 0.25, per-head q/k RMSNorm) + qwen2_moe-style
         # sparse MoE with gated shared expert
-        # (modeling_qwen3_next.py:321-400,564-776,794-857)
+        # (modeling_qwen3_next.py:321-400,564-776,794-857). qwen3_5
+        # (reference definitions/qwen3_5.py / qwen3_5_moe.py) shares the
+        # semantics but splits the deltanet projections into in_proj_qkv/
+        # -z/-b/-a — the forward dispatches on which leaves are present.
         lt = cfg.get("layer_types") or ()
         common.update(
             qk_norm=True,
@@ -1379,6 +1438,35 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
             norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
+    if mt == "internlm":
+        # internlm v1 remote code (reference definitions/internlm.py:
+        # LlamaQModel subclass): llama body, qkv/o bias via config "bias"
+        common.update(attention_bias=bool(cfg.get("bias", True)))
+    if mt in ("telechat", "telechat2"):
+        # TeleChat2 remote code (reference definitions/telechat2.py):
+        # llama body under transformer.h with GPT-style config keys; the
+        # fused per-head key_value is split by models/remap.TeleChatReader.
+        # o_proj/down_proj biases (telechat quirk) load presence-driven.
+        common.update(
+            intermediate_size=cfg.get("ffn_hidden_size")
+            or cfg.get("intermediate_size", 4 * hidden),
+            max_position_embeddings=cfg.get("seq_length")
+            or cfg.get("max_position_embeddings", 8192),
+            rms_norm_eps=cfg.get("layer_norm_epsilon")
+            or cfg.get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+        )
+        if "num_key_value_heads" not in cfg:
+            common.update(num_kv_heads=heads)
+    if mt == "hrm_text":
+        # HRM text (reference definitions/hrm_text.py): dual L/H decoder
+        # stacks (flattened by models/remap.wrap_hrm_reader); llama-shaped
+        # blocks with a gated attention branch. Quantize-tree coverage; the
+        # recurrent H/L schedule itself is out of forward scope.
+        n_l = int(cfg.get("L_layers") or 0)
+        n_h = int(cfg.get("H_layers") or 0)
+        if n_l + n_h:
+            common.update(num_layers=n_l + n_h)
     if mt == "gpt_oss":
         # attention sinks + sliding alternation + yarn rope + clamped-GLU
         # MoE with biased experts/router; fused expert tensors canonicalized

@@ -1408,6 +1408,12 @@ def gpt2_attention(
         q = apply_linear(aa["q_proj"], h).reshape(B, T, nh, hd)
         k = apply_linear(aa["k_proj"], h).reshape(B, T, nkv, hd)
         v = apply_linear(aa["v_proj"], h).reshape(B, T, nkv, hd)
+    elif "q_proj" in ap:  # gpt_pangu: DIRECT split q/k/v Linears
+        for leaf in ("q_proj", "k_proj", "v_proj"):
+            _tap(taps, tap_paths, f"{prefix}.{leaf}", h)
+        q = apply_linear(ap["q_proj"], h).reshape(B, T, nh, hd)
+        k = apply_linear(ap["k_proj"], h).reshape(B, T, nkv, hd)
+        v = apply_linear(ap["v_proj"], h).reshape(B, T, nkv, hd)
     else:
         _tap(taps, tap_paths, f"{prefix}.c_attn", h)
         qkv = apply_linear(ap["c_attn"], h)
@@ -1602,6 +1608,10 @@ _NEOX_NAMES = {
     "mpt": dict(root="transformer", layers="blocks", embed="wte",
                 final="norm_f", head="lm_head", attn="attn", o="out_proj"),
 }
+# RefinedWeb(Model): falcon-rw remote-code names (reference definitions/rw.py)
+_NEOX_NAMES["RefinedWeb"] = _NEOX_NAMES["refinedweb"] = _NEOX_NAMES["falcon"]
+_NEOX_NAMES["RefinedWebModel"] = _NEOX_NAMES["falcon"]
+_NEOX_NAMES["refinedwebmodel"] = _NEOX_NAMES["falcon"]
 
 
 def _neox_names(spec: ModelSpec) -> dict:
@@ -2375,20 +2385,34 @@ def qwen3next_deltanet(
     k_sz = spec.mamba_d_conv
     conv_dim = 2 * key_dim + value_dim
 
-    _tap(taps, tap_paths, f"{prefix}.in_proj_qkvz", h)
-    _tap(taps, tap_paths, f"{prefix}.in_proj_ba", h)
-    qkvz = apply_linear(mp["in_proj_qkvz"], h)  # [B,T, 2*key + 2*value]
-    ba = apply_linear(mp["in_proj_ba"], h)  # [B,T, 2*nv]
+    if "in_proj_qkv" in mp:
+        # qwen3_5 / minicpmv4_6 / intern_s2 variant: SEPARATE deltanet
+        # projections in flat [q | k | v] order (reference definitions/
+        # qwen3_5.py tree: in_proj_qkv/-z/-b/-a replace fused qkvz/ba)
+        for leaf in ("in_proj_qkv", "in_proj_z", "in_proj_b", "in_proj_a"):
+            _tap(taps, tap_paths, f"{prefix}.{leaf}", h)
+        qkv = apply_linear(mp["in_proj_qkv"], h)  # [B,T, 2*key + value]
+        q = qkv[..., :key_dim].reshape(B, T, nk, hk)
+        kk = qkv[..., key_dim : 2 * key_dim].reshape(B, T, nk, hk)
+        v = qkv[..., 2 * key_dim :].reshape(B, T, nv, hv)
+        z = apply_linear(mp["in_proj_z"], h).reshape(B, T, nv, hv)
+        b = apply_linear(mp["in_proj_b"], h)  # [B,T,nv]
+        a = apply_linear(mp["in_proj_a"], h)
+    else:
+        _tap(taps, tap_paths, f"{prefix}.in_proj_qkvz", h)
+        _tap(taps, tap_paths, f"{prefix}.in_proj_ba", h)
+        qkvz = apply_linear(mp["in_proj_qkvz"], h)  # [B,T, 2*key + 2*value]
+        ba = apply_linear(mp["in_proj_ba"], h)  # [B,T, 2*nv]
 
-    # grouped per-k-head ordering (fix_query_key_value_ordering)
-    qkvz = qkvz.reshape(B, T, nk, 2 * hk + 2 * grp * hv)
-    q = qkvz[..., :hk]  # [B,T,nk,hk]
-    kk = qkvz[..., hk : 2 * hk]
-    v = qkvz[..., 2 * hk : 2 * hk + grp * hv].reshape(B, T, nv, hv)
-    z = qkvz[..., 2 * hk + grp * hv :].reshape(B, T, nv, hv)
-    ba = ba.reshape(B, T, nk, 2 * grp)
-    b = ba[..., :grp].reshape(B, T, nv)
-    a = ba[..., grp:].reshape(B, T, nv)
+        # grouped per-k-head ordering (fix_query_key_value_ordering)
+        qkvz = qkvz.reshape(B, T, nk, 2 * hk + 2 * grp * hv)
+        q = qkvz[..., :hk]  # [B,T,nk,hk]
+        kk = qkvz[..., hk : 2 * hk]
+        v = qkvz[..., 2 * hk : 2 * hk + grp * hv].reshape(B, T, nv, hv)
+        z = qkvz[..., 2 * hk + grp * hv :].reshape(B, T, nv, hv)
+        ba = ba.reshape(B, T, nk, 2 * grp)
+        b = ba[..., :grp].reshape(B, T, nv)
+        a = ba[..., grp:].reshape(B, T, nv)
 
     # causal depthwise conv + silu over the FLATTENED [q|k|v] channels
     mixed = jnp.concatenate(

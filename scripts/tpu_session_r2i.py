@@ -71,7 +71,6 @@ SHAPES = [("qkvo4096", 4096, 4096), ("gateup", 4096, 14336),
           ("down", 14336, 4096)]
 
 results = {}
-ref_out = {}
 for fused in ("0", "1"):
     os.environ["GPTQ_TPU_RT_FUSED"] = fused
     gpt_list = [16] if fused == "0" else [16, 32]
@@ -79,22 +78,21 @@ for fused in ("0", "1"):
         jax.clear_caches()
         tag = f"fused={fused} gpt={gpt}"
         for name, K, N in SHAPES:
+            r = np.random.default_rng(hash(name) % 2**31)  # same weights per shape
             mod = mk(N, K, gpt)
             x = jnp.asarray(r.standard_normal((M, K)) * 0.3, jnp.bfloat16)
-            # correctness cross-check vs per-group path output
+            # correctness cross-check vs the XLA reference path
             from gptqmodel_tpu.ops.pallas_qmatmul import qmatmul
+            from gptqmodel_tpu.ops.qlinear import qlinear_forward_xla
 
             y = np.asarray(qmatmul(
                 x, mod.qweight, mod.scales, mod.scales, bits=4, group_size=g,
                 rt=True, rt_block_k=mod.rt_block_k, zero_const=mod.zero_const,
             ), np.float32)
-            if name in ref_out:
-                rel = (np.linalg.norm(y - ref_out[name])
-                       / np.linalg.norm(ref_out[name]))
-                log(f"  corr {tag} {name}: rel={rel:.2e}")
-                assert rel < 2e-2, (tag, name, rel)
-            else:
-                ref_out[name] = y
+            yx = np.asarray(qlinear_forward_xla(mod, x), np.float32)
+            rel = np.linalg.norm(y - yx) / np.linalg.norm(yx)
+            log(f"  corr {tag} {name} vs xla: rel={rel:.2e}")
+            assert rel < 2e-2, (tag, name, rel)
             lo, hi = make_loop(mod, 20), make_loop(mod, 220)
             args = (x, mod.qweight, mod.scales)
             float(lo(*args)); float(hi(*args))

@@ -14,6 +14,7 @@ the remap + spec alias reproduce the canonical semantics exactly.
 """
 
 import json
+import re
 import tempfile
 from pathlib import Path
 
@@ -393,6 +394,244 @@ def test_qwen1_parity_constructed():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
 
 
+def test_internlm_parity_constructed():
+    """internlm v1 (remote code; reference definitions/internlm.py) ==
+    llama + qkv/o bias (config key "bias")."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_body(tmp, "llama", attention_bias=True)
+        cfg = json.loads((Path(d) / "config.json").read_text())
+        cfg["model_type"] = "internlm"
+        cfg["bias"] = True
+        (Path(d) / "config.json").write_text(json.dumps(cfg))
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.attention_bias
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_refinedweb_parity_constructed():
+    """RefinedWeb(Model) (falcon-rw remote code; reference definitions/
+    rw.py): falcon body with ln_1/ln_2 norm names and GPT-style config keys
+    — wrap_rw_reader + the key-translation spec branch must reproduce the
+    transformers falcon port exactly (alibi, non-parallel residual)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon", vocab_size=128, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            parallel_attn=False, alibi=True, multi_query=False,
+            new_decoder_architecture=False, bias=True,
+            layer_norm_epsilon=1e-5, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        sd = _torch_sd(tmodel)
+        out = {}
+        for k, v in sd.items():
+            k = k.replace(".input_layernorm.", ".ln_1.")
+            k = k.replace(".post_attention_layernorm.", ".ln_2.")
+            out[k] = v
+        rw_cfg = dict(
+            model_type="RefinedWebModel", vocab_size=128, hidden_size=64,
+            n_layer=2, n_head=4, parallel_attn=False, alibi=True,
+            multi_query=False, bias=True, layer_norm_epsilon=1e-5,
+            tie_word_embeddings=False)
+        d = Path(tmp) / "rw"
+        _write_ckpt(d, out, rw_cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.alibi and not spec.parallel_residual
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_telechat_split_reader_parity_constructed():
+    """telechat2 (remote code; reference definitions/telechat2.py):
+    query + PER-HEAD fused key_value + dense under transformer.h —
+    TeleChatReader must split [nkv, 2, hd] kv blocks back to canonical
+    k_proj/v_proj bit-exactly (llama GQA oracle)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_body(tmp, "llama")
+        sd = _torch_sd(tmodel)
+        out = {
+            "transformer.word_embeddings.weight": sd["model.embed_tokens.weight"],
+            "transformer.ln_f.weight": sd["model.norm.weight"],
+            "lm_head.weight": sd["lm_head.weight"],
+        }
+        hd = 64 // 4
+        for i in range(2):
+            s, dst = f"model.layers.{i}.", f"transformer.h.{i}."
+            out[dst + "input_layernorm.weight"] = sd[s + "input_layernorm.weight"]
+            out[dst + "post_attention_layernorm.weight"] = (
+                sd[s + "post_attention_layernorm.weight"])
+            out[dst + "self_attention.query.weight"] = sd[s + "self_attn.q_proj.weight"]
+            k = sd[s + "self_attn.k_proj.weight"].reshape(-1, 1, hd, 64)
+            v = sd[s + "self_attn.v_proj.weight"].reshape(-1, 1, hd, 64)
+            out[dst + "self_attention.key_value.weight"] = (
+                np.concatenate([k, v], axis=1).reshape(-1, 64))
+            out[dst + "self_attention.dense.weight"] = sd[s + "self_attn.o_proj.weight"]
+            for p in ("gate_proj", "up_proj", "down_proj"):
+                out[dst + f"mlp.{p}.weight"] = sd[s + f"mlp.{p}.weight"]
+        tc_cfg = dict(
+            model_type="telechat2", vocab_size=128, hidden_size=64,
+            n_layer=2, n_head=4, num_key_value_heads=2, ffn_hidden_size=128,
+            seq_length=256, layer_norm_epsilon=1e-6,
+            tie_word_embeddings=False)
+        d2 = Path(tmp) / "telechat2"
+        _write_ckpt(d2, out, tc_cfg)
+        spec, params, ids, ours = _jax_logits(d2)
+        assert spec.num_kv_heads == 2
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_gpt_pangu_parity_constructed():
+    """gpt_pangu (PanguAlpha remote code; reference definitions/
+    pangu_alpha.py): gpt2 body with SEPARATE q/k/v nn.Linears — built from
+    a tiny torch gpt2 by de-fusing c_attn (Conv1D transpose). Exercises the
+    new direct-split branch of gpt2_attention."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="gpt2", vocab_size=128, n_embd=64, n_layer=2,
+            n_head=4, n_positions=256, tie_word_embeddings=True)
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        sd = _torch_sd(tmodel)
+        out = {
+            "transformer.wte.weight": sd["transformer.wte.weight"],
+            "transformer.wpe.weight": sd["transformer.wpe.weight"],
+            "transformer.ln_f.weight": sd["transformer.ln_f.weight"],
+            "transformer.ln_f.bias": sd["transformer.ln_f.bias"],
+        }
+        for i in range(2):
+            s, dst = f"transformer.h.{i}.", f"transformer.h.{i}."
+            for ln in ("ln_1", "ln_2"):
+                out[dst + f"{ln}.weight"] = sd[s + f"{ln}.weight"]
+                out[dst + f"{ln}.bias"] = sd[s + f"{ln}.bias"]
+            W = sd[s + "attn.c_attn.weight"].T  # Conv1D [in,3h] -> [3h,in]
+            b = sd[s + "attn.c_attn.bias"]
+            for j, p in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[dst + f"attn.{p}.weight"] = np.ascontiguousarray(
+                    W[j * 64 : (j + 1) * 64])
+                out[dst + f"attn.{p}.bias"] = b[j * 64 : (j + 1) * 64]
+            out[dst + "attn.c_proj.weight"] = sd[s + "attn.c_proj.weight"].T
+            out[dst + "attn.c_proj.bias"] = sd[s + "attn.c_proj.bias"]
+            out[dst + "mlp.c_fc.weight"] = sd[s + "mlp.c_fc.weight"].T
+            out[dst + "mlp.c_fc.bias"] = sd[s + "mlp.c_fc.bias"]
+            out[dst + "mlp.c_proj.weight"] = sd[s + "mlp.c_proj.weight"].T
+            out[dst + "mlp.c_proj.bias"] = sd[s + "mlp.c_proj.bias"]
+        pg_cfg = dict(
+            model_type="gpt_pangu", vocab_size=128, hidden_size=64,
+            num_layers=2, num_heads=4, intermediate_size=4 * 64,
+            max_position_embeddings=256, layer_norm_epsilon=1e-5,
+            activation_function="gelu_new", tie_word_embeddings=True)
+        d = Path(tmp) / "pangu"
+        _write_ckpt(d, out, pg_cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.family == "gpt2"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_hrm_dual_stack_flatten_parity():
+    """hrm_text (reference definitions/hrm_text.py): dual L_module/H_module
+    stacks — wrap_hrm_reader must flatten them into one model.layers stack
+    (L first, H offset). A 4-layer llama oracle split 2+2 across the two
+    containers must reproduce the sequential forward exactly."""
+    with tempfile.TemporaryDirectory() as tmp:
+        d, tmodel = _tiny_body(tmp, "llama", num_hidden_layers=4)
+        sd = _torch_sd(tmodel)
+        out = {}
+        for k, v in sd.items():
+            m = re.match(r"^model\.layers\.(\d+)\.(.*)$", k)
+            if m is None:
+                out[k] = v
+                continue
+            i = int(m.group(1))
+            mod = "L_module" if i < 2 else "H_module"
+            out[f"model.{mod}.layers.{i % 2}.{m.group(2)}"] = v
+        hrm_cfg = dict(
+            model_type="hrm_text", vocab_size=128, hidden_size=64,
+            intermediate_size=128, L_layers=2, H_layers=2, num_heads=4,
+            num_key_value_heads=2, rms_norm_eps=1e-6,
+            max_position_embeddings=256, tie_word_embeddings=False)
+        d2 = Path(tmp) / "hrm"
+        _write_ckpt(d2, out, hrm_cfg)
+        spec, params, ids, ours = _jax_logits(d2)
+        assert spec.num_layers == 4
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
+def test_qwen3_5_split_deltanet_parity_constructed():
+    """qwen3_5(_moe)_text (reference definitions/qwen3_5.py /
+    qwen3_5_moe.py): qwen3_next semantics with SEPARATE deltanet
+    projections. Built from a tiny torch qwen3_next by de-interleaving the
+    grouped in_proj_qkvz/-ba into flat in_proj_qkv/-z/-b/-a — parity vs the
+    torch qwen3_next oracle proves the split forward path."""
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="qwen3_next", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            linear_num_value_heads=4, linear_num_key_heads=2,
+            linear_key_head_dim=8, linear_value_head_dim=8,
+            linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, shared_expert_intermediate_size=64,
+            decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=True,
+            max_position_embeddings=256, tie_word_embeddings=False,
+            layer_types=["linear_attention", "full_attention"])
+        torch.manual_seed(0)
+        tmodel = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+        sd = _torch_sd(tmodel)
+        nk, nv, hk, hv = 2, 4, 8, 8
+        grp = nv // nk
+        key_dim, value_dim = nk * hk, nv * hv
+        out = {}
+        for k, v in sd.items():
+            if k.endswith("linear_attn.in_proj_qkvz.weight"):
+                base = k[: -len("in_proj_qkvz.weight")]
+                g = v.reshape(nk, 2 * hk + 2 * grp * hv, -1)
+                q = g[:, :hk].reshape(key_dim, -1)
+                kk = g[:, hk : 2 * hk].reshape(key_dim, -1)
+                vv = g[:, 2 * hk : 2 * hk + grp * hv].reshape(value_dim, -1)
+                z = g[:, 2 * hk + grp * hv :].reshape(value_dim, -1)
+                out[base + "in_proj_qkv.weight"] = np.concatenate([q, kk, vv])
+                out[base + "in_proj_z.weight"] = np.ascontiguousarray(z)
+            elif k.endswith("linear_attn.in_proj_ba.weight"):
+                base = k[: -len("in_proj_ba.weight")]
+                g = v.reshape(nk, 2 * grp, -1)
+                out[base + "in_proj_b.weight"] = np.ascontiguousarray(
+                    g[:, :grp].reshape(nv, -1))
+                out[base + "in_proj_a.weight"] = np.ascontiguousarray(
+                    g[:, grp:].reshape(nv, -1))
+            else:
+                out[k] = v
+        q35_cfg = dict(
+            model_type="qwen3_5_moe_text", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            linear_num_value_heads=4, linear_num_key_heads=2,
+            linear_key_head_dim=8, linear_value_head_dim=8,
+            linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, shared_expert_intermediate_size=64,
+            norm_topk_prob=True, max_position_embeddings=256,
+            tie_word_embeddings=False, rms_norm_eps=1e-6,
+            layer_types=["linear_attention", "full_attention"])
+        d = Path(tmp) / "qwen3_5"
+        _write_ckpt(d, out, q35_cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layers_block_type[0] == "linear"
+        theirs = _torch_logits(tmodel, ids)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
+
+
 # --------------------------------------------------------------------------
 # registry / spec smoke for every batch-3 model_type
 
@@ -419,6 +658,11 @@ def test_batch3_registry_and_spec_smoke():
         "ernie4_5_vl_moe", "ernie4_5_moe_vl", "qwen2_vl_text",
         "qwen2_5_vl_text", "glm4v_moe_text", "bailing_moe", "bailing_hybrid",
         "llada2_moe", "chatglm", "qwen",
+        "internlm", "inkling", "RefinedWeb", "RefinedWebModel", "telechat",
+        "telechat2", "gpt_pangu", "hrm_text", "nemotron_labs_diffusion",
+        "nemotron_h_puzzle", "nemotronh_nano_omni_reasoning_v3",
+        "minimax_m3_vl", "qwen3_5", "qwen3_5_text", "qwen3_5_moe",
+        "qwen3_5_moe_text", "minicpmv4_6",
     ]
     for t in new_types:
         assert t in REGISTRY, t
@@ -438,6 +682,8 @@ def test_batch3_trees_parse_and_expand():
         "zamba", "zamba2", "nemotron_h", "dbrx_converted", "gemma3n",
         "intern_s2_preview", "inkling_mm_model", "ernie4_5_vl_moe",
         "bailing_moe", "llada2_moe",
+        "nemotron_h_puzzle", "minimax_m3_vl", "qwen3_5_moe_text", "hrm_text",
+        "gpt_pangu", "telechat2", "nemotron_labs_diffusion",
     ]:
         plan = parse_module_tree(list(REGISTRY[t].module_tree))
         subsets = plan.build_subsets(num_experts=4)
