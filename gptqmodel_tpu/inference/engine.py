@@ -36,6 +36,25 @@ from gptqmodel_tpu.models.transformer import (
 _NEG = float(np.finfo(np.float32).min)
 
 
+def _kv_slot(k_shape, v_shape, dtype, mode):
+    """One attention layer's KV slot (bf16 | int8 | int4-packed)."""
+    c = {"pos": jnp.int32(0)}
+    if mode == "int4":
+        c["k"] = jnp.zeros(k_shape[:3] + (k_shape[3] // 2,), jnp.uint8)
+        c["v"] = jnp.zeros(v_shape[:3] + (v_shape[3] // 2,), jnp.uint8)
+        c["k_s"] = jnp.zeros(k_shape[:3], jnp.float32)
+        c["v_s"] = jnp.zeros(v_shape[:3], jnp.float32)
+    elif mode == "int8":
+        c["k"] = jnp.zeros(k_shape, jnp.int8)
+        c["v"] = jnp.zeros(v_shape, jnp.int8)
+        c["k_s"] = jnp.zeros(k_shape[:3], jnp.float32)
+        c["v_s"] = jnp.zeros(v_shape[:3], jnp.float32)
+    else:
+        c["k"] = jnp.zeros(k_shape, dtype)
+        c["v"] = jnp.zeros(v_shape, dtype)
+    return c
+
+
 def init_kv_cache(
     spec: ModelSpec, batch: int, max_len: int, dtype=jnp.bfloat16,
     kv_quant: bool | str = False,
@@ -97,6 +116,16 @@ def init_kv_cache(
                 ),
             })
             continue
+        if spec.layer_kv_heads:  # decilm/nemotron-nas per-layer GQA
+            kvh_l = spec.layer_kv_heads[li]
+            if kvh_l == 0:  # attention-free NAS block: no cache slot
+                caches.append({"pos": jnp.int32(0)})
+                continue
+            if kvh_l != spec.num_kv_heads:
+                caches.append(_kv_slot(
+                    (batch, kvh_l, max_len, spec.head_dim),
+                    (batch, kvh_l, max_len, v_dim), dtype, mode))
+                continue
         c = {"pos": jnp.int32(0)}
         if spec.longcat:  # dual attention sublayers per logical layer
             c["k"] = jnp.zeros(k_shape, dtype)

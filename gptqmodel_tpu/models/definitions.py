@@ -1805,6 +1805,24 @@ _REMAP = __import__(
 # subclass): llama body with qkv/o bias (config key "bias")
 REGISTRY["internlm"] = REGISTRY["llama"]
 
+# decilm / nemotron-nas (reference definitions/decilm.py,
+# layer_modules_strict=False "nemotron ultra skips modules"): NAS
+# block_configs make whole sublayers optional — no_op blocks have NO
+# attention/mlp, replace_with_linear blocks carry a single linear_attn /
+# linear_mlp, attention blocks vary GQA via n_heads_in_group
+_DECILM_TREE = (
+    "model", "layers", "#",
+    {
+        "input_layernorm:?": ("input_layernorm:!",),
+        "self_attn:?": ("q_proj:0", "k_proj:0", "v_proj:0", "o_proj:1",
+                        "linear_attn:0"),
+        "post_attention_layernorm:?": ("post_attention_layernorm:!",),
+        "mlp:?": ("gate_proj:0", "up_proj:0", "down_proj:1", "linear_mlp:0"),
+    },
+)
+REGISTRY["deci"] = ModelDef(_DECILM_TREE)
+REGISTRY["nemotron-nas"] = REGISTRY["deci"]
+
 # inkling (reference auto.py maps "inkling_mm_model"; some configs say
 # "inkling")
 REGISTRY["inkling"] = REGISTRY["inkling_mm_model"]

@@ -147,6 +147,10 @@ class ModelSpec:
     moe_input_scaled: bool = False  # llama4: routing weight scales the INPUT
     # mllama: cross-attention layer indices, skipped on text-only forward
     skip_layers: tuple = ()
+    # decilm/nemotron-nas NAS heterogeneity: per-layer kv-head counts from
+    # block_configs (0 = layer has no attention); no_op / replace_with_linear
+    # sublayers are presence-driven in the forward
+    layer_kv_heads: tuple = ()
 
 
 _LLAMA_FAMILY = {
@@ -222,8 +226,8 @@ _SPEC_ALIASES = {
     "longllama": "llama",
     "instella": "llama",
     "mobilellm": "llama",
-    "deci": "llama",  # uniform-config decilm only (NAS block_configs N/A)
-    "nemotron-nas": "llama",
+    "deci": "llama",  # llama body; NAS block_configs handled generically
+    "nemotron-nas": "llama",  # (per-layer GQA / no_op / linear sublayers)
     "ministral3": "mistral",
     "inkling": "inkling_mm_model",
     "nemotron_labs_diffusion": "llama",  # llama-block diffusion encoder
@@ -859,6 +863,19 @@ def spec_from_hf_config(cfg: dict[str, Any]) -> ModelSpec:
         sliding_window=cfg.get("sliding_window") or 0,
         layer_types=tuple(cfg.get("layer_types") or ()),
     )
+
+    bc = cfg.get("block_configs")
+    if bc:
+        # decilm / nemotron-nas NAS blocks (reference definitions/decilm.py;
+        # DeciLM remote code): per-layer attention GQA via n_heads_in_group,
+        # no_op / replace_with_linear sublayers (presence-driven in the
+        # forward — 0 kv heads marks an attention-free layer)
+        common.update(layer_kv_heads=tuple(
+            0 if a.get("no_op") or a.get("replace_with_linear")
+            or not a.get("n_heads_in_group")
+            else heads // int(a["n_heads_in_group"])
+            for a in ((b.get("attention") or {}) for b in bc)
+        ))
 
     if mt == "qwen3" or mt == "qwen3_moe":
         common["qk_norm"] = True

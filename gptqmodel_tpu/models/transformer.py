@@ -84,6 +84,14 @@ def apply_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def linear_out_features(p) -> int:
+    """Static output width of any linear param form (dense dict / packed)."""
+    of = getattr(p, "out_features", 0)
+    if of:
+        return int(of)
+    return int(p["weight"].shape[0])
+
+
 def layer_norm(x: jnp.ndarray, w, b, eps: float):
     """Mean-subtracting LayerNorm (opt/gpt2/cohere); w=None -> non-parametric
     (olmo's OlmoLayerNorm, modeling_olmo.py:28)."""
@@ -433,6 +441,11 @@ def attention(
 ):
     B, T, _ = h.shape
     nh, nkv, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    if spec.layer_kv_heads and "k_proj" in ap:
+        # decilm/nemotron-nas per-layer GQA: derive kv heads from the
+        # layer's own projection shape (robust in every caller — forward,
+        # looper replay, serving — without spec plumbing)
+        nkv = linear_out_features(ap["k_proj"]) // hd
 
     if "qkv_proj" in ap:  # phi3-style fused projection
         _tap(taps, tap_paths, f"{prefix}.qkv_proj", h)
@@ -1109,14 +1122,24 @@ def decoder_layer(
     taps=None,
     tap_paths=frozenset(),
 ):
-    if spec.norm_after:  # olmo2/exaone4: raw input, norm on sublayer output
+    # decilm/nemotron-nas attention-no_op block: no mixer, no input norm
+    # (reference definitions/decilm.py layer_modules_strict=False; the NAS
+    # block_configs mark whole sublayers absent)
+    attn_noop = not any(
+        k in lp for k in ("self_attn", "conv", "linear_attn", "mamba")
+    )
+    if attn_noop:
+        normed = None
+    elif spec.norm_after:  # olmo2/exaone4: raw input, norm on sublayer output
         normed = h
     else:
         normed = sublayer_norm(
             spec, lp.get("input_layernorm") or lp.get("operator_norm")
             or lp.get("attention_layernorm"), h  # apertus naming
         )
-    if "conv" in lp:  # lfm2: gated short conv in the attn slot
+    if attn_noop:
+        attn_out = None
+    elif "conv" in lp:  # lfm2: gated short conv in the attn slot
         attn_out, cache = lfm2_shortconv(
             spec, lp["conv"], normed, cache, taps=taps, tap_paths=tap_paths,
         )
@@ -1131,6 +1154,10 @@ def decoder_layer(
             spec, lp["mamba"], normed, cache, prefix="mamba",
             taps=taps, tap_paths=tap_paths,
         )
+    elif "linear_attn" in lp["self_attn"]:
+        # decilm replace_with_linear: a single Linear in the attention slot
+        _tap(taps, tap_paths, "self_attn.linear_attn", normed)
+        attn_out = apply_linear(lp["self_attn"]["linear_attn"], normed)
     elif "kv_a_proj_with_mqa" in lp["self_attn"]:  # deepseek MLA
         attn_out, cache = mla_attention(
             spec, lp["self_attn"], normed, cos, sin, attn_bias, cache,
@@ -1165,7 +1192,11 @@ def decoder_layer(
             h, pre["weight"], spec.rms_norm_eps, spec.rms_norm_offset,
         )
     else:
-        h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
+        if attn_out is not None:
+            h = h + attn_out * rmult if rmult != 1.0 else h + attn_out
+        if not any(k in lp for k in ("block_sparse_moe", "mlp",
+                                     "feed_forward", "shared_mlp")):
+            return h, cache  # decilm ffn-no_op block
         pre_mlp = (lp.get("post_attention_layernorm")
                    or lp.get("pre_ff_layernorm") or lp.get("ffn_norm")
                    or lp.get("feedforward_layernorm")  # apertus naming
@@ -1200,10 +1231,15 @@ def decoder_layer(
     else:
         mkey = ("mlp" if "mlp" in lp
                 else "feed_forward" if "feed_forward" in lp else "shared_mlp")
-        mlp_out = gated_mlp(
-            spec, lp[mkey], normed2, prefix=mkey,
-            taps=taps, tap_paths=tap_paths,
-        )
+        if "linear_mlp" in lp[mkey]:
+            # decilm ffn replace_with_linear: single Linear in the mlp slot
+            _tap(taps, tap_paths, f"{mkey}.linear_mlp", normed2)
+            mlp_out = apply_linear(lp[mkey]["linear_mlp"], normed2)
+        else:
+            mlp_out = gated_mlp(
+                spec, lp[mkey], normed2, prefix=mkey,
+                taps=taps, tap_paths=tap_paths,
+            )
 
     if spec.norm_after:  # olmo2/exaone4
         mlp_out = sublayer_norm(spec, lp["post_feedforward_layernorm"], mlp_out)

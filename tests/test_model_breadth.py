@@ -632,6 +632,134 @@ def test_qwen3_5_split_deltanet_parity_constructed():
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-3)
 
 
+def test_decilm_nas_blocks_parity_constructed():
+    """decilm / nemotron-nas (reference definitions/decilm.py): NAS
+    block_configs heterogeneity — per-layer GQA (n_heads_in_group), no_op
+    sublayers, replace_with_linear sublayers. Oracle: a hand-written torch
+    forward implementing exactly the DeciLM block semantics over the same
+    tensors (llama rope/rms/swiglu pieces)."""
+    import torch
+
+    h, nh, hd, V = 64, 4, 16, 128
+    inter = 96
+    torch.manual_seed(0)
+
+    def lin(o, i):
+        return (torch.randn(o, i, dtype=torch.float64) * 0.07).float()
+
+    # block plan: [full kv=2 + mlp, noop-attn + mlp, linear+linear,
+    #              full kv=1 + noop-ffn]
+    tensors = {}
+    P = {}
+
+    def add(name, t):
+        tensors[name] = t
+        P[name] = torch.as_tensor(t)
+
+    add("model.embed_tokens.weight", lin(V, h))
+    add("model.norm.weight", torch.ones(h))
+    add("lm_head.weight", lin(V, h))
+
+    for i, kvh in ((0, 2), (3, 1)):
+        p = f"model.layers.{i}."
+        add(p + "input_layernorm.weight", torch.ones(h) + 0.1 * i)
+        add(p + "self_attn.q_proj.weight", lin(nh * hd, h))
+        add(p + "self_attn.k_proj.weight", lin(kvh * hd, h))
+        add(p + "self_attn.v_proj.weight", lin(kvh * hd, h))
+        add(p + "self_attn.o_proj.weight", lin(h, nh * hd))
+    for i in (0, 1):
+        p = f"model.layers.{i}."
+        add(p + "post_attention_layernorm.weight", torch.ones(h) - 0.05 * i)
+        add(p + "mlp.gate_proj.weight", lin(inter, h))
+        add(p + "mlp.up_proj.weight", lin(inter, h))
+        add(p + "mlp.down_proj.weight", lin(h, inter))
+    add("model.layers.2.self_attn.linear_attn.weight", lin(h, h))
+    add("model.layers.2.post_attention_layernorm.weight", torch.ones(h))
+    add("model.layers.2.mlp.linear_mlp.weight", lin(h, h))
+
+    cfg = dict(
+        model_type="nemotron-nas", vocab_size=V, hidden_size=h,
+        intermediate_size=inter, num_hidden_layers=4,
+        num_attention_heads=nh, num_key_value_heads=2, rms_norm_eps=1e-6,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        block_configs=[
+            {"attention": {"n_heads_in_group": 2}, "ffn": {}},
+            {"attention": {"no_op": True}, "ffn": {}},
+            {"attention": {"replace_with_linear": True},
+             "ffn": {"replace_with_linear": True}},
+            {"attention": {"n_heads_in_group": 4}, "ffn": {"no_op": True}},
+        ])
+
+    def rms(x, w, eps=1e-6):
+        v = x.pow(2).mean(-1, keepdim=True)
+        return x * torch.rsqrt(v + eps) * w
+
+    def rope_cs(T, theta=10000.0):
+        inv = 1.0 / theta ** (torch.arange(0, hd, 2).float() / hd)
+        t = torch.arange(T).float()[:, None] * inv[None, :]
+        emb = torch.cat([t, t], dim=-1)
+        return emb.cos(), emb.sin()
+
+    def rot_half(x):
+        x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+        return torch.cat([-x2, x1], dim=-1)
+
+    def attention(x, p, kvh):
+        B, T, _ = x.shape
+        q = (x @ P[p + "self_attn.q_proj.weight"].T).view(B, T, nh, hd)
+        k = (x @ P[p + "self_attn.k_proj.weight"].T).view(B, T, kvh, hd)
+        v = (x @ P[p + "self_attn.v_proj.weight"].T).view(B, T, kvh, hd)
+        cos, sin = rope_cs(T)
+        q = q * cos[None, :, None] + rot_half(q) * sin[None, :, None]
+        k = k * cos[None, :, None] + rot_half(k) * sin[None, :, None]
+        k = k.repeat_interleave(nh // kvh, dim=2)
+        v = v.repeat_interleave(nh // kvh, dim=2)
+        q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+        logits = (q @ k.transpose(-1, -2)) * hd ** -0.5
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        probs = torch.softmax(logits + mask, dim=-1)
+        out = (probs @ v).transpose(1, 2).reshape(B, T, nh * hd)
+        return out @ P[p + "self_attn.o_proj.weight"].T
+
+    def mlp(x, p):
+        g = x @ P[p + "mlp.gate_proj.weight"].T
+        u = x @ P[p + "mlp.up_proj.weight"].T
+        return (torch.nn.functional.silu(g) * u) @ P[p + "mlp.down_proj.weight"].T
+
+    def oracle(ids):
+        x = P["model.embed_tokens.weight"][torch.as_tensor(ids)]
+        # L0: full attn kv=2 + mlp
+        p = "model.layers.0."
+        x = x + attention(rms(x, P[p + "input_layernorm.weight"]), p, 2)
+        x = x + mlp(rms(x, P[p + "post_attention_layernorm.weight"]), p)
+        # L1: attention no_op, mlp only
+        p = "model.layers.1."
+        x = x + mlp(rms(x, P[p + "post_attention_layernorm.weight"]), p)
+        # L2: linear attention + linear mlp
+        p = "model.layers.2."
+        x = x + rms(x, P["model.layers.2.input_layernorm.weight"]) @ (
+            P[p + "self_attn.linear_attn.weight"].T)
+        x = x + rms(x, P[p + "post_attention_layernorm.weight"]) @ (
+            P[p + "mlp.linear_mlp.weight"].T)
+        # L3: full attn kv=1, ffn no_op
+        p = "model.layers.3."
+        x = x + attention(rms(x, P[p + "input_layernorm.weight"]), p, 1)
+        x = rms(x, P["model.norm.weight"])
+        return x @ P["lm_head.weight"].T
+
+    # L2 needs an input_layernorm for the linear-attn slot
+    add("model.layers.2.input_layernorm.weight", torch.ones(h) + 0.02)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = Path(tmp) / "decilm"
+        _write_ckpt(d, {k: np.asarray(v) for k, v in tensors.items()}, cfg)
+        spec, params, ids, ours = _jax_logits(d)
+        assert spec.layer_kv_heads == (2, 0, 0, 1)
+        with torch.no_grad():
+            theirs = oracle(ids).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=3e-4)
+
+
 # --------------------------------------------------------------------------
 # registry / spec smoke for every batch-3 model_type
 
