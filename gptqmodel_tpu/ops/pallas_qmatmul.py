@@ -348,17 +348,45 @@ def rt_supported(bits: int, group_size: int, K: int) -> bool:
     return g % 128 == 0 and K % (8 * g) == 0
 
 
-def rt_block_k_for(K: int, group_size: int, groups_per_tile: int = 0) -> int:
+def _shape_map_lookup(env: str, K: int, N: int) -> int:
+    """Per-shape tuning override: env holds ``KxN=v,...`` (or ``N=v`` to match
+    any K). Returns 0 when no entry matches — callers fall through to their
+    default. Lets one process A/B per-projection configs end-to-end."""
+    import os
+
+    raw = os.environ.get(env, "")
+    if not raw:
+        return 0
+    for entry in raw.split(","):
+        if "=" not in entry:
+            continue
+        key, val = entry.split("=")
+        if "x" in key:
+            kk, nn = key.split("x")
+            if int(kk) == K and int(nn) == N:
+                return int(val)
+        elif int(key) == N:
+            return int(val)
+    return 0
+
+
+def rt_block_k_for(
+    K: int, group_size: int, groups_per_tile: int = 0, N: int = 0
+) -> int:
     """Repack/kernel K-tile: ``groups_per_tile`` groups (>= 8 for the Mosaic
     sublane rule on the scales block). Bigger tiles cut grid/DMA overhead —
-    0 resolves the default from GPTQ_TPU_RT_GROUPS (8)."""
+    0 resolves per-shape GPTQ_TPU_GROUPS_MAP, then GPTQ_TPU_RT_GROUPS (16)."""
     import os
 
     g = group_size if group_size > 0 else K
     # default 16 groups/tile: measured +12% kernel throughput over 8 on v5e
     # (fewer grid blocks / DMA descriptors); falls back by halving when the
     # tile doesn't divide K
-    gpt = groups_per_tile or int(os.environ.get("GPTQ_TPU_RT_GROUPS", "16"))
+    gpt = (
+        groups_per_tile
+        or (_shape_map_lookup("GPTQ_TPU_GROUPS_MAP", K, N) if N else 0)
+        or int(os.environ.get("GPTQ_TPU_RT_GROUPS", "16"))
+    )
     gpt = max(8, gpt)
     while gpt > 8 and (K % (gpt * g) != 0):
         gpt //= 2
@@ -442,9 +470,12 @@ def qmatmul(
 
     # decode default 2048: consistently +1-5pp roofline over 1024 in paired
     # interleaved A/B on v5e (chip-state drift between runs is larger than
-    # the effect, so always compare configs back-to-back)
-    bn_default = int(os.environ.get("GPTQ_TPU_BN", "0")) or (
-        2048 if M <= 16 else 512
+    # the effect, so always compare configs back-to-back). Per-shape override
+    # GPTQ_TPU_BN_MAP ("KxN=bn" / "N=bn") beats the flat GPTQ_TPU_BN.
+    bn_default = (
+        _shape_map_lookup("GPTQ_TPU_BN_MAP", K, N)
+        or int(os.environ.get("GPTQ_TPU_BN", "0"))
+        or (2048 if M <= 16 else 512)
     )
     bn = min(block_n or bn_default, N)
     gpk = bk // g

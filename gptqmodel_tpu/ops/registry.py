@@ -199,7 +199,9 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
     if p.g_idx is None and not p.planar and pallas_qmatmul.rt_supported(
         p.bits, p.group_size, p.in_features
     ):
-        rt_bk = pallas_qmatmul.rt_block_k_for(p.in_features, p.group_size)
+        rt_bk = pallas_qmatmul.rt_block_k_for(
+            p.in_features, p.group_size, N=p.out_features
+        )
         qweight = jnp.asarray(
             packing.repack_rt(np.asarray(p.qweight), p.bits, rt_bk)
         )
