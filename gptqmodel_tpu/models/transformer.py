@@ -845,6 +845,23 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     return out.astype(x.dtype)
 
 
+def _moe_stacked_dispatch(spec: ModelSpec, mp, x, top_w, top_i):
+    """Route stacked-expert dispatch through EP (parallel/expert.py) when the
+    registry's expert-parallel context is set; single-device ragged apply
+    otherwise. Callers have already checked a stacked form is present."""
+    from gptqmodel_tpu.ops.registry import expert_parallel
+
+    packed = "experts_stacked_q" in mp
+    st = mp["experts_stacked_q"] if packed else mp["experts_stacked"]
+    epc = expert_parallel()
+    if epc is not None:
+        from gptqmodel_tpu.parallel.expert import moe_forward_ep
+
+        return moe_forward_ep(spec, st, x, top_w, top_i, epc[0], epc[1], packed)
+    fn = _moe_ragged_apply_q if packed else _moe_ragged_apply
+    return fn(spec, st, x, top_w, top_i)
+
+
 def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
     """Ragged/gmm expert dispatch: sort tokens by expert, one
     ``jax.lax.ragged_dot`` per projection over [E, in, out] stacked weights
@@ -927,7 +944,7 @@ def moe_mlp(
             top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     if "experts_stacked_q" in mp and taps is None:  # packed ragged path
-        out = _moe_ragged_apply_q(spec, mp["experts_stacked_q"], x, top_w, top_i)
+        out = _moe_stacked_dispatch(spec, mp, x, top_w, top_i)
         if "shared_experts" in mp:
             out = out + gated_mlp(spec, mp["shared_experts"], x)
         if "shared_expert" in mp:
@@ -942,7 +959,7 @@ def moe_mlp(
             out = out + gated_mlp(spec, mp["shared_mlp"], x)
         return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
-        out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
+        out = _moe_stacked_dispatch(spec, mp, x, top_w, top_i)
         if "shared_expert" in mp:
             se = gated_mlp(spec, mp["shared_expert"], x)
             if "shared_expert_gate" in mp:  # qwen2_moe sigmoid gate
@@ -1070,12 +1087,12 @@ def deepseek_moe(
     top_w = top_w * spec.routed_scaling_factor
 
     if "experts_stacked_q" in mp and taps is None:  # packed ragged path
-        out = _moe_ragged_apply_q(spec, mp["experts_stacked_q"], x, top_w, top_i)
+        out = _moe_stacked_dispatch(spec, mp, x, top_w, top_i)
         if "shared_experts" in mp:
             out = out + gated_mlp(spec, mp["shared_experts"], x)
         return out.reshape(B, T, D)
     if "experts_stacked" in mp and taps is None:  # ragged inference path
-        out = _moe_ragged_apply(spec, mp["experts_stacked"], x, top_w, top_i)
+        out = _moe_stacked_dispatch(spec, mp, x, top_w, top_i)
         if "shared_experts" in mp:
             out = out + gated_mlp(spec, mp["shared_experts"], x)
         return out.reshape(B, T, D)

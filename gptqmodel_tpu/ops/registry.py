@@ -66,6 +66,22 @@ def attention_backend() -> str:
     return _ATTN_BACKEND
 
 
+# expert-parallel context: (mesh, axis) or None. Set by serving/tests after
+# parallel.expert.shard_expert_stacks; moe_mlp routes stacked dispatch
+# through parallel.expert.moe_forward_ep when set (same pin pattern as the
+# attention backend).
+_EP_CTX = None
+
+
+def set_expert_parallel(mesh=None, axis: str = "expert"):
+    global _EP_CTX
+    _EP_CTX = None if mesh is None else (mesh, axis)
+
+
+def expert_parallel():
+    return _EP_CTX
+
+
 def select_kernel(p: QuantLinear) -> str:
     """Resolve the compute kernel for a packed module under the current
     backend setting. AUTO: pallas on TPU when the contract matches."""

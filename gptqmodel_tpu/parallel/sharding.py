@@ -111,7 +111,12 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
         )
     if isinstance(tree, QuantLinear):
         spec = _quant_spec(_leaf_name, model_axis)
-        return QuantLinear(
+        # dataclasses.replace keeps ALL meta fields (rt_layout, rt_block_k,
+        # zero_const, planar, a8, had_block, ...) — reconstructing from
+        # scratch would silently demote post-init rt modules to the wrong
+        # dequant semantics after shard_params
+        return _dc.replace(
+            tree,
             qweight=spec["qweight"],
             qzeros=spec["qzeros"],
             scales=spec["scales"],
@@ -122,9 +127,6 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
             lora_B=None if tree.lora_B is None else P(),
             rot_theta=None if tree.rot_theta is None else P(),
             rot_scales=None if tree.rot_scales is None else P(),
-            bits=tree.bits, group_size=tree.group_size,
-            in_features=tree.in_features, out_features=tree.out_features,
-            sym=tree.sym, v1=tree.v1,
         )
     if isinstance(tree, dict):
         out = {}
@@ -196,11 +198,7 @@ def _tree_zip_map(fn, tree, specs):
         for f in ("qweight", "qzeros", "scales", "g_idx", "bias", "zvals",
                   "lora_A", "lora_B", "rot_theta", "rot_scales"):
             kw[f] = fn(getattr(tree, f), getattr(specs, f) if getattr(specs, f) is not None else P())
-        return QuantLinear(
-            **kw, bits=tree.bits, group_size=tree.group_size,
-            in_features=tree.in_features, out_features=tree.out_features,
-            sym=tree.sym, v1=tree.v1,
-        )
+        return _dc.replace(tree, **kw)  # keep all meta (rt_layout etc)
     if isinstance(tree, dict):
         return {k: _tree_zip_map(fn, v, specs[k]) for k, v in tree.items()}
     if isinstance(tree, list):

@@ -52,3 +52,28 @@ def test_shard_params_places_on_mesh():
     # indivisible dims fall back to replication rather than erroring
     norm = sharded["model"]["layers"][0]["input_layernorm"]["weight"]
     assert norm.sharding.is_fully_replicated
+
+
+def test_shard_params_preserves_runtime_meta():
+    """rt-repacked (post-init) modules must keep rt_layout/rt_block_k/
+    zero_const through shard_params — losing them silently corrupts the
+    dequant semantics of the sharded forward."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gptqmodel_tpu.ops.registry import post_init_params
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    spec = tiny_spec(hidden=1024, layers=1, heads=8, kv_heads=4, inter=2048,
+                     vocab=512)
+    params = quantize_params_rtn(random_dense_params(spec), bits=4, group_size=128)
+    params = post_init_params(params)
+    q0 = params["model"]["layers"][0]["self_attn"]["q_proj"]
+    assert q0.rt_layout and q0.rt_block_k > 0  # precondition: rt actually on
+    sharded = shard_params(params, mesh)
+    q1 = sharded["model"]["layers"][0]["self_attn"]["q_proj"]
+    assert q1.rt_layout == q0.rt_layout
+    assert q1.rt_block_k == q0.rt_block_k
+    assert q1.zero_const == q0.zero_const
+    # specs mirror keeps meta too
+    sp = param_pspecs(params)["model"]["layers"][0]["self_attn"]["q_proj"]
+    assert sp.rt_layout == q0.rt_layout and sp.rt_block_k == q0.rt_block_k
