@@ -573,6 +573,25 @@ def _quantize_group(
 
             W_cat = fht_np(W_cat.astype(np.float64), had_b).astype(np.float32)
 
+        # model-wide pre-quant Smoother preprocessor (reference SmootherConfig
+        # config.py:1127 + module_preprocessor.py plan; numerics
+        # fallback_smooth.py::smooth_block). Applied in solve space (after the
+        # optional Hadamard) so a rowcol scale folds consistently into the
+        # solver's per-group scales below.
+        pre_scale = None
+        if qcfg.smooth is not None and not cfg.mock_quantization:
+            from gptqmodel_tpu.quantization.smooth import smooth_weight
+
+            W_sm, pre_scale = smooth_weight(
+                W_cat, qcfg.smooth, cfg.group_size,
+                group_threshold=qcfg.smooth_group_threshold,
+            )
+            if pre_scale is not None and cfg.method == METHOD.PAROQUANT:
+                log.warning("smooth rowcol incompatible with paroquant; skipped")
+                pre_scale = None
+            else:
+                W_cat = W_sm
+
         fallback = n_rows < max(qcfg.fallback_min_samples, 1)
         paro_attach = None
         if cfg.mock_quantization or cfg.method == METHOD.RTN or fallback:
@@ -587,9 +606,11 @@ def _quantize_group(
                 W_cat, bits=cfg.bits, group_size=cfg.group_size,
                 sym=cfg.sym, mse=cfg.mse > 0,
             )
-            if row_scale is not None:  # fold rms_row factor back
-                res.scales = res.scales * row_scale[None, :]
-                res.Wq = res.Wq * row_scale[:, None]
+            if row_scale is not None:  # fold rowcol factor back
+                # row_scale [n_groups, out] aligns with res.scales
+                res.scales = res.scales * row_scale
+                g_eff = W_cat.shape[1] // row_scale.shape[0]
+                res.Wq = res.Wq * np.repeat(row_scale.T, g_eff, axis=1)
         elif cfg.method == METHOD.PAROQUANT:
             # learned pairwise-rotation quantization (quantization/paroquant)
             from gptqmodel_tpu.quantization.gptq import GPTQResult
@@ -674,6 +695,17 @@ def _quantize_group(
             paro_attach = None
             had_b = 0
             fallback = True
+            pre_scale = None  # recovery re-quantized RAW weights
+        if pre_scale is not None:  # fold the Smoother rowcol factor back
+            g_eff = W_cat.shape[1] // pre_scale.shape[0]
+            res.Wq = res.Wq * np.repeat(pre_scale.T, g_eff, axis=1)
+            if pre_scale.shape[0] != res.scales.shape[0]:  # tp_pad tail groups
+                pre_scale = np.vstack([
+                    pre_scale,
+                    np.ones((res.scales.shape[0] - pre_scale.shape[0],
+                             pre_scale.shape[1]), np.float32),
+                ])
+            res.scales = res.scales * pre_scale
         solve_t = time.perf_counter() - t0
         durations["solve"] += solve_t
 

@@ -86,8 +86,18 @@ def moe_forward_ep(spec, stacked, x, top_w, top_i, mesh: Mesh, axis: str,
             out = _moe_ragged_apply(spec, st, x, w, li)
         return jax.lax.psum(out, axis)
 
+    # jax>=0.7 renamed check_rep -> check_vma; probe once and pass the right
+    # kwarg (psum of a shard-local partial is VMA-invalid under strict checking
+    # because each shard's pre-psum value genuinely differs).
+    import inspect
+
+    kw = {}
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        kw["check_vma"] = False
+    elif "check_rep" in params:
+        kw["check_rep"] = False
     return shard_map(
         local, mesh=mesh,
-        in_specs=(st_specs, rep, rep, rep), out_specs=rep,
-        check_rep=False,
+        in_specs=(st_specs, rep, rep, rep), out_specs=rep, **kw,
     )(stacked, x, top_w, top_i)

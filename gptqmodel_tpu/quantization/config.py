@@ -103,8 +103,16 @@ class QuantizeConfig:
     # failsafe: modules with fewer calibration samples than this fall back to RTN
     fallback_min_samples: int = 1
     # weight smoothing applied on the failsafe path before RTN:
-    # "percentile" | "mad" | "rms_row" | None (reference SmoothMethods)
-    fallback_smooth: Optional[str] = None
+    # name from smooth.SMOOTH_METHODS (or legacy "rms_row") or a
+    # {"type": ..., **params} dict (reference SmoothMethods config.py:882-1046)
+    fallback_smooth: Optional[Any] = None
+    # model-wide pre-quant Smoother preprocessor (reference SmootherConfig
+    # config.py:1127 + looper/module_preprocessor.py): same method spec as
+    # fallback_smooth, applied to EVERY module's weights before the solve.
+    # Gated off when group_size < smooth_group_threshold (reference
+    # SmoothMethod.group_size_threshold, config.py:886).
+    smooth: Optional[Any] = None
+    smooth_group_threshold: int = 128
     device: Optional[str] = None
     meta: dict = field(default_factory=dict)
 

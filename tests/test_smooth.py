@@ -33,10 +33,19 @@ def test_rms_row_exact_fold():
         -2, 1, 8
     )[:, None].astype(np.float32)
     Ws, rs = smooth_weight(W, "rms_row", group_size=32)
-    np.testing.assert_allclose(Ws * rs[:, None], W, rtol=1e-6)
+    assert rs.shape == (1, 8)  # [n_groups, out]
+    np.testing.assert_allclose(Ws * rs.T, W, rtol=1e-6)
     # rows now comparable magnitude
     rms = np.sqrt((Ws**2).mean(1))
     np.testing.assert_allclose(rms, 1.0, rtol=1e-5)
+
+
+def test_rowcol_per_chunk_fold():
+    rng = np.random.default_rng(7)
+    W = rng.standard_normal((4, 128)).astype(np.float32)
+    Ws, rs = smooth_weight(W, {"type": "rowcol", "axis": "row"}, group_size=32)
+    assert rs.shape == (4, 4)  # [n_groups, out]
+    np.testing.assert_allclose(Ws * np.repeat(rs.T, 32, axis=1), W, rtol=1e-6)
 
 
 def test_failsafe_smooth_quality_on_outlier_weights():
@@ -66,3 +75,44 @@ def test_failsafe_smooth_quality_on_outlier_weights():
         out = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
                          dtype=__import__("jax.numpy", fromlist=["x"]).float32)
         assert out.shape == (1, 3)
+
+
+def test_model_wide_smoother_preprocessor():
+    """qcfg.smooth applies the Smoother to every module pre-solve (reference
+    SmootherConfig + module_preprocessor plan) and stays load/generate-able,
+    including the rowcol scale fold through the GPTQ solver."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from tests.test_e2e_quantize import _calib, _fidelity, _make_tiny
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        calib = _calib(8, 32)
+        eval_ids = np.stack(_calib(2, 24, seed=9))
+
+        fp = GPTQModel.load(src)
+        fp._load_params()
+        fp_logits = np.asarray(
+            forward_logits(fp.spec, fp.params, jnp.asarray(eval_ids)))
+
+        for smooth in ({"type": "percentile", "percentile": 99.5},
+                       {"type": "rowcol", "axis": "row"}):
+            m = GPTQModel.load(src, QuantizeConfig(
+                bits=4, group_size=32, smooth=smooth, smooth_group_threshold=0))
+            rows = m.quantize(calib, batch_size=4)
+            assert len(rows) == 2 * 7
+            q = np.asarray(
+                forward_logits(m.spec, m.params, jnp.asarray(eval_ids)))
+            assert _fidelity(q, fp_logits) < 0.15, smooth
+
+        # threshold gate: group_size 32 < 128 -> smoother inert, results equal
+        # to a plain run
+        a = GPTQModel.load(src, QuantizeConfig(bits=4, group_size=32))
+        b = GPTQModel.load(src, QuantizeConfig(
+            bits=4, group_size=32, smooth={"type": "mad", "k": 2.75}))
+        ra = a.quantize(calib, batch_size=4)
+        rb = b.quantize(calib, batch_size=4)
+        np.testing.assert_allclose(
+            [r["loss"] for r in ra], [r["loss"] for r in rb])
