@@ -1,0 +1,136 @@
+"""Import pieces of the reference implementation (/root/reference) as CPU
+torch test oracles.
+
+The reference package assumes a CUDA box with exotic deps (pcre, logbar,
+device_smi, ...). We stub just enough of those for the pure-math modules —
+quantizer/gptq/packing — to import and run on CPU. Used by
+tests/test_reference_parity.py; legitimate validation use, not code reuse.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import sys
+import types
+
+REF = "/root/reference"
+_installed = False
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_reference(extra_stubs: dict | None = None):
+    """Make `import gptqmodel.<...>` resolve against /root/reference with
+    hardware/telemetry deps stubbed. Idempotent."""
+    global _installed
+    if _installed:
+        return
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    _stub("pcre", compile=re.compile, Flag=re.RegexFlag, match=re.match,
+          search=re.search, sub=re.sub)
+
+    class _OnceFn:
+        """Callable with the reference logger's `.once(...)` attribute."""
+
+        def __init__(self, fn):
+            self._fn = fn
+            self.once = lambda *a, **k: None
+
+        def __call__(self, *a, **k):
+            return self._fn(*a, **k)
+
+    class _Log(logging.Logger):
+        def __getattribute__(self, name):
+            v = super().__getattribute__(name)
+            if name in ("info", "warn", "warning", "error", "debug", "critical"):
+                return _OnceFn(v)
+            return v
+
+        def pb(self, it=None, *a, **k):
+            class _PB:
+                def __init__(self, it):
+                    self._it = it if it is not None else []
+
+                def __iter__(self):
+                    return iter(self._it)
+
+                def __call__(self, it):
+                    return iter(it)
+
+                def manual(self):
+                    return self
+
+                def set(self, *a, **k):
+                    return self
+
+                def title(self, *a, **k):
+                    return self
+
+                def subtitle(self, *a, **k):
+                    return self
+
+                def draw(self):
+                    return self
+
+                def next(self):
+                    return self
+
+                def close(self):
+                    return self
+
+            return _PB(it)
+
+    logging.setLoggerClass(_Log)
+    lg = logging.getLogger("ref_oracle")
+    logging.setLoggerClass(logging.Logger)
+
+    class _LB:
+        @staticmethod
+        def shared(*a, **k):
+            return lg
+
+        @staticmethod
+        def setup(*a, **k):
+            return lg
+
+    _stub("logbar", LogBar=_LB)
+
+    class _Device:
+        def __init__(self, *a, **k):
+            self.memory_total = 1 << 34
+            self.memory_used = 0
+
+        def info(self):
+            return self
+
+    _stub("device_smi", Device=_Device)
+
+    for name, attrs in (extra_stubs or {}).items():
+        _stub(name, **attrs)
+    _installed = True
+
+
+def try_import(path: str):
+    """Import a reference module path after install_reference(), adding
+    stubs for any further leaf deps as they surface. Returns the module."""
+    install_reference()
+    import importlib
+
+    for _ in range(12):
+        try:
+            return importlib.import_module(path)
+        except ModuleNotFoundError as e:
+            missing = e.name
+            if missing is None or missing.startswith("gptqmodel"):
+                raise
+            _stub(missing)
+    return importlib.import_module(path)
