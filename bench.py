@@ -204,9 +204,17 @@ def main():
     roofline_steps = bw * 1e9 / packed_model_bytes(spec, bits, g)
     vs = (1.0 / step_time) / roofline_steps  # fraction of roofline step rate
 
+    # measured consume-everything wall on this chip (sessions M/N/O/P2/Q,
+    # STATUS.md round-2 decomposition): any kernel that reads every loaded
+    # byte — incl. XLA's own dense bf16 matmul (702) — caps at ~700 GB/s;
+    # the 819 nameplate is only reachable by touch-free DMA probes.
+    wall_gbps = 700.0
+    vs_wall = (1.0 / step_time) / (wall_gbps * 1e9 / packed_model_bytes(spec, bits, g))
     _log(
         f"decode: {step_time*1e3:.2f} ms/step, {toks_per_s:.1f} tok/s (B={B}), "
-        f"roofline {roofline_steps:.1f} steps/s -> {vs*100:.1f}% of roofline"
+        f"roofline {roofline_steps:.1f} steps/s -> {vs*100:.1f}% of nameplate "
+        f"roofline ({vs_wall*100:.1f}% of the measured ~{wall_gbps:.0f} GB/s "
+        f"consuming-kernel wall)"
     )
     print(json.dumps({
         "metric": f"llama3-8b-gptq4 decode tok/s/chip (B={B}, {spec.num_layers}L)"
@@ -214,6 +222,7 @@ def main():
         "value": round(toks_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 4),
+        "vs_measured_wall": round(vs_wall, 4),
     }))
 
 

@@ -256,7 +256,13 @@ def quantize_model(
         return fn
 
     # ---- the layer loop ----------------------------------------------------
-    quant_log: list[dict] = []
+    # streaming observability (reference gptq_processor.py:349-361 stat rows):
+    # every quant_log.append logs one colored stat line and lands in the
+    # stream CSV immediately — a multi-hour quant narrates itself
+    from gptqmodel_tpu.utils.observe import QuantReporter, ReportingList
+
+    reporter = QuantReporter(total_layers=spec.num_layers)
+    quant_log: list[dict] = ReportingList(reporter)
     out_layers: list[dict] = []
     durations = {"forward": 0.0, "solve": 0.0, "pack": 0.0}
 
@@ -269,7 +275,40 @@ def quantize_model(
         [[m for s in subsets for m in s]] if awq_mode else subsets
     )
 
-    for li in range(spec.num_layers):
+    # mid-quant durability: persist each finished layer + replay state;
+    # resume from the last complete layer after a crash (journal.py)
+    from gptqmodel_tpu.looper.journal import QuantJournal
+
+    journal = QuantJournal(
+        qcfg.journal,
+        {k: v for k, v in qcfg.to_dict().items() if k != "journal"},
+        np.asarray(ids_all), np.asarray(mask_all), str(model_dir),
+    )
+    # finalize/pack overlap (reference drains pack+offload futures in a
+    # background thread while the next layer forwards, stage_layer.py:714-940):
+    # host packing and journal writes run in workers; futures resolve after
+    # this layer's replay, so pack hides under the remaining solves + replay
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = (
+        ThreadPoolExecutor(max_workers=qcfg.pack_workers)
+        if qcfg.pack_workers > 0 else None
+    )
+    journal_future = None
+    start_layer = 0
+    resume = journal.resume_point()
+    if resume is not None:
+        start_layer, out_layers, rows, hidden, hidden_fp_r = resume
+        if gptaq_on:
+            if hidden_fp_r is None:
+                log.warning("journal lacks native-stream state; restarting")
+                start_layer, out_layers = 0, []
+            else:
+                hidden_fp = hidden_fp_r
+        list.extend(quant_log, rows)  # restored rows: no re-narration
+
+    for li in range(start_layer, spec.num_layers):
+        _rows_before = len(quant_log)
         t_layer = time.perf_counter()
         lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d,
                                layer_container=mdef.layers_container)
@@ -338,6 +377,7 @@ def quantize_model(
                         qlayer_mods, quant_log, durations,
                         dxxt=None if Ds is None else Ds[grp.tap],
                         gptaq_alpha=gptaq_alpha, foem_beta=foem_beta,
+                        executor=executor,
                     )
 
         # replay with fully-quantized layer -> next layer inputs
@@ -351,14 +391,33 @@ def quantize_model(
         durations["forward"] += time.perf_counter() - t0
 
         # assemble output layer: QuantLinear leaves replace dense modules
+        # (pack futures from the overlap executor resolve here — they had the
+        # whole solve+replay window to finish)
         layer_out = jax.tree.map(np.asarray, lp)
         for path, qmod in qlayer_mods.items():
+            if hasattr(qmod, "result"):
+                qmod = qmod.result()
             set_by_path(layer_out, path, qmod)
         out_layers.append(layer_out)
         log.info(
             "layer %d/%d quantized in %.2fs",
             li + 1, spec.num_layers, time.perf_counter() - t_layer,
         )
+        reporter.layer_done(li, durations)
+        if journal.dir is not None:
+            # hidden entries are REBOUND (not mutated) by replay, so shallow
+            # list copies give the worker a consistent post-layer-li snapshot
+            rows_li = list(quant_log[_rows_before:])
+            h_snap = list(hidden)
+            f_snap = list(hidden_fp) if gptaq_on else None
+            if executor is not None:
+                if journal_future is not None:
+                    journal_future.result()  # keep saves ordered, depth 1
+                journal_future = executor.submit(
+                    journal.save_layer, li, layer_out, rows_li, h_snap, f_snap
+                )
+            else:
+                journal.save_layer(li, layer_out, rows_li, h_snap, f_snap)
 
     # ---- optional lm_head quantization -------------------------------------
     if qcfg.lm_head and not spec.tie_word_embeddings and "lm_head" in base:
@@ -371,7 +430,13 @@ def quantize_model(
     params = dict(base)
     set_model_layers(spec, params, out_layers)
 
+    if journal_future is not None:
+        journal_future.result()
+    if executor is not None:
+        executor.shutdown(wait=True)
     durations["total"] = time.perf_counter() - t_start
+    reporter.close()
+    journal.finalize()
     return QuantResult(
         params=params,
         quant_log=quant_log,
@@ -411,7 +476,10 @@ def weight_only_quantize(
                  if mdef.dynamic_expert_index else mdef.detected_num_experts)
     modules = [m for s in plan.build_subsets(n_experts) for m in s]
 
-    quant_log: list[dict] = []
+    from gptqmodel_tpu.utils.observe import QuantReporter, ReportingList
+
+    reporter = QuantReporter(total_layers=spec.num_layers)
+    quant_log: list[dict] = ReportingList(reporter)
     out_layers: list[dict] = []
     for li in range(spec.num_layers):
         lp = build_params_tree(reader, layer_filter=li, conv1d_suffixes=conv1d,
@@ -521,8 +589,14 @@ def _quantize_group(
     dxxt=None,
     gptaq_alpha: float = 0.25,
     foem_beta: float = 0.0,
+    executor=None,
 ):
-    """Solve all members of an input group (batched when configs match)."""
+    """Solve all members of an input group (batched when configs match).
+
+    With ``executor``, the host pack of each member is submitted as a future
+    stored in ``qlayer_mods`` (resolved by the caller after replay) so packing
+    overlaps the remaining solves + replay (reference stage_layer.py:714-940
+    finalize-future drain)."""
     same_cfg = all(c == grp.cfgs[0] for c in grp.cfgs[1:])
     H = (2.0 / max(n_rows, 1.0)) * G
     if dxxt is not None:
@@ -721,19 +795,30 @@ def _quantize_group(
             row0 += out_f
             dense = get_by_path(lp, m)
             bias = dense.get("bias")
-            qmod = make_quant_linear(
-                Q=res.Q[sl], scales=res.scales[:, sl], zeros=res.zeros[:, sl],
-                g_idx=res.g_idx, bias=None if bias is None else np.asarray(bias),
-                bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
-                planar=cfg.format == FORMAT.GPTQ_P,
-                a8=cfg.method == METHOD.QQQ,
-                had_block=had_b,
-            )
-            if paro_attach is not None:
-                pres_, rg_ = paro_attach
-                qmod.rot_theta = jnp.asarray(pres_.theta)
-                qmod.rot_scales = jnp.asarray(pres_.chan_scales)
-                qmod.rot_group = rg_
+
+            def build_qmod(
+                sl=sl, bias=None if bias is None else np.asarray(bias),
+                cfg=cfg, lora=None,
+            ):
+                qmod = make_quant_linear(
+                    Q=res.Q[sl], scales=res.scales[:, sl],
+                    zeros=res.zeros[:, sl], g_idx=res.g_idx, bias=bias,
+                    bits=cfg.bits, group_size=cfg.group_size, sym=cfg.sym,
+                    planar=cfg.format == FORMAT.GPTQ_P,
+                    a8=cfg.method == METHOD.QQQ,
+                    had_block=had_b,
+                )
+                if paro_attach is not None:
+                    pres_, rg_ = paro_attach
+                    qmod.rot_theta = jnp.asarray(pres_.theta)
+                    qmod.rot_scales = jnp.asarray(pres_.chan_scales)
+                    qmod.rot_group = rg_
+                if lora is not None:
+                    qmod.lora_A = jnp.asarray(lora[0], dtype=jnp.float32)
+                    qmod.lora_B = jnp.asarray(lora[1], dtype=jnp.float32)
+                return qmod
+
+            lora_ab = None
             replay_w = res.Wq[sl]
             if eora_rank > 0:
                 # EoRA from the same Hessian statistic (see quantization/eora.py)
@@ -743,8 +828,7 @@ def _quantize_group(
 
                 delta = np.asarray(W_cat[sl]) - res.Wq[sl]
                 A, B = compute_eora(delta, H * (max(n_rows, 1.0) / 2.0), eora_rank)
-                qmod.lora_A = jnp.asarray(A, dtype=jnp.float32)
-                qmod.lora_B = jnp.asarray(B, dtype=jnp.float32)
+                lora_ab = (A, B)  # device compute stays inline; pack defers
                 # replay matches inference: quantized weight + low-rank term
                 replay_w = res.Wq[sl] + (A @ B).T
             if had_b:  # replay in the ORIGINAL space (T is an involution)
@@ -753,7 +837,11 @@ def _quantize_group(
                 replay_w = fht_np(
                     replay_w.astype(np.float64), had_b
                 ).astype(np.float32)
-            qlayer_mods[m] = qmod
+            qlayer_mods[m] = (
+                executor.submit(build_qmod, lora=lora_ab)
+                if executor is not None
+                else build_qmod(lora=lora_ab)
+            )
             # true_sequential: subsequent subsets/replay see quantized weights
             dense["weight"] = jnp.asarray(replay_w, dtype=dense["weight"].dtype)
             quant_log.append({

@@ -113,6 +113,14 @@ class QuantizeConfig:
     # SmoothMethod.group_size_threshold, config.py:886).
     smooth: Optional[Any] = None
     smooth_group_threshold: int = 128
+    # mid-quant durability: directory for the per-layer journal (reference
+    # incremental offload stage_layer.py:726-760 / writer.py:399 split_by);
+    # a killed quantization resumes from the last persisted layer
+    journal: Optional[str] = None
+    # host pack / journal-write worker threads overlapping the TPU solve+
+    # replay (reference finalize/offload future drain, stage_layer.py:714-940);
+    # 0 = pack inline
+    pack_workers: int = 2
     device: Optional[str] = None
     meta: dict = field(default_factory=dict)
 

@@ -33,7 +33,8 @@ class ChoiceSample:
 
 
 def _continuation_loglik(spec, params, ctx_ids, cont_ids, dtype=jnp.float32):
-    """Σ log P(cont | ctx) under the model (single sequence)."""
+    """Σ log P(cont | ctx) under the model (single sequence; kept as the
+    readable oracle for the batched scorer below)."""
     from gptqmodel_tpu.models.transformer import forward_logits
 
     ids = np.concatenate([ctx_ids, cont_ids])
@@ -46,6 +47,68 @@ def _continuation_loglik(spec, params, ctx_ids, cont_ids, dtype=jnp.float32):
     m = sel.max(-1, keepdims=True)  # stable log-softmax
     logp = sel - (np.log(np.exp(sel - m).sum(-1, keepdims=True)) + m)
     return float(logp[np.arange(len(cont_ids)), cont_ids].sum())
+
+
+def make_batched_loglik(spec, dtype=jnp.float32):
+    """ONE jitted masked scorer reused for every (ctx, cont) pair: sequences
+    are right-padded into shared [B, L] buckets, so the whole task compiles
+    a handful of shapes instead of one program per (ctx_len, cont_len)
+    (the round-1 recompile-per-length weakness)."""
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    @jax.jit
+    def f(params, ids, cont_start, cont_len):
+        logits = forward_logits(spec, params, ids, dtype=dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = ids[:, 1:]
+        lp = jnp.take_along_axis(logp[:, :-1], tgt[..., None], axis=-1)[..., 0]
+        pos = jnp.arange(ids.shape[1] - 1)[None, :]
+        mask = (pos >= (cont_start - 1)[:, None]) & (
+            pos < (cont_start + cont_len - 1)[:, None]
+        )
+        return jnp.sum(lp * mask, axis=1)
+
+    return f
+
+
+def _bucket_len(n: int, min_len: int = 32) -> int:
+    b = min_len
+    while b < n:
+        b *= 2
+    return b
+
+
+def batched_logliks(
+    spec, params, pairs: list[tuple[np.ndarray, np.ndarray]],
+    dtype=jnp.float32, batch: int = 8, scorer=None,
+) -> list[float]:
+    """Score Σ log P(cont|ctx) for many pairs with bucket padding + batching.
+    Returns loglikelihoods in input order."""
+    scorer = scorer or make_batched_loglik(spec, dtype)
+    order = sorted(
+        range(len(pairs)), key=lambda i: len(pairs[i][0]) + len(pairs[i][1])
+    )
+    out = [0.0] * len(pairs)
+    i = 0
+    while i < len(order):
+        chunk = order[i : i + batch]
+        i += batch
+        L = _bucket_len(max(len(pairs[j][0]) + len(pairs[j][1]) for j in chunk))
+        ids = np.zeros((batch, L), np.int32)
+        cs = np.zeros((batch,), np.int32)
+        cl = np.zeros((batch,), np.int32)
+        for r, j in enumerate(chunk):
+            ctx, cont = pairs[j]
+            seq = np.concatenate([ctx, cont])
+            ids[r, : len(seq)] = seq
+            cs[r] = len(ctx)
+            cl[r] = len(cont)
+        lls = np.asarray(
+            scorer(params, jnp.asarray(ids), jnp.asarray(cs), jnp.asarray(cl))
+        )
+        for r, j in enumerate(chunk):
+            out[j] = float(lls[r])
+    return out
 
 
 def evaluate_choice_task(
@@ -62,8 +125,11 @@ def evaluate_choice_task(
     dict samples with 'context_ids'/'choice_ids')."""
     if model.params is None:
         model._load_params()
-    n, correct, correct_norm = 0, 0, 0
     enc = encode or (lambda s: tokenizer(s)["input_ids"])
+
+    # flatten every (ctx, choice) pair, score all in bucketed batches
+    pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    meta: list[tuple[int, int, int]] = []  # (sample idx, n choices, answer)
     for s in samples:
         if isinstance(s, dict) and "context_ids" in s:
             ctx = np.asarray(s["context_ids"], np.int32)
@@ -75,11 +141,16 @@ def evaluate_choice_task(
             ctx = np.asarray(enc(s.context), np.int32)
             choice_ids = [np.asarray(enc(" " + c), np.int32) for c in s.choices]
             answer = s.answer
-        lls = [
-            _continuation_loglik(model.spec, model.params, ctx, c, dtype)
-            for c in choice_ids
-        ]
-        lls_norm = [ll / max(len(c), 1) for ll, c in zip(lls, choice_ids)]
+        meta.append((len(pairs), len(choice_ids), answer))
+        pairs.extend((ctx, c) for c in choice_ids)
+
+    lls_flat = batched_logliks(model.spec, model.params, pairs, dtype)
+
+    n, correct, correct_norm = 0, 0, 0
+    for start, k, answer in meta:
+        lls = lls_flat[start : start + k]
+        lens = [max(len(pairs[start + j][1]), 1) for j in range(k)]
+        lls_norm = [ll / ln for ll, ln in zip(lls, lens)]
         correct += int(np.argmax(lls) == answer)
         correct_norm += int(np.argmax(lls_norm) == answer)
         n += 1

@@ -37,8 +37,21 @@ GGML_F16 = 1
 GGML_Q4_0 = 2
 GGML_Q8_0 = 8
 GGML_Q4_K = 12
+GGML_Q5_K = 13
 GGML_Q6_K = 14
 GGML_BF16 = 30
+GGML_Q1_0 = 40  # Bonsai sign-only (reference internal_gguf.py:70)
+GGML_Q1_0_G128 = 41  # prism variant, 128-elem blocks
+
+# enumerated-but-undecoded llama.cpp types: named errors instead of KeyError
+# (matches the reference's own coverage — its numpy dequant zoo raises
+# NotImplementedError for these too, nn_modules/qlinear/gguf.py:667)
+_KNOWN_UNSUPPORTED = {
+    3: "Q4_1", 6: "Q5_0", 7: "Q5_1", 10: "Q2_K", 11: "Q3_K", 15: "Q8_K",
+    16: "IQ2_XXS", 17: "IQ2_XS", 18: "IQ3_XXS", 19: "IQ1_S", 20: "IQ4_NL",
+    21: "IQ3_S", 22: "IQ2_S", 23: "IQ4_XS", 24: "I8", 25: "I16", 26: "I32",
+    27: "I64", 28: "F64", 29: "IQ1_M", 34: "TQ1_0", 35: "TQ2_0",
+}
 
 # metadata value types
 _T_U8, _T_I8, _T_U16, _T_I16, _T_U32, _T_I32 = 0, 1, 2, 3, 4, 5
@@ -273,11 +286,63 @@ def dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
     return (d[:, None] * np.take_along_axis(sc, sub, 1) * q).reshape(-1)[:n]
 
 
+def dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
+    """Q5_K: 176-byte super-blocks of 256 — d f16, dmin f16, 12B 6-bit
+    scales/mins (8 sub-blocks of 32), qh[32] (5th bits), 128 nibble bytes.
+    Nibble layout matches Q4_K (chunk l: byte 32l+i -> elems 64l+i lo /
+    64l+32+i hi); qh bit j of byte i -> elem 32j+i. v = d*sc*q - dmin*m
+    (reference nn_modules/qlinear/gguf.py:577 _dequantize_q5_k_numpy)."""
+    blocks = raw.reshape(-1, 176)
+    nb = len(blocks)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    sc, m = _q4k_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:]
+    vals = np.empty((nb, 256), np.float32)
+    for l in range(4):
+        byt = qs[:, 32 * l : 32 * (l + 1)]
+        vals[:, 64 * l : 64 * l + 32] = (byt & 0xF).astype(np.float32)
+        vals[:, 64 * l + 32 : 64 * l + 64] = (byt >> 4).astype(np.float32)
+    for j in range(8):  # fifth bit per 32-elem sub-block
+        hi = ((qh >> j) & 1).astype(np.float32) * 16.0
+        vals[:, 32 * j : 32 * (j + 1)] += hi
+    sub = np.repeat(np.arange(8), 32)[None, :]
+    out = d[:, None] * np.take_along_axis(sc, sub, 1) * vals \
+        - dmin[:, None] * np.take_along_axis(m, sub, 1)
+    return out.reshape(-1)[:n]
+
+
+def dequant_q1_0(raw: np.ndarray, n: int, block: int = 32) -> np.ndarray:
+    """Bonsai sign-only Q1_0 (reference _dequantize_sign_only_numpy,
+    nn_modules/qlinear/gguf.py:449): f16 scale + block/8 sign bytes per
+    block; bit==1 -> +scale, bit==0 -> -scale, little bit order."""
+    bb = 2 + block // 8
+    blocks = raw.reshape(-1, bb)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32)[:, 0]
+    bits = np.unpackbits(blocks[:, 2:], axis=-1, bitorder="little")
+    out = np.where(bits == 1, scales[:, None], -scales[:, None])
+    return out.astype(np.float32).reshape(-1)[:n]
+
+
+def quant_q1_0(x: np.ndarray, block: int = 32) -> np.ndarray:
+    """Encode sign-only blocks: scale = mean |x| per block, signs = x >= 0."""
+    x = x.reshape(-1, block).astype(np.float32)
+    scales = np.abs(x).mean(axis=1).astype(np.float16)
+    signs = np.packbits((x >= 0).astype(np.uint8), axis=-1, bitorder="little")
+    return np.concatenate(
+        [scales[:, None].view(np.uint8), signs], axis=1
+    ).reshape(-1)
+
+
 _BLOCK = {  # ggml dtype -> (block elems, block bytes, dequant fn)
     GGML_Q4_0: (32, 18, dequant_q4_0),
     GGML_Q8_0: (32, 34, dequant_q8_0),
     GGML_Q4_K: (256, 144, dequant_q4_k),
+    GGML_Q5_K: (256, 176, dequant_q5_k),
     GGML_Q6_K: (256, 210, dequant_q6_k),
+    GGML_Q1_0: (32, 6, dequant_q1_0),
+    GGML_Q1_0_G128: (128, 18, lambda raw, n: dequant_q1_0(raw, n, block=128)),
 }
 
 
@@ -286,6 +351,14 @@ def tensor_nbytes(ggml_type: int, n_elems: int) -> int:
         return 4 * n_elems
     if ggml_type in (GGML_F16, GGML_BF16):
         return 2 * n_elems
+    if ggml_type in _KNOWN_UNSUPPORTED:
+        raise NotImplementedError(
+            f"GGUF type {_KNOWN_UNSUPPORTED[ggml_type]} ({ggml_type}) is not "
+            "decoded (same coverage as the reference's numpy dequant zoo); "
+            f"supported: Q4_0/Q8_0/Q4_K/Q5_K/Q6_K/Q1_0/Q1_0_g128/F16/BF16/F32"
+        )
+    if ggml_type not in _BLOCK:
+        raise NotImplementedError(f"unknown GGUF tensor type id {ggml_type}")
     be, bb, _ = _BLOCK[ggml_type]
     assert n_elems % be == 0, (n_elems, be)
     return n_elems // be * bb

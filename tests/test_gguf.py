@@ -175,3 +175,93 @@ def test_model_export_import_roundtrip(qt):
         gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
                          dtype=jnp.float32)
         assert gen.shape == (1, 3)
+
+
+# ---- new types (round 2): Q5_K + Bonsai Q1_0 family, reference-oracle -----
+
+
+def _ref_gguf():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from ref_oracle import try_import
+
+    return try_import("gptqmodel.nn_modules.qlinear.gguf")
+
+
+def test_q5_k_matches_reference_dequant():
+    """Random Q5_K block bytes through both decoders -> identical floats
+    (reference _dequantize_q5_k_numpy, nn_modules/qlinear/gguf.py:577)."""
+    import pytest
+
+    pytest.importorskip("torch")
+    ref = _ref_gguf()
+    rng = np.random.default_rng(0)
+    nb = 7
+    raw = rng.integers(0, 256, size=(nb, 176), dtype=np.int64).astype(np.uint8)
+    # keep d/dmin finite f16 (avoid NaN scale bytes)
+    raw[:, :4] = np.asarray(
+        rng.uniform(0.001, 2.0, size=(nb, 2)).astype(np.float16)
+    ).view(np.uint8).reshape(nb, 4)
+    got = G.dequant_q5_k(raw.reshape(-1), nb * 256).reshape(nb, 256)
+    expect = ref._dequantize_q5_k_numpy(raw.reshape(1, -1)).reshape(nb, 256)
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-7)
+
+
+def test_q1_0_matches_reference_dequant():
+    import pytest
+
+    pytest.importorskip("torch")
+    ref = _ref_gguf()
+    rng = np.random.default_rng(1)
+    nb = 16
+    raw = rng.integers(0, 256, size=(nb, 6), dtype=np.int64).astype(np.uint8)
+    raw[:, :2] = np.asarray(
+        rng.uniform(0.001, 1.0, size=(nb, 1)).astype(np.float16)
+    ).view(np.uint8).reshape(nb, 2)
+    got = G.dequant_q1_0(raw.reshape(-1), nb * 32).reshape(1, -1)
+    expect = ref._dequantize_sign_only_numpy(
+        raw.reshape(1, -1), block_size=32, type_size=6
+    )
+    np.testing.assert_allclose(got, expect, rtol=0, atol=0)
+
+
+def test_q1_0_g128_matches_reference_dequant():
+    import pytest
+
+    pytest.importorskip("torch")
+    ref = _ref_gguf()
+    rng = np.random.default_rng(2)
+    nb = 4
+    raw = rng.integers(0, 256, size=(nb, 18), dtype=np.int64).astype(np.uint8)
+    raw[:, :2] = np.asarray(
+        rng.uniform(0.001, 1.0, size=(nb, 1)).astype(np.float16)
+    ).view(np.uint8).reshape(nb, 2)
+    got = G.dequant_q1_0(raw.reshape(-1), nb * 128, block=128)
+    expect = ref._dequantize_prism_q1_0_g128(raw.reshape(1, -1)).reshape(-1)
+    np.testing.assert_allclose(got, expect, rtol=0, atol=0)
+
+
+def test_q1_0_encode_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(256).astype(np.float32)
+    raw = G.quant_q1_0(x)
+    back = G.dequant_q1_0(raw, 256)
+    assert np.all(np.sign(back) == np.where(x >= 0, 1.0, -1.0))
+    want = np.broadcast_to(
+        np.abs(x).reshape(-1, 32).mean(1, keepdims=True).astype(np.float16),
+        (8, 32),
+    ).astype(np.float32)
+    np.testing.assert_allclose(np.abs(back).reshape(-1, 32), want, rtol=1e-3)
+
+
+def test_unsupported_types_error_with_names():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Q2_K"):
+        G.tensor_nbytes(10, 256)
+    with pytest.raises(NotImplementedError, match="Q3_K"):
+        G.tensor_nbytes(11, 256)
+    with pytest.raises(NotImplementedError, match="Q5_0"):
+        G.tensor_nbytes(6, 256)
