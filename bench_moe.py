@@ -1,0 +1,246 @@
+"""MoE decode benchmark: Qwen3-30B-A3B-shaped GPTQ-4bit, single chip.
+
+BASELINE stage 4 (per-expert quant, >=100-expert MoE). Prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} where vs_baseline is the fraction
+of the MoE INT4 roofline achieved.
+
+MoE decode roofline differs from dense: only ROUTED experts stream per step.
+With B tokens x top-k uniform routing over E experts the expected unique
+expert count is E*(1-(1-1/E)^(B*k)) — for B=8, k=8, E=128 that is 50.6,
+matching the 52 measured on random draws (scripts/bench_qmoe_tpu.py). Step
+bytes = attention + router + expected routed experts + lm_head, all packed.
+
+Weights are synthetic zeros built on device (zero-egress env; decode
+throughput is value-independent). Layers default to 32 of 48 so the model
+fits one 16 GB chip next to KV + workspace; roofline uses the same count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HBM_GBPS = 819.0
+WALL_GBPS = 700.0  # measured consume-everything rate (STATUS round-2)
+
+
+def qwen3_30b_spec(layers: int):
+    from gptqmodel_tpu.models.spec import ModelSpec
+
+    # Qwen/Qwen3-30B-A3B config.json shapes (48 layers full model)
+    return ModelSpec(
+        model_type="qwen3_moe",
+        vocab_size=151936,
+        hidden_size=2048,
+        intermediate_size=6144,  # unused: all layers sparse
+        num_layers=layers,
+        num_heads=32,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1_000_000.0,
+        max_position_embeddings=40960,
+        num_experts=128,
+        num_experts_per_tok=8,
+        moe_intermediate_size=768,
+        norm_topk_prob=True,
+    )
+
+
+def build_params(spec, bits=4, g=128):
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.ops.pallas_qmoe import StackedQuantExperts
+    from gptqmodel_tpu.ops.pallas_qmatmul import rt_block_k_for, rt_supported
+    from gptqmodel_tpu.ops.qlinear import QuantLinear
+
+    pf = 32 // bits
+    E = spec.num_experts
+    D = spec.hidden_size
+    F = spec.moe_intermediate_size
+
+    def ql(out_f, in_f):
+        G = in_f // g
+        rt = rt_supported(bits, g, in_f)
+        return QuantLinear(
+            qweight=jnp.zeros((in_f // pf, out_f), jnp.int32),
+            qzeros=jnp.zeros((G, out_f // pf), jnp.int32),
+            scales=jnp.full((G, out_f), 0.01, jnp.bfloat16),
+            g_idx=None, bias=None,
+            zvals=jnp.zeros((G, out_f), jnp.float32),
+            bits=bits, group_size=g, in_features=in_f, out_features=out_f,
+            sym=True, rt_layout=rt,
+            rt_block_k=rt_block_k_for(in_f, g, N=out_f) if rt else 0,
+            zero_const=8.0,
+        )
+
+    def stacked(K, N):
+        G = K // g
+        G_pad = max(8, -(-G // 8) * 8)
+        return StackedQuantExperts(
+            qweight=jnp.zeros((E, K // pf, N), jnp.int32),
+            scales=jnp.full((E, G_pad, N), 0.01, jnp.bfloat16),
+            bits=bits, G=G, zero_const=8.0, in_features=K, out_features=N,
+        )
+
+    h = D
+    q = spec.num_heads * spec.head_dim
+    kv = spec.num_kv_heads * spec.head_dim
+    hd = spec.head_dim
+    rng = np.random.default_rng(0)
+    layers = []
+    for _ in range(spec.num_layers):
+        layers.append({
+            "input_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
+            "post_attention_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
+            "self_attn": {
+                "q_proj": ql(q, h), "k_proj": ql(kv, h), "v_proj": ql(kv, h),
+                "o_proj": ql(h, q),
+                "q_norm": {"weight": jnp.ones(hd, jnp.bfloat16)},
+                "k_norm": {"weight": jnp.ones(hd, jnp.bfloat16)},
+            },
+            "mlp": {
+                # random router so top-8 routing is realistic-uniform
+                "gate": {"weight": jnp.asarray(
+                    rng.standard_normal((spec.num_experts, h)).astype(np.float32)
+                    * 0.05, jnp.bfloat16)},
+                "experts_stacked_q": {
+                    "gate": stacked(D, F), "up": stacked(D, F),
+                    "down": stacked(F, D),
+                },
+            },
+        })
+    return {
+        "model": {
+            "embed_tokens": {"weight": jnp.zeros((spec.vocab_size, h), jnp.bfloat16)},
+            "layers": layers,
+            "norm": {"weight": jnp.ones(h, jnp.bfloat16)},
+        },
+        "lm_head": ql(spec.vocab_size, h),
+    }
+
+
+def step_bytes(spec, B, bits=4, g=128) -> int:
+    """Expected HBM bytes per decode step (routed-experts MoE roofline)."""
+    h = spec.hidden_size
+    q = spec.num_heads * spec.head_dim
+    kv = spec.num_kv_heads * spec.head_dim
+    E, k = spec.num_experts, spec.num_experts_per_tok
+    F = spec.moe_intermediate_size
+
+    def packed(n_params):
+        return n_params * bits // 8 + n_params // g * 2  # codes + bf16 scales
+
+    attn = packed(h * q + 2 * h * kv + q * h)
+    router = E * h * 2  # bf16
+    uniq = E * (1.0 - (1.0 - 1.0 / E) ** (B * k))
+    experts = uniq * packed(3 * h * F)
+    head = packed(spec.vocab_size * h)
+    return int(spec.num_layers * (attn + router + experts) + head)
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu", "gpu")
+    _log(f"backend={backend} devices={jax.devices()}")
+
+    from gptqmodel_tpu.inference.engine import (
+        init_kv_cache, make_decode_fn, make_prefill_fn,
+    )
+
+    if on_tpu:
+        layers = int(os.environ.get("BENCH_MOE_LAYERS", "32"))
+        B, T, steps, max_len = 8, 64, 16, 128
+    else:
+        layers, B, T, steps, max_len = 2, 2, 8, 4, 32
+        from gptqmodel_tpu.ops import registry
+
+        registry.set_backend("pallas_interpret")  # CPU: interpret the kernels
+    spec = qwen3_30b_spec(layers)
+
+    t0 = time.time()
+    params = build_params(spec)
+    _log(f"params built in {time.time()-t0:.1f}s "
+         f"({step_bytes(spec, B)/1e9:.2f} GB expected per step)")
+
+    prefill = make_prefill_fn(spec, jnp.bfloat16)
+    decode = make_decode_fn(spec, jnp.bfloat16)
+    caches = init_kv_cache(spec, B, max_len, jnp.bfloat16, kv_quant="int8")
+
+    ids = jnp.asarray(np.ones((B, T), np.int32))
+    lens = jnp.full((B,), T, jnp.int32)
+    t0 = time.time()
+    logits, caches, key_valid = prefill(params, ids, lens, caches)
+    logits.block_until_ready()
+    _log(f"prefill compiled+ran in {time.time()-t0:.1f}s")
+
+    token = jnp.argmax(logits, axis=-1)
+    pos = lens
+
+    def make_loop(n):
+        @jax.jit
+        def loop(params, token, pos, key_valid, caches):
+            def body(carry, s):
+                token, pos, key_valid, caches = carry
+                logits, caches, key_valid = decode(
+                    params, token, pos, T + s, key_valid, caches)
+                token = jnp.argmax(logits, axis=-1)
+                return (token, pos + 1, key_valid, caches), token[0]
+            (token, pos, key_valid, caches), toks = jax.lax.scan(
+                body, (token, pos, key_valid, caches), jnp.arange(n))
+            return toks.sum()
+        return loop
+
+    warm, timed = make_loop(2), make_loop(2 + steps)
+    t0 = time.time()
+    float(warm(params, token, pos, key_valid, caches))
+    float(timed(params, token, pos, key_valid, caches))
+    _log(f"decode loops compiled+warm in {time.time()-t0:.1f}s")
+
+    step_time = None
+    for _ in range(3):
+        t0 = time.time()
+        float(warm(params, token, pos, key_valid, caches))
+        tw = time.time() - t0
+        t0 = time.time()
+        float(timed(params, token, pos, key_valid, caches))
+        tt = time.time() - t0
+        st = (tt - tw) / steps
+        step_time = st if step_time is None else min(step_time, st)
+    toks_per_s = B / step_time
+
+    sb = step_bytes(spec, B)
+    roof = HBM_GBPS * 1e9 / sb
+    vs = (1.0 / step_time) / roof
+    vs_wall = (1.0 / step_time) / (WALL_GBPS * 1e9 / sb)
+    _log(
+        f"MoE decode: {step_time*1e3:.2f} ms/step, {toks_per_s:.1f} tok/s "
+        f"(B={B}, {layers}L) -> {vs*100:.1f}% of nameplate MoE roofline "
+        f"({vs_wall*100:.1f}% of the {WALL_GBPS:.0f} GB/s wall)"
+    )
+    print(json.dumps({
+        "metric": f"qwen3-30B-A3B-gptq4 MoE decode tok/s/chip (B={B}, {layers}L)"
+        if on_tpu else "tiny-moe decode tok/s (cpu sanity)",
+        "value": round(toks_per_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 4),
+        "vs_measured_wall": round(vs_wall, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -809,6 +809,52 @@ def gated_mlp(
     return apply_linear(mp["down_proj"], inner)
 
 
+def _moe_dequant_stacked(st, e):
+    """Dequantize ONE stacked expert [in, out] to bf16 (jittable, fori-safe)."""
+    from gptqmodel_tpu.ops.pack import unpack_qweight_jnp
+
+    q = unpack_qweight_jnp(st.qweight[e], st.bits)  # [in, out]
+    G = st.G
+    g = st.in_features // G
+    sc = st.scales[e][:G].astype(jnp.float32)  # [G, out]
+    wd = (q.astype(jnp.float32).reshape(G, g, -1) - st.zero_const) * sc[:, None, :]
+    return wd.reshape(st.in_features, -1).astype(jnp.bfloat16)
+
+
+def _moe_packed_dense_fallback(spec: ModelSpec, sq: dict, x, top_w, top_i):
+    """Prefill-size path for packed stacked experts: the qmoe kernel's VMEM
+    blocks scale with token count (decode-shaped by design, ops/pallas_qmoe),
+    so large batches fori over experts dequantizing ONE expert at a time —
+    memory-bounded, compute-rich like prefill itself."""
+    N, D = x.shape
+    E = sq["gate"].qweight.shape[0]
+    w_full = jnp.zeros((N, E), jnp.float32)
+    w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(
+        top_w.astype(jnp.float32), top_i, w_full
+    )
+    xb = x.astype(jnp.bfloat16)
+    act = _act(spec.hidden_act)
+
+    def body(e, out):
+        gw = _moe_dequant_stacked(sq["gate"], e)
+        uw = _moe_dequant_stacked(sq["up"], e)
+        dw = _moe_dequant_stacked(sq["down"], e)
+        we = w_full[:, e]
+        xe = xb * we[:, None].astype(jnp.bfloat16) if spec.moe_input_scaled else xb
+        inner = (act(xe @ gw) * (xe @ uw)).astype(jnp.bfloat16)
+        y = (inner @ dw).astype(jnp.float32)
+        scale = (we > 0).astype(jnp.float32) if spec.moe_input_scaled else we
+        return out + y * scale[:, None]
+
+    out = jax.lax.fori_loop(0, E, body, jnp.zeros((N, D), jnp.float32))
+    return out.astype(x.dtype)
+
+
+# token-count bound for the decode-shaped qmoe kernel (VMEM blocks scale
+# with slot-padded rows); larger dispatches use the dense-fallback above
+_QMOE_MAX_TOKENS = 1024
+
+
 def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8):
     """PACKED ragged expert dispatch (ops/pallas_qmoe): tokens sorted by
     expert, jit-safe slot plan, one grouped dequant-GEMM kernel per
@@ -820,6 +866,8 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     N, D = x.shape
     K = top_i.shape[1]
     M = N * K
+    if M > _QMOE_MAX_TOKENS:  # prefill-size: kernel VMEM would blow up
+        return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
     gate, up, down = sq["gate"], sq["up"], sq["down"]
     E = gate.qweight.shape[0]
     flat_e = top_i.reshape(-1)

@@ -165,3 +165,62 @@ def test_qmoe_e2e_optimize_matches_loop():
             np.abs(ref_logits).max() + 1e-6
         )
         assert rel < 0.03, rel
+
+
+def test_packed_dense_fallback_matches_kernel_path():
+    """Large-token dispatches (prefill) route through the per-expert dense
+    fallback — must match the decode-shaped qmoe kernel path numerically."""
+    import jax
+
+    from gptqmodel_tpu.models import transformer as tr
+    from gptqmodel_tpu.models.spec import ModelSpec
+    from gptqmodel_tpu.ops.pallas_qmoe import StackedQuantExperts
+    from gptqmodel_tpu.ops import registry
+
+    rng = np.random.default_rng(5)
+    E, D, F, topk, bits, g = 4, 256, 128, 2, 4, 128
+    spec = ModelSpec(
+        model_type="qwen3_moe", hidden_size=D, intermediate_size=F,
+        num_layers=1, num_heads=4, num_kv_heads=2, head_dim=64,
+        vocab_size=64, num_experts=E, num_experts_per_tok=topk,
+        moe_intermediate_size=F, norm_topk_prob=True,
+    )
+
+    def stacked(K, N):
+        experts = [_make_expert(rng, K, N, bits, g) for _ in range(E)]
+        G = K // g
+        G_pad = max(8, -(-G // 8) * 8)
+        s_pad = np.zeros((E, G_pad, N), np.float32)
+        for i, e in enumerate(experts):
+            s_pad[i, :G] = e[1]
+        return StackedQuantExperts(
+            qweight=jnp.asarray(np.stack([e[0] for e in experts])),
+            scales=jnp.asarray(s_pad.astype(jnp.bfloat16)),
+            bits=bits, G=G, zero_const=float(2 ** (bits - 1)),
+            in_features=K, out_features=N,
+        )
+
+    sq = {"gate": stacked(D, F), "up": stacked(D, F), "down": stacked(F, D)}
+    tokens = 16
+    x = jnp.asarray(rng.standard_normal((tokens, D)).astype(np.float32))
+    # distinct experts per token (real top-k never duplicates; the scatter
+    # in the fallback would SET where the ragged path ADDS)
+    top_i = jnp.asarray(
+        np.argsort(rng.random((tokens, E)), axis=1)[:, :topk].astype(np.int32))
+    top_w = jnp.asarray(rng.random((tokens, topk)).astype(np.float32))
+
+    registry.set_backend("pallas_interpret")
+    try:
+        small = np.asarray(tr._moe_ragged_apply_q(spec, sq, x, top_w, top_i))
+    finally:
+        registry.set_backend("auto")
+    fallback = np.asarray(tr._moe_packed_dense_fallback(spec, sq, x, top_w, top_i))
+    np.testing.assert_allclose(fallback, small, rtol=5e-2, atol=5e-2)  # bf16 path-order
+
+    # threshold wiring: a dispatch over _QMOE_MAX_TOKENS uses the fallback
+    assert tr._QMOE_MAX_TOKENS * 1 < 4096
+    big_x = jnp.tile(x, (256, 1))  # 4096 tokens x topk 2 > threshold
+    big_i = jnp.tile(top_i, (256, 1))
+    big_w = jnp.tile(top_w, (256, 1))
+    out_big = np.asarray(tr._moe_ragged_apply_q(spec, sq, big_x, big_w, big_i))
+    np.testing.assert_allclose(out_big[:tokens], fallback, rtol=5e-2, atol=5e-2)
