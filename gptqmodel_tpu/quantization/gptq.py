@@ -80,21 +80,49 @@ def merge_hessian_psum(H, nsamples, axis_name: str):
 # --------------------------------------------------------------------------
 
 
+def _tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a lower-triangular matrix via column-panel solves.
+
+    ``triangular_solve`` with a full [n, n] identity RHS compiles to ~3n²
+    f32 of live temps on TPU (measured 43 GB at n=14336 — OOMs a 16 GB
+    chip); panel RHSes keep temps O(n·p). The eye panels are built on the
+    fly, so no [n, n] identity is ever materialized."""
+    n = L.shape[0]
+    p = next((q for q in (512, 256, 128) if n % q == 0), None)
+    if p is None or n <= 1024:  # small/ragged: the direct solve is fine
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True
+        )
+    col = jnp.arange(n)
+
+    def body(j, X):
+        start = j * p
+        rhs = (col[:, None] == (start + jnp.arange(p))[None, :]).astype(L.dtype)
+        sol = jax.lax.linalg.triangular_solve(
+            L, rhs, left_side=True, lower=True
+        )
+        return jax.lax.dynamic_update_slice(X, sol, (0, start))
+
+    return jax.lax.fori_loop(0, n // p, body, jnp.zeros((n, n), L.dtype))
+
+
 @jax.jit
 def _chol_inv_upper(H: jnp.ndarray, damp: jnp.ndarray):
     """U such that inv(H + damp·mean(diag)·I) = Uᵀ U, U upper-triangular.
 
-    Mirrors reference hessian_inverse (gptq.py:859): damped cholesky →
-    cholesky_inverse → upper cholesky factor. Returns (U, ok).
-    """
+    Mirrors reference hessian_inverse (gptq.py:859: damped cholesky →
+    cholesky_inverse → upper cholesky factor) but memory-lean via the
+    reversal identity: with J the index-reversal, chol(J·Hd·J) = Lr gives
+    Hd = (J·Lr·J)(J·Lr·J)ᵀ with J·Lr·J upper, so U = J·Lr⁻¹·J is the
+    (unique, positive-diagonal) upper factor of Hd⁻¹ — one cholesky + one
+    triangular inverse, no [n, n] identity, no full Hinv materialization.
+    Returns (U, ok)."""
     n = H.shape[0]
     mean_diag = jnp.mean(jnp.diag(H))
-    Hd = H + (damp * mean_diag) * jnp.eye(n, dtype=H.dtype)
-    L = jnp.linalg.cholesky(Hd)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=H.dtype))
-    Hinv = (Hinv + Hinv.T) * 0.5
-    M = jnp.linalg.cholesky(Hinv)
-    U = M.T
+    idx = jnp.arange(n)
+    Hd = H.at[idx, idx].add(damp * mean_diag)
+    Lr = jnp.linalg.cholesky(Hd[::-1, ::-1])
+    U = _tri_inv_lower(Lr)[::-1, ::-1]
     ok = jnp.logical_not(jnp.any(jnp.isnan(U)))
     return U, ok
 
