@@ -35,7 +35,17 @@ def install_reference(extra_stubs: dict | None = None):
     if REF not in sys.path:
         sys.path.insert(0, REF)
 
-    _stub("pcre", compile=re.compile, Flag=re.RegexFlag, match=re.match,
+    class _Flag:
+        """pcre.Flag with PCRE names mapped to re equivalents."""
+
+        CASELESS = re.IGNORECASE
+        MULTILINE = re.MULTILINE
+        DOTALL = re.DOTALL
+        IGNORECASE = re.IGNORECASE
+        VERBOSE = re.VERBOSE
+        UNICODE = re.UNICODE
+
+    _stub("pcre", compile=re.compile, Flag=_Flag, match=re.match,
           search=re.search, sub=re.sub)
 
     class _OnceFn:
@@ -134,3 +144,49 @@ def try_import(path: str):
                 raise
             _stub(missing)
     return importlib.import_module(path)
+
+
+def load_exl3_quantize():
+    """Load the reference's exllamav3 quantize lib (pure-torch parts:
+    block_ldl, ldlq, codebook constants) WITHOUT the gptqmodel package
+    __init__ chain: a fake package provides its relative deps (the CUDA
+    ext facade and util helpers are stubbed — tests must only call the
+    torch-only functions)."""
+    import importlib.util
+
+    install_reference()
+    root = "_exl3"
+    for name in (root, f"{root}.modules", f"{root}.modules.quant",
+                 f"{root}.modules.quant.exl3_lib"):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            sys.modules[name] = pkg
+
+    class _NoExt:
+        def __getattr__(self, k):
+            raise RuntimeError(f"CUDA ext function {k} not available on CPU")
+
+    _stub(f"{root}.ext", exllamav3_ext=_NoExt())
+    util = _stub(f"{root}.util")
+    util.__path__ = []
+    class _PB:  # class (not lambda) so `x: ProgressBar | None` annotations work
+        def __init__(self, *a, **k):
+            self._it = a[0] if a else []
+
+        def __iter__(self):
+            return iter(self._it)
+
+    _stub(f"{root}.util.progress", ProgressBar=_PB)
+    _stub(f"{root}.util.memory", free_mem=lambda *a, **k: None)
+    _stub(f"{root}.util.hadamard", get_hadamard_dt=lambda *a, **k: None)
+    _stub(f"{root}.util.tensor", save_tensor_image=lambda *a, **k: None)
+
+    spec = importlib.util.spec_from_file_location(
+        f"{root}.modules.quant.exl3_lib.quantize",
+        f"{REF}/gptqmodel/exllamav3/modules/quant/exl3_lib/quantize.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -240,3 +240,28 @@ def test_gptq_solver_matches_reference(ref_gptq, ref_qcfg, sym, desc_act):
     assert frac < 0.15, f"{frac:.4%} codes differ"
     if diff.any():
         assert np.abs(ref_codes - res.Q)[diff].max() <= 1
+
+
+def test_exl3_block_ldl_matches_reference():
+    """Repo block_ldl vs the reference's pure-torch block_ldl
+    (exllamav3/modules/quant/exl3_lib/quantize.py:276) on the same Hessian:
+    identical L up to the repo's zeroed-diagonal convention. (The trellis
+    pack/decode itself is CUDA-only in the reference — its bit layout is
+    validated against pack.cu in tests/test_exl3.py.)"""
+    from ref_oracle import load_exl3_quantize
+
+    from gptqmodel_tpu.quantization.exl3 import block_ldl
+
+    ref = load_exl3_quantize()
+    rng = np.random.default_rng(0)
+    n, b = 128, 16
+    A = rng.standard_normal((n, 2 * n)).astype(np.float64)
+    H = (A @ A.T / (2 * n) + 0.05 * np.eye(n)).astype(np.float32)
+
+    L_ref, _H = ref.block_ldl(torch.tensor(H, dtype=torch.float64), b, False)
+    L_ref = L_ref.numpy().astype(np.float32)
+    idx = np.arange(n)
+    L_ref[idx, idx] = 0.0  # repo convention: unit diagonal stored as zero
+
+    L = block_ldl(H, b)
+    np.testing.assert_allclose(L, L_ref, rtol=1e-4, atol=1e-5)
