@@ -110,7 +110,10 @@ def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
                 # PACKED experts -> grouped dequant-GEMM kernel
                 # (ops/pallas_qmoe): weights stay at bits/8 bytes in HBM and
                 # only routed experts stream per step
-                from gptqmodel_tpu.ops.pallas_qmoe import stack_packed_experts
+                from gptqmodel_tpu.ops.pallas_qmoe import (
+                    fuse_gate_up,
+                    stack_packed_experts,
+                )
 
                 sq = {
                     "gate": stack_packed_experts([e[g] for e in experts]),
@@ -118,6 +121,11 @@ def stack_moe_experts(spec: ModelSpec, params: dict) -> dict:
                     "down": stack_packed_experts([e[d] for e in experts]),
                 }
                 if all(v is not None for v in sq.values()):
+                    # fused gate|up: one grouped kernel + one xs stream for
+                    # both projections per layer
+                    fused = fuse_gate_up(sq["gate"], sq["up"])
+                    if fused is not None:
+                        sq = {"gateup": fused, "down": sq["down"]}
                     mp["experts_stacked_q"] = sq
                     del mp["experts"]
                     n_stacked += 1

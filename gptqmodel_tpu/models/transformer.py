@@ -827,7 +827,7 @@ def _moe_packed_dense_fallback(spec: ModelSpec, sq: dict, x, top_w, top_i):
     so large batches fori over experts dequantizing ONE expert at a time —
     memory-bounded, compute-rich like prefill itself."""
     N, D = x.shape
-    E = sq["gate"].qweight.shape[0]
+    E = (sq.get("gateup") or sq["gate"]).qweight.shape[0]
     w_full = jnp.zeros((N, E), jnp.float32)
     w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(
         top_w.astype(jnp.float32), top_i, w_full
@@ -836,8 +836,13 @@ def _moe_packed_dense_fallback(spec: ModelSpec, sq: dict, x, top_w, top_i):
     act = _act(spec.hidden_act)
 
     def body(e, out):
-        gw = _moe_dequant_stacked(sq["gate"], e)
-        uw = _moe_dequant_stacked(sq["up"], e)
+        if "gateup" in sq:
+            guw = _moe_dequant_stacked(sq["gateup"], e)
+            F = sq["gateup"].out_features // 2
+            gw, uw = guw[:, :F], guw[:, F:]
+        else:
+            gw = _moe_dequant_stacked(sq["gate"], e)
+            uw = _moe_dequant_stacked(sq["up"], e)
         dw = _moe_dequant_stacked(sq["down"], e)
         we = w_full[:, e]
         xe = xb * we[:, None].astype(jnp.bfloat16) if spec.moe_input_scaled else xb
@@ -868,8 +873,8 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     M = N * K
     if M > _QMOE_MAX_TOKENS:  # prefill-size: kernel VMEM would blow up
         return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
-    gate, up, down = sq["gate"], sq["up"], sq["down"]
-    E = gate.qweight.shape[0]
+    gate, up, down = sq.get("gate"), sq.get("up"), sq["down"]
+    E = (sq.get("gateup") or gate).qweight.shape[0]
     flat_e = top_i.reshape(-1)
     order = jnp.argsort(flat_e, stable=True)
     tok = order // K
@@ -883,13 +888,28 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     xs = jnp.zeros((M_pad, D), jnp.bfloat16).at[pos].set(
         x_rows.astype(jnp.bfloat16)
     )
-    g = qmoe_forward_sorted(xs, ids, counts, gate, bm=bm, interpret=interpret)
-    u = qmoe_forward_sorted(xs, ids, counts, up, bm=bm, interpret=interpret)
-    inner = (_act(spec.hidden_act)(g) * u).astype(jnp.bfloat16)
+    bf = jnp.bfloat16  # bf16 intermediates: halves the slot-padded HBM
+    # round-trips (reference CUDA kernels' half outputs precision class)
+    gu = sq.get("gateup")
+    if gu is not None:  # fused: one kernel + one xs stream for gate AND up
+        both = qmoe_forward_sorted(xs, ids, counts, gu, bm=bm,
+                                   interpret=interpret, out_dtype=bf)
+        F = gu.out_features // 2
+        g, u = both[:, :F], both[:, F:]
+    else:
+        g = qmoe_forward_sorted(xs, ids, counts, gate, bm=bm,
+                                interpret=interpret, out_dtype=bf)
+        u = qmoe_forward_sorted(xs, ids, counts, up, bm=bm,
+                                interpret=interpret, out_dtype=bf)
+    inner = (
+        _act(spec.hidden_act)(g.astype(jnp.float32)) * u.astype(jnp.float32)
+    ).astype(bf)
     y = qmoe_forward_sorted(inner, ids, counts, down, bm=bm,
-                            interpret=interpret)
+                            interpret=interpret, out_dtype=bf)
     scale = jnp.ones_like(w) if spec.moe_input_scaled else w
-    out = jnp.zeros((N, D), jnp.float32).at[tok].add(y[pos] * scale[:, None])
+    out = jnp.zeros((N, D), jnp.float32).at[tok].add(
+        y[pos].astype(jnp.float32) * scale[:, None]
+    )
     return out.astype(x.dtype)
 
 

@@ -148,7 +148,7 @@ def _qmoe_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "G", "bm", "zero_const", "interpret"),
+    static_argnames=("bits", "G", "bm", "zero_const", "interpret", "out_dtype"),
 )
 def qmoe_matmul(
     x_sorted: jnp.ndarray,  # [S*bm, K] bf16/f32, slot-aligned expert-sorted
@@ -163,8 +163,13 @@ def qmoe_matmul(
     bm: int = 8,
     zero_const: float = 8.0,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """y_sorted [M_pad, N] = per-slot x @ dequant(qw[expert])."""
+    """y_sorted [M_pad, N] = per-slot x @ dequant(qw[expert]).
+
+    ``out_dtype=bf16`` halves the slot-padded intermediate HBM traffic
+    (decode MoE layers write/read [M_pad, N] three times per layer) — same
+    precision class as the reference CUDA kernels' half outputs."""
     M_pad, K = x_sorted.shape
     E, Kpf, N = qw_stacked.shape
     S = expert_ids.shape[0]
@@ -212,7 +217,7 @@ def qmoe_matmul(
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((M_pad, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -280,7 +285,7 @@ def qmoe_forward_sorted(
     x_sorted: jnp.ndarray,  # [S*bm, K] bf16 (slot-aligned, UNpermuted)
     expert_ids, row_count,
     p: StackedQuantExperts,
-    *, bm: int = 8, interpret: bool = False,
+    *, bm: int = 8, interpret: bool = False, out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Dequant-matmul all slots against their experts; rows stay aligned."""
     from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
@@ -290,7 +295,24 @@ def qmoe_forward_sorted(
     return qmoe_matmul(
         xp, expert_ids, row_count, p.qweight, p.scales,
         bits=p.bits, G=p.G, bm=bm, zero_const=p.zero_const,
-        interpret=interpret,
+        interpret=interpret, out_dtype=out_dtype,
+    )
+
+
+def fuse_gate_up(sq_g: "StackedQuantExperts", sq_u: "StackedQuantExperts"):
+    """Concatenate gate and up stacked experts along the out axis so the
+    dispatch streams xs once and launches ONE grouped kernel for both
+    projections. Requires identical quant geometry."""
+    if (sq_g.bits, sq_g.G, sq_g.zero_const, sq_g.in_features) != (
+        sq_u.bits, sq_u.G, sq_u.zero_const, sq_u.in_features
+    ):
+        return None
+    return StackedQuantExperts(
+        qweight=jnp.concatenate([sq_g.qweight, sq_u.qweight], axis=2),
+        scales=jnp.concatenate([sq_g.scales, sq_u.scales], axis=2),
+        bits=sq_g.bits, G=sq_g.G, zero_const=sq_g.zero_const,
+        in_features=sq_g.in_features,
+        out_features=sq_g.out_features + sq_u.out_features,
     )
 
 

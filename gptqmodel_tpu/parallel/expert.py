@@ -74,7 +74,8 @@ def moe_forward_ep(spec, stacked, x, top_w, top_i, mesh: Mesh, axis: str,
 
     def local(st, x, top_w, top_i):
         i = jax.lax.axis_index(axis)
-        E_loc = (st["gate"].qweight if packed else st["gate"]).shape[0]
+        first = st.get("gateup") or st["gate"]
+        E_loc = (first.qweight if packed else first).shape[0]
         lo = (i * E_loc).astype(top_i.dtype)
         li = top_i - lo
         ok = (li >= 0) & (li < E_loc)
