@@ -112,10 +112,14 @@ def build_params(spec, bits=4, g=128):
                 "gate": {"weight": jnp.asarray(
                     rng.standard_normal((spec.num_experts, h)).astype(np.float32)
                     * 0.05, jnp.bfloat16)},
-                "experts_stacked_q": {
-                    "gate": stacked(D, F), "up": stacked(D, F),
-                    "down": stacked(F, D),
-                },
+                # fused gate|up by default (what optimize() produces);
+                # BENCH_MOE_FUSED=0 reverts to split projections
+                "experts_stacked_q": (
+                    {"gateup": stacked(D, 2 * F), "down": stacked(F, D)}
+                    if os.environ.get("BENCH_MOE_FUSED", "1") == "1"
+                    else {"gate": stacked(D, F), "up": stacked(D, F),
+                          "down": stacked(F, D)}
+                ),
             },
         })
     return {

@@ -888,8 +888,16 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     xs = jnp.zeros((M_pad, D), jnp.bfloat16).at[pos].set(
         x_rows.astype(jnp.bfloat16)
     )
-    bf = jnp.bfloat16  # bf16 intermediates: halves the slot-padded HBM
-    # round-trips (reference CUDA kernels' half outputs precision class)
+    # bf16 intermediates halve the slot-padded HBM round-trips, but 8-row
+    # slot stores into 16-sublane bf16 tiles read-modify-write (measured
+    # slower on v5e) — opt-in until a bm=16 plan makes the stores aligned
+    import os
+
+    bf = (
+        jnp.bfloat16
+        if os.environ.get("GPTQ_TPU_QMOE_BF16", "0") == "1"
+        else jnp.float32
+    )
     gu = sq.get("gateup")
     if gu is not None:  # fused: one kernel + one xs stream for gate AND up
         both = qmoe_forward_sorted(xs, ids, counts, gu, bm=bm,
@@ -903,7 +911,7 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
                                 interpret=interpret, out_dtype=bf)
     inner = (
         _act(spec.hidden_act)(g.astype(jnp.float32)) * u.astype(jnp.float32)
-    ).astype(bf)
+    ).astype(jnp.bfloat16)  # kernel input is always bf16
     y = qmoe_forward_sorted(inner, ids, counts, down, bm=bm,
                             interpret=interpret, out_dtype=bf)
     scale = jnp.ones_like(w) if spec.moe_input_scaled else w
