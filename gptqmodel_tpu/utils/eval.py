@@ -170,3 +170,45 @@ def assert_quality_floor(value: float, baseline: float, floor_pct: float = 4.0):
         f"(baseline {baseline:.4f} - {floor_pct}%)"
     )
     return True
+
+
+def load_choice_task(path, limit: int | None = None) -> list[ChoiceSample]:
+    """Load a multiple-choice task from a local JSON/JSONL file.
+
+    Accepts the common lm-eval-ish field spellings so real arc/mmlu/hellaswag
+    exports work offline (this environment has no hub access; the reference
+    downloads tasks at run time — here you point at a file):
+
+    - context:  "context" | "question" | "query" | "ctx"
+    - choices:  "choices" (list[str] or {"text": [...]}) | "endings" |
+                "options"
+    - answer:   "answer" | "label" | "gold" | "answerKey" (A-E or index)
+    """
+    import json
+    from pathlib import Path as _P
+
+    raw = _P(path).read_text()
+    if raw.lstrip().startswith("["):
+        rows = json.loads(raw)
+    else:
+        rows = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+
+    out = []
+    for r in rows[: limit or len(rows)]:
+        ctx = r.get("context") or r.get("question") or r.get("query") or r.get("ctx")
+        ch = r.get("choices") or r.get("endings") or r.get("options")
+        if isinstance(ch, dict):
+            ch = ch.get("text") or ch.get("choices")
+        ans = r.get("answer", r.get("label", r.get("gold", r.get("answerKey"))))
+        if isinstance(ans, str):
+            if ans.strip().upper() in "ABCDEFGH" and len(ans.strip()) == 1:
+                ans = ord(ans.strip().upper()) - ord("A")
+            elif ans.isdigit():
+                ans = int(ans)
+            elif ch and ans in ch:
+                ans = ch.index(ans)
+        if ctx is None or not ch or not isinstance(ans, int):
+            raise ValueError(f"unrecognized sample fields: {sorted(r)}")
+        out.append(ChoiceSample(context=str(ctx), choices=[str(c) for c in ch],
+                                answer=ans))
+    return out

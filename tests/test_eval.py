@@ -70,3 +70,26 @@ def test_choice_task_quantized_floor():
 
         with pytest.raises(AssertionError, match="quality regression"):
             assert_quality_floor(0.5, 1.0, floor_pct=4.0)
+
+
+def test_load_choice_task_field_spellings(tmp_path):
+    import json
+
+    from gptqmodel_tpu.utils.eval import load_choice_task
+
+    rows = [
+        {"question": "2+2?", "choices": ["3", "4"], "answerKey": "B"},
+        {"ctx": "sky color", "endings": ["blue", "red"], "label": 0},
+        {"context": "q", "choices": {"text": ["a", "b", "c"]}, "gold": 2},
+        {"query": "pick", "options": ["x", "y"], "answer": "y"},
+    ]
+    p = tmp_path / "task.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    samples = load_choice_task(p)
+    assert [s.answer for s in samples] == [1, 0, 2, 1]
+    assert samples[0].choices == ["3", "4"]
+
+    # JSON-array form + limit
+    p2 = tmp_path / "task.json"
+    p2.write_text(json.dumps(rows))
+    assert len(load_choice_task(p2, limit=2)) == 2
