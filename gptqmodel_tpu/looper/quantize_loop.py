@@ -656,9 +656,16 @@ def _quantize_group(
         if qcfg.smooth is not None and not cfg.mock_quantization:
             from gptqmodel_tpu.quantization.smooth import smooth_weight
 
+            _mse_kw = (
+                {"bits": cfg.bits, "sym": cfg.sym}
+                if (qcfg.smooth == "mse"
+                    or (isinstance(qcfg.smooth, dict)
+                        and qcfg.smooth.get("type") == "mse"))
+                else {}
+            )
             W_sm, pre_scale = smooth_weight(
                 W_cat, qcfg.smooth, cfg.group_size,
-                group_threshold=qcfg.smooth_group_threshold,
+                group_threshold=qcfg.smooth_group_threshold, **_mse_kw,
             )
             if pre_scale is not None and cfg.method == METHOD.PAROQUANT:
                 log.warning("smooth rowcol incompatible with paroquant; skipped")

@@ -116,3 +116,26 @@ def test_model_wide_smoother_preprocessor():
         rb = b.quantize(calib, batch_size=4)
         np.testing.assert_allclose(
             [r["loss"] for r in ra], [r["loss"] for r in rb])
+
+
+def test_mse_smoother_inherits_bits():
+    """smooth='mse' fake-quant must use the MODULE's bits, not a fixed 4."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from tests.test_e2e_quantize import _calib, _make_tiny
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        calib = _calib(8, 32)
+        m8 = GPTQModel.load(src, QuantizeConfig(
+            bits=8, group_size=32, smooth="mse", smooth_group_threshold=0))
+        rows8 = m8.quantize(calib, batch_size=4)
+        m4 = GPTQModel.load(src, QuantizeConfig(
+            bits=4, group_size=32, smooth="mse", smooth_group_threshold=0))
+        rows4 = m4.quantize(calib, batch_size=4)
+        # 8-bit smoothing+quant must be far more faithful than 4-bit: if the
+        # smoother hard-coded 4 bits, the 8-bit losses would be 4-bit-sized
+        l8 = np.mean([r["loss"] for r in rows8])
+        l4 = np.mean([r["loss"] for r in rows4])
+        assert l8 < l4 / 4, (l8, l4)
