@@ -130,6 +130,12 @@ def flatten_params(
         for k, v in tree.items():
             if k.startswith("_"):  # runtime-only derived params (loader
                 continue  # _inject_runtime_layer_params) never export
+            if k in ("experts_stacked", "experts_stacked_q"):
+                # runtime stacked forms (optimize.stack_moe_experts) unstack
+                # back to per-expert checkpoint tensors — runtime layouts
+                # never leak into exports
+                _flatten_stacked_experts(v, prefix, out, v1_zeros)
+                continue
             flatten_params(
                 v, f"{prefix}.{k}" if prefix else k, out, v1_zeros,
                 conv1d_suffixes,
@@ -146,6 +152,65 @@ def flatten_params(
         t = np.ascontiguousarray(t.T)
     out[prefix] = t
     return out
+
+
+def _flatten_stacked_experts(st: dict, mlp_prefix: str, out: dict,
+                             v1_zeros: bool):
+    """Unstack runtime expert forms into per-expert checkpoint tensors.
+
+    Projection names follow the container convention (mixtral's
+    `block_sparse_moe` uses w1/w3/w2, everything else gate/up/down_proj) —
+    the same inference optimize.stack_moe_experts made when stacking.
+
+    Note: the stacked form holds scales as bf16 (kernel layout), so an
+    export AFTER optimize() carries bf16-rounded scales — save before
+    optimize() for bit-preserving exports; this path exists so the save is
+    CORRECT (round-2 fix: it used to crash with dtype=object)."""
+    mix = mlp_prefix.endswith("block_sparse_moe")
+    g_n, u_n, d_n = ("w1", "w3", "w2") if mix else (
+        "gate_proj", "up_proj", "down_proj"
+    )
+
+    from gptqmodel_tpu.ops.pallas_qmoe import StackedQuantExperts
+
+    def emit_packed(sq: StackedQuantExperts, e: int, name: str,
+                    col0: int, ncols: int):
+        qw = np.asarray(sq.qweight[e])[:, col0 : col0 + ncols]
+        sc = np.asarray(sq.scales[e], np.float32)[: sq.G, col0 : col0 + ncols]
+        zeros = np.full((sq.G, ncols), int(sq.zero_const), np.int64)
+        ql = QuantLinear(
+            qweight=qw,
+            qzeros=packing.pack_qzeros(zeros, sq.bits, v1=False),
+            scales=sc.astype(np.float16),
+            g_idx=None, bias=None, bits=sq.bits,
+            group_size=sq.in_features // sq.G,
+            in_features=sq.in_features, out_features=ncols, sym=True,
+        )
+        flatten_params(ql, f"{mlp_prefix}.experts.{e}.{name}", out, v1_zeros)
+
+    if any(isinstance(v, StackedQuantExperts) for v in st.values()):
+        down = st["down"]
+        E = down.qweight.shape[0]
+        gu = st.get("gateup")
+        for e in range(E):
+            if gu is not None:
+                F = gu.out_features // 2
+                emit_packed(gu, e, g_n, 0, F)
+                emit_packed(gu, e, u_n, F, F)
+            else:
+                emit_packed(st["gate"], e, g_n, 0, st["gate"].out_features)
+                emit_packed(st["up"], e, u_n, 0, st["up"].out_features)
+            emit_packed(down, e, d_n, 0, down.out_features)
+        return
+
+    # dense stacked [E, in, out] -> per-expert [out, in] weights
+    E = np.shape(st["down"])[0]
+    for e in range(E):
+        for name, arr in ((g_n, st["gate"]), (u_n, st["up"]),
+                          (d_n, st["down"])):
+            out[f"{mlp_prefix}.experts.{e}.{name}.weight"] = np.ascontiguousarray(
+                np.asarray(arr[e]).T
+            )
 
 
 def collect_adapters(tree, prefix: str = "", out: dict | None = None) -> dict:
