@@ -149,6 +149,26 @@ def hessian_inverse(
     )
 
 
+def _solver_backend():
+    """Static (trace-time) choice of the block-solver inner loop:
+    'pallas' on TPU, falsy (XLA fori) on CPU; GPTQ_TPU_SOLVER overrides
+    ('xla' forces the fori path, 'pallas_interpret' runs the kernel under
+    the interpreter for CPU validation)."""
+    import os
+
+    ov = os.environ.get("GPTQ_TPU_SOLVER", "")
+    if ov == "xla":
+        return ""
+    if ov == "pallas_interpret":
+        return "interpret"
+    if ov == "pallas":
+        return "pallas"
+    # default OFF until flipped after on-chip validation (session U);
+    # CPU always keeps the XLA fori path — interpret would slow the whole
+    # suite; the kernel is interpret-validated in tests/test_pallas_gptq.py
+    return ""
+
+
 # --------------------------------------------------------------------------
 # Blocked solver
 # --------------------------------------------------------------------------
@@ -158,7 +178,7 @@ def hessian_inverse(
     jax.jit,
     static_argnames=(
         "bits", "group_size", "sym", "mse", "blocksize", "with_p",
-        "static_params", "foem_beta",
+        "static_params", "foem_beta", "solver",
     ),
 )
 def gptq_solve_core(
@@ -176,6 +196,7 @@ def gptq_solve_core(
     with_p: bool = False,
     static_params: bool = False,
     foem_beta: float = 0.0,
+    solver: str = "",  # "" = XLA fori; "pallas"/"interpret" = VMEM kernel
 ):
     """Blocked GPTQ error-feedback solve.
 
@@ -317,10 +338,30 @@ def gptq_solve_core(
             upd = lambda A, v: jax.lax.dynamic_update_slice(A, v[:, None], (0, i))
             return Wb, upd(Qb, q), upd(Dqb, dq), upd(Eb, err), upd(Lb, loss)
 
-        zeros_b = jnp.zeros((out_f, B), dtype=jnp.float32)
-        Wb_final, Qb, Dqb, Eb, Lb = jax.lax.fori_loop(
-            0, B, col_body, (Wb, zeros_b, zeros_b, zeros_b, zeros_b)
-        )
+        use_pallas = (not with_p) and (not with_beta) and solver
+        if use_pallas:
+            # VMEM-resident inner loop (ops/pallas_gptq): the fori carry
+            # below round-trips Wb through HBM every column — ~180 GB per
+            # llama-8B gate|up block solve (measured 210 s/layer, session T)
+            from gptqmodel_tpu.ops.pallas_gptq import (
+                gptq_block_inner,
+                solver_row_tile,
+            )
+
+            rt = solver_row_tile(out_f)
+            if rt is None:
+                use_pallas = False
+        if use_pallas:
+            Qb, Dqb, Eb, Lb = gptq_block_inner(
+                Wb, Hbb, scale_cols, zero_cols, maxq=maxq, rt=rt,
+                interpret=solver == "interpret",
+            )
+            Wb_final = Wb  # unused on this path (with_p is excluded)
+        else:
+            zeros_b = jnp.zeros((out_f, B), dtype=jnp.float32)
+            Wb_final, Qb, Dqb, Eb, Lb = jax.lax.fori_loop(
+                0, B, col_body, (Wb, zeros_b, zeros_b, zeros_b, zeros_b)
+            )
 
         # ---- propagate block error to trailing columns (masked full matmul)
         Hrows = jax.lax.dynamic_slice(Hinv_u, (i1, 0), (B, in_f))
@@ -492,6 +533,7 @@ def gptq_quantize(
         W, U, P, SP, ZP, bits=bits, group_size=group_size, sym=sym, mse=mse,
         blocksize=blocksize, with_p=dxxt is not None,
         static_params=SP is not None, foem_beta=float(foem_beta),
+        solver=_solver_backend(),
     )
 
     Q = np.asarray(res["Q"])
