@@ -410,14 +410,19 @@ def quantize_model(
             rows_li = list(quant_log[_rows_before:])
             h_snap = list(hidden)
             f_snap = list(hidden_fp) if gptaq_on else None
+            # device_get on the MAIN thread: a worker-thread device fetch can
+            # race the main thread's RPCs on single-connection device clients
+            # (observed wedging the axon tunnel mid-run); the worker then only
+            # pickles + writes
+            layer_host = jax.device_get(layer_out)
             if executor is not None:
                 if journal_future is not None:
                     journal_future.result()  # keep saves ordered, depth 1
                 journal_future = executor.submit(
-                    journal.save_layer, li, layer_out, rows_li, h_snap, f_snap
+                    journal.save_layer, li, layer_host, rows_li, h_snap, f_snap
                 )
             else:
-                journal.save_layer(li, layer_out, rows_li, h_snap, f_snap)
+                journal.save_layer(li, layer_host, rows_li, h_snap, f_snap)
 
     # ---- optional lm_head quantization -------------------------------------
     if qcfg.lm_head and not spec.tie_word_embeddings and "lm_head" in base:
