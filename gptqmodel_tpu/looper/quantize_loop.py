@@ -644,13 +644,22 @@ def _quantize_group(
 
     for members, cfg in batches:
         t0 = time.perf_counter()
-        Ws = [np.asarray(get_by_path(lp, m)["weight"], dtype=np.float32) for m in members]
-        out_sizes = [w.shape[0] for w in Ws]
-        W_cat = np.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0]
+        # weights stay DEVICE-resident through the solve: a host fetch +
+        # re-upload of W_cat costs ~1 GB of PCIe round trips per gate|up
+        # group at 8B shapes (the dominant per-module wall over slow links,
+        # session V2/V3); numpy-only branches below materialize explicitly
+        Ws = [
+            jnp.asarray(get_by_path(lp, m)["weight"], dtype=jnp.float32)
+            for m in members
+        ]
+        out_sizes = [int(w.shape[0]) for w in Ws]
+        W_cat = jnp.concatenate(Ws, axis=0) if len(Ws) > 1 else Ws[0]
         if had_b:
             from gptqmodel_tpu.ops.hadamard import fht_np
 
-            W_cat = fht_np(W_cat.astype(np.float64), had_b).astype(np.float32)
+            W_cat = fht_np(
+                np.asarray(W_cat, np.float32).astype(np.float64), had_b
+            ).astype(np.float32)
 
         # model-wide pre-quant Smoother preprocessor (reference SmootherConfig
         # config.py:1127 + module_preprocessor.py plan; numerics
@@ -669,7 +678,7 @@ def _quantize_group(
                 else {}
             )
             W_sm, pre_scale = smooth_weight(
-                W_cat, qcfg.smooth, cfg.group_size,
+                np.asarray(W_cat, np.float32), qcfg.smooth, cfg.group_size,
                 group_threshold=qcfg.smooth_group_threshold, **_mse_kw,
             )
             if pre_scale is not None and cfg.method == METHOD.PAROQUANT:
@@ -707,7 +716,7 @@ def _quantize_group(
 
             pq = qcfg.paroquant or {}
             pres = paroquant_optimize(
-                W_cat, np.asarray(H),
+                np.asarray(W_cat, np.float32), np.asarray(H),
                 bits=cfg.bits, group_size=cfg.group_size,
                 rot_group=int(pq.get("rot_group", 128)),
                 rounds=int(pq.get("rounds", 4)),
@@ -744,7 +753,7 @@ def _quantize_group(
                 pad_cols = (-W_cat.shape[1]) % mult
             W_solve, H_solve, dxxt_solve = W_cat, H, dxxt
             if pad_cols:
-                W_solve = np.pad(W_cat, ((0, 0), (0, pad_cols)))
+                W_solve = jnp.pad(jnp.asarray(W_cat), ((0, 0), (0, pad_cols)))
                 H_solve = jnp.pad(H, ((0, pad_cols), (0, pad_cols)))
                 if dxxt is not None:
                     dxxt_solve = jnp.pad(dxxt, ((0, pad_cols), (0, pad_cols)))
@@ -763,6 +772,8 @@ def _quantize_group(
                 res.Q = res.Q[:, :valid]
                 res.Wq = res.Wq[:, :valid]
                 res.g_idx = res.g_idx[:valid]
+                if res.Wq_dev is not None:
+                    res.Wq_dev = res.Wq_dev[:, :valid]
         if not np.isfinite(res.avg_loss):
             # NaN-loss recovery (reference gptq.py:1268: retry with mock /
             # raise): fall back to RTN on the ORIGINAL weights, recorded as
@@ -785,6 +796,10 @@ def _quantize_group(
         if pre_scale is not None:  # fold the Smoother rowcol factor back
             g_eff = W_cat.shape[1] // pre_scale.shape[0]
             res.Wq = res.Wq * np.repeat(pre_scale.T, g_eff, axis=1)
+            if res.Wq_dev is not None:  # same fold on the device replica
+                res.Wq_dev = res.Wq_dev * jnp.repeat(
+                    jnp.asarray(pre_scale.T), g_eff, axis=1
+                )
             if pre_scale.shape[0] != res.scales.shape[0]:  # tp_pad tail groups
                 pre_scale = np.vstack([
                     pre_scale,
@@ -832,6 +847,10 @@ def _quantize_group(
 
             lora_ab = None
             replay_w = res.Wq[sl]
+            # device replica of the replay weight: skips the [out, in] f32
+            # host->device upload per module when no host-space transform
+            # (hadamard) intervenes
+            replay_dev = None if res.Wq_dev is None else res.Wq_dev[sl]
             if eora_rank > 0:
                 # EoRA from the same Hessian statistic (see quantization/eora.py)
                 # (with online had, all quantities live in the transformed
@@ -843,19 +862,28 @@ def _quantize_group(
                 lora_ab = (A, B)  # device compute stays inline; pack defers
                 # replay matches inference: quantized weight + low-rank term
                 replay_w = res.Wq[sl] + (A @ B).T
+                if replay_dev is not None:
+                    replay_dev = replay_dev + jnp.asarray(
+                        (A @ B).T, jnp.float32
+                    )
             if had_b:  # replay in the ORIGINAL space (T is an involution)
                 from gptqmodel_tpu.ops.hadamard import fht_np
 
                 replay_w = fht_np(
                     replay_w.astype(np.float64), had_b
                 ).astype(np.float32)
+                replay_dev = None  # host-space transform; upload below
             qlayer_mods[m] = (
                 executor.submit(build_qmod, lora=lora_ab)
                 if executor is not None
                 else build_qmod(lora=lora_ab)
             )
             # true_sequential: subsequent subsets/replay see quantized weights
-            dense["weight"] = jnp.asarray(replay_w, dtype=dense["weight"].dtype)
+            dense["weight"] = (
+                replay_dev.astype(dense["weight"].dtype)
+                if replay_dev is not None
+                else jnp.asarray(replay_w, dtype=dense["weight"].dtype)
+            )
             quant_log.append({
                 "layer": layer_idx,
                 "module": m,

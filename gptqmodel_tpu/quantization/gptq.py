@@ -81,29 +81,31 @@ def merge_hessian_psum(H, nsamples, axis_name: str):
 
 
 def _tri_inv_lower(L: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a lower-triangular matrix via column-panel solves.
+    """Inverse of a lower-triangular matrix, divide-and-conquer.
 
     ``triangular_solve`` with a full [n, n] identity RHS compiles to ~3n²
     f32 of live temps on TPU (measured 43 GB at n=14336 — OOMs a 16 GB
-    chip); panel RHSes keep temps O(n·p). The eye panels are built on the
-    fly, so no [n, n] identity is ever materialized."""
+    chip), and panel solves each re-stream the whole L (~23 GB of HBM
+    traffic at n=14336 — ~25 s of the down_proj solve, session T). The
+    2×2 block identity  L⁻¹ = [[A⁻¹, 0], [-D⁻¹·C·A⁻¹, D⁻¹]]  turns all the
+    off-diagonal work into two GEMMs per level: O(n²·log n) bytes streamed
+    and n³/3 MXU flops instead of bandwidth-bound row sweeps. Recursion is
+    trace-time (static shapes); leaves use the direct solve."""
     n = L.shape[0]
-    p = next((q for q in (512, 256, 128) if n % q == 0), None)
-    if p is None or n <= 1024:  # small/ragged: the direct solve is fine
+    if n <= 1024:
         return jax.scipy.linalg.solve_triangular(
             L, jnp.eye(n, dtype=L.dtype), lower=True
         )
-    col = jnp.arange(n)
-
-    def body(j, X):
-        start = j * p
-        rhs = (col[:, None] == (start + jnp.arange(p))[None, :]).astype(L.dtype)
-        sol = jax.lax.linalg.triangular_solve(
-            L, rhs, left_side=True, lower=True
-        )
-        return jax.lax.dynamic_update_slice(X, sol, (0, start))
-
-    return jax.lax.fori_loop(0, n // p, body, jnp.zeros((n, n), L.dtype))
+    m = (n // 2 + 127) // 128 * 128  # keep the split lane-aligned
+    Ai = _tri_inv_lower(L[:m, :m])
+    Di = _tri_inv_lower(L[m:, m:])
+    Ci = -jnp.matmul(
+        Di, jnp.matmul(L[m:, :m], Ai, precision="highest"),
+        precision="highest",
+    )
+    top = jnp.concatenate([Ai, jnp.zeros((m, n - m), L.dtype)], axis=1)
+    bot = jnp.concatenate([Ci, Di], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 @jax.jit
@@ -159,13 +161,13 @@ def _solver_backend():
     ov = os.environ.get("GPTQ_TPU_SOLVER", "")
     if ov == "xla":
         return ""
-    if ov == "pallas_interpret":
-        return "interpret"
-    if ov == "pallas":
-        return "pallas"
-    # default OFF until flipped after on-chip validation (session U);
+    if ov in ("pallas_interpret", "mega_interpret"):
+        return {"pallas_interpret": "interpret", "mega_interpret": ov}[ov]
+    if ov in ("pallas", "mega"):
+        return ov
+    # default OFF until flipped after on-chip validation (session V);
     # CPU always keeps the XLA fori path — interpret would slow the whole
-    # suite; the kernel is interpret-validated in tests/test_pallas_gptq.py
+    # suite; the kernels are interpret-validated in tests/test_pallas_gptq.py
     return ""
 
 
@@ -242,7 +244,7 @@ def gptq_solve_core(
         return _solve_padded(
             W, Hinv_u, P, SP, ZP, in_f, bits=bits, group_size=group_size,
             sym=sym, mse=mse, blocksize=B, with_p=with_p,
-            static_params=static_params, foem_beta=foem_beta,
+            static_params=static_params, foem_beta=foem_beta, solver=solver,
         )
     assert g == in_f or (g <= B and B % g == 0) or (g > B and g % B == 0), (
         f"group_size {g} incompatible with blocksize {B}"
@@ -259,6 +261,49 @@ def gptq_solve_core(
     # same when groupsize == -1)
     if g == in_f:
         s_full, z_full = find_params(W, bits=bits, sym=sym, mse=mse)
+
+    # ---- whole-solve mega-kernel path (ops/pallas_gptq.gptq_whole_solve):
+    # the W row tile stays VMEM-resident across ALL blocks, killing the HBM
+    # round-trips of both the scan carry and the inner fori. Falls through to
+    # the XLA scan when the shape/config isn't eligible.
+    if (
+        solver.startswith("mega")
+        and not with_p
+        and not with_beta
+        and not mse
+        and (static_params or g == in_f or (g <= B and B % g == 0))
+    ):
+        from gptqmodel_tpu.ops.pallas_gptq import gptq_whole_solve, mega_row_tile
+
+        rt = mega_row_tile(out_f, in_f, B)
+        if rt is not None:
+            static_like = static_params or g == in_f
+            if static_params:
+                SPm, ZPm = SP, ZP
+            elif g == in_f:
+                SPm = jnp.broadcast_to(s_full[:, None], (out_f, in_f))
+                ZPm = jnp.broadcast_to(z_full[:, None], (out_f, in_f))
+            else:
+                SPm = ZPm = None
+            Qf, Dq, L, s_out, z_out = gptq_whole_solve(
+                W, Hinv_u, SPm, ZPm, maxq=maxq, group_size=g, sym=sym,
+                blocksize=B, rt=rt, static=static_like,
+                interpret=solver.endswith("interpret"),
+            )
+            if static_params:
+                scales = jnp.zeros((n_groups, out_f), W.dtype)
+                zeros_g = jnp.zeros((n_groups, out_f), W.dtype)
+            elif g == in_f:
+                scales, zeros_g = s_full[None, :], z_full[None, :]
+            else:
+                scales, zeros_g = s_out[:n_groups], z_out[:n_groups]
+            return {
+                "Q": Qf.astype(jnp.int32),
+                "Wq": Dq,
+                "scales": scales,
+                "zeros": zeros_g,
+                "losses": L,
+            }
 
     def block_body(carry, blk):
         W, s_carry, z_carry = carry
@@ -354,7 +399,7 @@ def gptq_solve_core(
         if use_pallas:
             Qb, Dqb, Eb, Lb = gptq_block_inner(
                 Wb, Hbb, scale_cols, zero_cols, maxq=maxq, rt=rt,
-                interpret=solver == "interpret",
+                interpret=solver.endswith("interpret"),
             )
             Wb_final = Wb  # unused on this path (with_p is excluded)
         else:
@@ -439,6 +484,9 @@ class GPTQResult:
     avg_loss: float
     damp: float
     nsamples: int
+    # device-resident dequantized weight (bit-identical to Wq): lets the
+    # looper replay quantized weights without a host->device re-upload
+    Wq_dev: object | None = None
 
 
 def _preprocess_dead(W: jnp.ndarray, H: jnp.ndarray):
@@ -536,15 +584,21 @@ def gptq_quantize(
         solver=_solver_backend(),
     )
 
-    Q = np.asarray(res["Q"])
-    Wq = np.asarray(res["Wq"])
-    losses = np.asarray(res["losses"])
+    # Keep the device->host fetch minimal: codes travel as uint8 (bits <= 8
+    # always, so 4x fewer bytes than int32), the loss reduces to a scalar on
+    # device, and Wq is reconstructed host-side from (Q, scales, zeros) —
+    # it is s·(q−z) by construction, so the product is bit-identical f32.
+    # At llama-8B gate|up shape this cuts the per-module fetch from ~1.9 GB
+    # (Q int32 + Wq f32 + losses f32) to ~120 MB (measured, session V3).
+    avg_loss = float(jnp.sum(res["losses"])) / max(nsamples, 1)
+    Q = np.asarray(res["Q"].astype(jnp.uint8)).astype(np.int32)
+    Wq_dev = res["Wq"]
 
     g_idx = np.arange(in_f, dtype=np.int32) // g
     if perm is not None:
         invperm = np.argsort(perm)
         Q = Q[:, invperm]
-        Wq = Wq[:, invperm]
+        Wq_dev = Wq_dev[:, jnp.asarray(invperm)]
         if static_sz is None:
             g_idx = g_idx[invperm]
         # static_groups: columns keep their ORIGINAL groups -> g_idx stays
@@ -555,7 +609,9 @@ def gptq_quantize(
     else:
         scales, zeros = np.asarray(res["scales"]), np.asarray(res["zeros"])
 
-    avg_loss = float(losses.sum()) / max(nsamples, 1)
+    s_cols = scales[g_idx].T  # [out, in] per-column params, original order
+    z_cols = zeros[g_idx].T
+    Wq = (s_cols * (Q.astype(np.float32) - z_cols)).astype(np.float32)
     return GPTQResult(
         Q=Q,
         Wq=Wq,
@@ -566,4 +622,5 @@ def gptq_quantize(
         avg_loss=avg_loss,
         damp=damp,
         nsamples=nsamples,
+        Wq_dev=Wq_dev,
     )

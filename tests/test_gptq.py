@@ -175,3 +175,19 @@ def test_damp_ladder_recovers():
     U, damp = hessian_inverse(H, 0.01, damp_auto_increment=0.05)
     assert np.isfinite(np.asarray(U)).all()
     assert damp >= 0.01
+
+
+def test_tri_inv_divide_and_conquer():
+    """Recursive triangular inverse (n > 1024 path) vs the direct solve."""
+    from gptqmodel_tpu.quantization.gptq import _tri_inv_lower
+
+    rng = np.random.default_rng(11)
+    n = 1536  # forces one recursion level with a non-power-of-two split
+    A = rng.standard_normal((n, 2 * n)).astype(np.float32)
+    H = A @ A.T / (2 * n) + 0.1 * np.eye(n, dtype=np.float32)
+    L = np.linalg.cholesky(H).astype(np.float32)
+    Li = np.asarray(_tri_inv_lower(jnp.asarray(L)))
+    # residual check against identity (scale-free)
+    resid = Li @ L - np.eye(n, dtype=np.float32)
+    assert np.abs(resid).max() < 5e-4, np.abs(resid).max()
+    assert np.allclose(np.triu(Li, k=1), 0.0)

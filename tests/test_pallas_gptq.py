@@ -40,6 +40,74 @@ def test_solver_matches_xla_path(sym, g):
     np.testing.assert_allclose(got.avg_loss, ref.avg_loss, rtol=1e-5)
 
 
+@pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.parametrize("g", [64, 128, 256, -1])
+def test_mega_solver_matches_xla_path(sym, g):
+    """Whole-solve mega-kernel (interpret) vs the XLA scan path."""
+    W, H = _case(out_f=64, in_f=256)
+    os.environ["GPTQ_TPU_SOLVER"] = "xla"
+    try:
+        ref = gptq_quantize(W, H, bits=4, group_size=g, sym=sym, nsamples=512)
+    finally:
+        os.environ["GPTQ_TPU_SOLVER"] = "mega_interpret"
+    try:
+        got = gptq_quantize(W, H, bits=4, group_size=g, sym=sym, nsamples=512)
+    finally:
+        os.environ.pop("GPTQ_TPU_SOLVER", None)
+
+    frac = float((got.Q != ref.Q).mean())
+    assert frac < 2e-3, f"code mismatch fraction {frac}"
+    np.testing.assert_allclose(got.Wq, ref.Wq, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(got.scales, ref.scales, rtol=1e-5)
+    np.testing.assert_allclose(got.avg_loss, ref.avg_loss, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(desc_act=True),
+        dict(static_groups=True),
+        dict(desc_act=True, static_groups=True),
+        dict(bits=3),
+    ],
+)
+def test_mega_solver_variants(kw):
+    W, H = _case(out_f=32, in_f=512, seed=7)
+    base = dict(bits=4, group_size=128, sym=False, nsamples=512)
+    base.update(kw)
+    os.environ["GPTQ_TPU_SOLVER"] = "xla"
+    try:
+        ref = gptq_quantize(W, H, **base)
+    finally:
+        os.environ["GPTQ_TPU_SOLVER"] = "mega_interpret"
+    try:
+        got = gptq_quantize(W, H, **base)
+    finally:
+        os.environ.pop("GPTQ_TPU_SOLVER", None)
+    frac = float((got.Q != ref.Q).mean())
+    assert frac < 2e-3, f"code mismatch fraction {frac}"
+    np.testing.assert_allclose(got.Wq, ref.Wq, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(got.scales, ref.scales, rtol=1e-5)
+    np.testing.assert_array_equal(got.g_idx, ref.g_idx)
+
+
+def test_mega_solver_padded_in_features():
+    """in_f not a multiple of the blocksize goes through the pad path."""
+    W, H = _case(out_f=32, in_f=320, seed=5)
+    os.environ["GPTQ_TPU_SOLVER"] = "xla"
+    try:
+        ref = gptq_quantize(W, H, bits=4, group_size=64, sym=True, nsamples=512)
+    finally:
+        os.environ["GPTQ_TPU_SOLVER"] = "mega_interpret"
+    try:
+        got = gptq_quantize(W, H, bits=4, group_size=64, sym=True, nsamples=512)
+    finally:
+        os.environ.pop("GPTQ_TPU_SOLVER", None)
+    frac = float((got.Q != ref.Q).mean())
+    assert frac < 2e-3, f"code mismatch fraction {frac}"
+    np.testing.assert_allclose(got.Wq, ref.Wq, rtol=1e-4, atol=2e-4)
+
+
 def test_block_inner_direct():
     """Kernel-level check: identical outputs to a hand-rolled column loop."""
     rng = np.random.default_rng(3)
