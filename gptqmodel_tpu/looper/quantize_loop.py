@@ -857,7 +857,13 @@ def _quantize_group(
                 # space — A/B apply to fht(x), matching the runtime)
                 from gptqmodel_tpu.quantization.eora import compute_eora
 
-                delta = np.asarray(W_cat[sl]) - res.Wq[sl]
+                # delta stays on device when the replay weight is resident —
+                # only the rank-r A/B factors cross the PCIe tunnel (the
+                # host round-trip of W_cat[sl] undid the transfer-lean fetch)
+                if res.Wq_dev is not None:
+                    delta = W_cat[sl] - res.Wq_dev[sl]
+                else:
+                    delta = np.asarray(W_cat[sl]) - res.Wq[sl]
                 A, B = compute_eora(delta, H * (max(n_rows, 1.0) / 2.0), eora_rank)
                 lora_ab = (A, B)  # device compute stays inline; pack defers
                 # replay matches inference: quantized weight + low-rank term

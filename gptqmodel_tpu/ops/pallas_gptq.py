@@ -149,7 +149,9 @@ def mega_row_tile(
             continue
         wbytes = rt * in_f * 4  # resident W scratch
         iobytes = 2 * 5 * rt * B * 4  # SP/ZP in + Q/Dq/L out, double-buffered
-        tmp = 5 * rt * B * 4 + rt * 512 * 4  # fori carries + trailing chunk
+        # live temporaries: 5 fori carries + scale/zero/lane/diff [rt, B]
+        # buffers + the trailing-update chunk [rt, 512] + the Hbb f32 copy
+        tmp = 9 * rt * B * 4 + rt * 512 * 4 + B * B * 4
         if hbytes + wbytes + iobytes + tmp <= budget:
             return rt
     return None

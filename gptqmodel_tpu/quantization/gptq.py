@@ -27,10 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from gptqmodel_tpu.quantization.quantizer import (
     find_params,
     quantize,
 )
+
+log = logging.getLogger("gptqmodel_tpu")
 
 DEFAULT_BLOCKSIZE = 128
 MAX_DAMP_ATTEMPTS = 6
@@ -124,8 +128,19 @@ def _chol_inv_upper(H: jnp.ndarray, damp: jnp.ndarray):
     idx = jnp.arange(n)
     Hd = H.at[idx, idx].add(damp * mean_diag)
     Lr = jnp.linalg.cholesky(Hd[::-1, ::-1])
-    U = _tri_inv_lower(Lr)[::-1, ::-1]
-    ok = jnp.logical_not(jnp.any(jnp.isnan(U)))
+    Li = _tri_inv_lower(Lr)
+    U = Li[::-1, ::-1]
+    # Spot-check the D&C inverse: Li@Lr == I exactly in exact arithmetic; the
+    # f32 residual grows with cond(Lr) ≈ sqrt(n/damp) (~2e-3 at n=14336,
+    # damp=0.01, incl. the log2(n/1024) GEMM levels). 5e-2 passes healthy
+    # solves with ~25x headroom while catching catastrophic precision loss on
+    # under-damped Hessians — the ladder then raises damp, which is also the
+    # conditioning fix.
+    cols = (jnp.arange(8) * max(n // 8, 1)) % n
+    P = jnp.matmul(Li, Lr[:, cols], precision="highest")
+    I_cols = (jnp.arange(n)[:, None] == cols[None, :]).astype(Li.dtype)
+    resid = jnp.max(jnp.abs(P - I_cols))
+    ok = jnp.isfinite(resid) & (resid < 5e-2)
     return U, ok
 
 
@@ -271,7 +286,11 @@ def gptq_solve_core(
         and not with_p
         and not with_beta
         and not mse
-        and (static_params or g == in_f or (g <= B and B % g == 0))
+        # non-static grouped path stores gpb = B//g param rows in a block
+        # padded to 8 sublanes (ops/pallas_gptq.gp_pad) — larger gpb must
+        # fall back to the XLA scan, not trip the kernel's assert
+        and (static_params or g == in_f
+             or (g <= B and B % g == 0 and B // g <= 8))
     ):
         from gptqmodel_tpu.ops.pallas_gptq import gptq_whole_solve, mega_row_tile
 
@@ -534,6 +553,7 @@ def gptq_quantize(
     g = in_f if group_size in (-1, None) else group_size
 
     W, H, dead = _preprocess_dead(W, H)
+    W_orig_order = W  # pre-perm copy for the RTN mock fallback
     if dxxt is not None:
         dxxt = jnp.asarray(dxxt, jnp.float32) * (~dead)[None, :]
 
@@ -583,6 +603,52 @@ def gptq_quantize(
         static_params=SP is not None, foem_beta=float(foem_beta),
         solver=_solver_backend(),
     )
+
+    # ---- NaN/inf guard (reference gptq.py:1268-1277 raises on NaN losses;
+    # here: escalate damp ×10/×100 and re-solve, then mock-RTN fallback) ----
+    def _finite(r):
+        return bool(
+            jnp.isfinite(jnp.sum(r["losses"]))
+            & jnp.all(jnp.isfinite(r["scales"]))
+            & jnp.all(jnp.isfinite(r["Wq"]))
+        )
+
+    if not _finite(res):
+        if not bool(jnp.all(jnp.isfinite(W))):
+            raise ValueError(
+                "gptq_quantize: weight matrix contains NaN/inf — upstream "
+                "layer produced non-finite activations; aborting instead of "
+                "writing garbage codes"
+            )
+        for mult in (10.0, 100.0):
+            U, damp = hessian_inverse(H, damp * mult, damp_auto_increment)
+            if dxxt is not None:
+                P = gptaq_alpha * jnp.triu(dxxt @ U.T, k=1) @ U
+            res = gptq_solve_core(
+                W, U, P, SP, ZP, bits=bits, group_size=group_size, sym=sym,
+                mse=mse, blocksize=blocksize, with_p=dxxt is not None,
+                static_params=SP is not None, foem_beta=float(foem_beta),
+                solver=_solver_backend(),
+            )
+            if _finite(res):
+                log.warning(
+                    "gptq_quantize: non-finite solve outputs; recovered with "
+                    "damp escalated to %.4g", damp,
+                )
+                break
+        else:
+            log.warning(
+                "gptq_quantize: non-finite solve outputs after damp "
+                "escalation; falling back to mock RTN quantization"
+            )
+            from gptqmodel_tpu.quantization.rtn import rtn_quantize
+
+            fb = rtn_quantize(
+                W_orig_order, bits=bits, group_size=group_size, sym=sym,
+                mse=mse,
+            )
+            fb.nsamples = nsamples
+            return fb
 
     # Keep the device->host fetch minimal: codes travel as uint8 (bits <= 8
     # always, so 4x fewer bytes than int32), the loss reduces to a scalar on

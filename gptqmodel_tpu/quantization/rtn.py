@@ -48,7 +48,11 @@ def rtn_quantize(W, *, bits: int, group_size: int, sym: bool, mse: bool = False)
         zeros=np.asarray(zeros),
         g_idx=np.arange(in_f, dtype=np.int32) // g,
         perm=None,
-        avg_loss=float(np.mean((np.asarray(Wq) - np.asarray(W, dtype=np.float32)) ** 2)),
+        avg_loss=float(
+            np.mean(
+                (np.asarray(Wq, np.float64) - np.asarray(W, np.float64)) ** 2
+            )
+        ),
         damp=0.0,
         nsamples=0,
     )

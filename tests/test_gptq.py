@@ -191,3 +191,40 @@ def test_tri_inv_divide_and_conquer():
     resid = Li @ L - np.eye(n, dtype=np.float32)
     assert np.abs(resid).max() < 5e-4, np.abs(resid).max()
     assert np.allclose(np.triu(Li, k=1), 0.0)
+
+
+def test_nan_loss_guard_falls_back(caplog):
+    """Degenerate H (extreme dynamic-range diagonal) + huge W yields inf
+    losses on the raw solve; gptq_quantize must detect it, try damp
+    escalation, and land on the logged mock-RTN fallback with finite outputs
+    (reference gptq.py:1268-1277 NaN-loss handling)."""
+    import logging
+
+    rng = np.random.default_rng(0)
+    n = 256
+    W = (rng.normal(size=(64, n)) * 1e20).astype(np.float32)
+    d = np.concatenate([np.full(8, 1e30), np.full(n - 8, 1e-28)])
+    H = jnp.asarray(np.diag(d).astype(np.float32))
+
+    # the raw solve really is non-finite (guard has something to catch)
+    U, _ = hessian_inverse(H, 0.01)
+    raw = gptq_solve_core(jnp.asarray(W), U, bits=4, group_size=128, sym=False)
+    assert not np.isfinite(float(jnp.sum(raw["losses"])))
+
+    with caplog.at_level(logging.WARNING, logger="gptqmodel_tpu"):
+        res = gptq_quantize(W, H, bits=4, group_size=128, sym=False, nsamples=4)
+    assert np.isfinite(res.Wq).all()
+    assert np.isfinite(res.scales).all()
+    assert np.isfinite(res.avg_loss)
+    assert any("non-finite" in r.message for r in caplog.records)
+
+
+def test_nan_weights_raise():
+    """NaN already in W (upstream blow-up) must raise, not write codes."""
+    W = np.ones((16, 64), dtype=np.float32)
+    W[3, 5] = np.nan
+    X = np.random.default_rng(1).normal(size=(32, 64)).astype(np.float32)
+    H, n = init_hessian(64), jnp.int32(0)
+    H, n = accumulate_hessian(H, n, jnp.asarray(X))
+    with pytest.raises(ValueError, match="NaN/inf"):
+        gptq_quantize(W, H, bits=4, group_size=64, sym=True, nsamples=int(n))

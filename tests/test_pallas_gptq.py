@@ -141,3 +141,21 @@ def test_block_inner_direct():
     np.testing.assert_allclose(np.asarray(Dq), Dqr, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(E), Er, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(L), Lr, rtol=1e-5, atol=1e-9)
+
+
+def test_mega_solver_small_group_falls_back():
+    """group_size with B//g > 8 param rows must fall back to the XLA scan
+    (the kernel's gp_pad=8 sublane block can't hold them) instead of
+    tripping gptq_whole_solve's assert at trace time."""
+    W, H = _case(out_f=32, in_f=256, seed=9)
+    os.environ["GPTQ_TPU_SOLVER"] = "xla"
+    try:
+        ref = gptq_quantize(W, H, bits=4, group_size=8, sym=True, nsamples=512)
+    finally:
+        os.environ["GPTQ_TPU_SOLVER"] = "mega_interpret"
+    try:
+        got = gptq_quantize(W, H, bits=4, group_size=8, sym=True, nsamples=512)
+    finally:
+        os.environ.pop("GPTQ_TPU_SOLVER", None)
+    np.testing.assert_array_equal(got.Q, ref.Q)
+    np.testing.assert_allclose(got.Wq, ref.Wq, rtol=1e-6, atol=1e-7)
