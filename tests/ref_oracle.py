@@ -46,7 +46,8 @@ def install_reference(extra_stubs: dict | None = None):
         UNICODE = re.UNICODE
 
     _stub("pcre", compile=re.compile, Flag=_Flag, match=re.match,
-          search=re.search, sub=re.sub)
+          search=re.search, sub=re.sub, escape=re.escape,
+          findall=re.findall, fullmatch=re.fullmatch, split=re.split)
 
     class _OnceFn:
         """Callable with the reference logger's `.once(...)` attribute."""
@@ -67,37 +68,62 @@ def install_reference(extra_stubs: dict | None = None):
 
         def pb(self, it=None, *a, **k):
             class _PB:
+                """Inert progress bar: every method chains, any kwargs."""
+
                 def __init__(self, it):
-                    self._it = it if it is not None else []
+                    if it is None:
+                        it = []
+                    elif isinstance(it, int):  # logbar: pb(total)
+                        it = range(it)
+                    self._it = it
 
                 def __iter__(self):
                     return iter(self._it)
 
+                def __len__(self):
+                    return len(self._it)
+
                 def __call__(self, it):
                     return iter(it)
 
-                def manual(self):
+                def __enter__(self):
                     return self
 
-                def set(self, *a, **k):
-                    return self
+                def __exit__(self, *a):
+                    return False
 
-                def title(self, *a, **k):
-                    return self
+                def __getattr__(self, name):
+                    if name.startswith("_"):
+                        raise AttributeError(name)
+                    return _Chain(self)
 
-                def subtitle(self, *a, **k):
-                    return self
+            class _Chain:
+                """Inert attribute/call chain that resolves back to the PB
+                (so ``pb.manual()`` keeps iterating the real items and
+                ``columns.info.simulate(...)`` is harmlessly absorbed)."""
 
-                def draw(self):
-                    return self
+                def __init__(self, parent):
+                    object.__setattr__(self, "_p", parent)
 
-                def next(self):
-                    return self
+                def __call__(self, *a, **k):
+                    return object.__getattribute__(self, "_p")
 
-                def close(self):
-                    return self
+                def __getattr__(self, name):
+                    if name.startswith("_"):
+                        raise AttributeError(name)
+                    return _Chain(object.__getattribute__(self, "_p"))
 
             return _PB(it)
+
+        def spinner(self, *a, **k):
+            return self.pb()
+
+        def __getattr__(self, name):
+            # any other UI surface (columns, summaries, ...) -> inert chain
+            if name.startswith("_"):
+                raise AttributeError(name)
+            pb = self.pb()
+            return lambda *a, **k: pb
 
     logging.setLoggerClass(_Log)
     lg = logging.getLogger("ref_oracle")

@@ -1,0 +1,256 @@
+"""Pipeline-level quality parity vs the REFERENCE'S OWN full stack.
+
+The same tiny random-weight HF llama + identical pre-tokenized calibration
+goes through:
+  (a) the reference's complete looper on CPU torch
+      (/root/reference/gptqmodel/models/base.py:801 ->
+       looper/module_looper.py:1403, imported via tests/ref_full.py), and
+  (b) this repo's pipeline (GPTQModel.load().quantize()).
+
+Matched config: bits=4 g32 sym, damp 0.05 (the reference default),
+act_group_aware=False (the reference defaults it ON), reference dtype
+float32 (its default bf16 module dtype adds solve noise ours doesn't have).
+
+Measured parity (recorded so regressions are interpretable):
+  - subset-level losses agree to 0.2-0.3% (our shared-input q|k|v and
+    gate|up concat solves report one loss per subset = the sum of the
+    reference's per-member losses),
+  - layer-0 q/k/v codes match the reference BIT-EXACTLY; downstream modules
+    drift only by +-1-level boundary flips (<3%) as fp noise cascades
+    through true-sequential replay,
+  - held-out perplexity through one evaluator matches within the BASELINE
+    "ppl delta <= 0.05" band (scaled: 5% of fp ppl).
+
+This is the whole-pipeline drift guard module-level oracles can't give
+(capture masking, replay, subset ordering). Reference harness analog:
+tests/models/model_test.py:1539 ``quantModel``.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BITS, GROUP, SYM, DAMP = 4, 32, True, 0.05  # reference GPTQ default damp
+SEED = 0
+N_CALIB, T_CALIB = 16, 64
+VOCAB = 256
+
+# our shared-input concat solves report one loss per subset; the reference
+# reports per member — compare at subset granularity
+SUBSETS = {
+    "self_attn.q_proj": ("self_attn.q_proj", "self_attn.k_proj",
+                         "self_attn.v_proj"),
+    "mlp.gate_proj": ("mlp.gate_proj", "mlp.up_proj"),
+    "self_attn.o_proj": ("self_attn.o_proj",),
+    "mlp.down_proj": ("mlp.down_proj",),
+}
+
+
+def _calib_tokens():
+    rng = np.random.default_rng(SEED)
+    return [rng.integers(1, VOCAB, size=(T_CALIB,)) for _ in range(N_CALIB)]
+
+
+def _eval_tokens():
+    rng = np.random.default_rng(1234)
+    return rng.integers(1, VOCAB, size=(8, 96))
+
+
+@pytest.fixture(scope="module")
+def tiny_src(tmp_path_factory):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from ref_full import save_tiny_tokenizer
+
+    d = tmp_path_factory.mktemp("pipeline_parity")
+    cfg = AutoConfig.for_model(
+        model_type="llama", vocab_size=VOCAB, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+    src = d / "tiny_llama"
+    model.save_pretrained(src, safe_serialization=True)
+    save_tiny_tokenizer(src)
+    return src
+
+
+def _ref_quantize(tiny_src, out_name, desc_act):
+    import torch
+
+    from ref_full import import_reference_full
+
+    ref = import_reference_full()
+    qc = ref.QuantizeConfig(
+        bits=BITS, group_size=GROUP, desc_act=desc_act, sym=SYM,
+        damp_percent=DAMP, act_group_aware=False, device="cpu",
+    )
+    m = ref.GPTQModel.load(
+        str(tiny_src), quantize_config=qc, dtype=torch.float32
+    )
+    calib = [
+        {"input_ids": torch.tensor(t, dtype=torch.long)}
+        for t in _calib_tokens()
+    ]
+    m.quantize(calib, batch_size=4)
+    out = tiny_src.parent / out_name
+    m.save(str(out))
+    losses = {
+        f"layers.{r['layer']}.{r['module']}": float(r["loss"])
+        for r in m.quant_log
+    }
+    return out, losses
+
+
+def _repo_quantize(tiny_src, out_name, desc_act):
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+
+    m = GPTQModel.load(
+        tiny_src,
+        QuantizeConfig(bits=BITS, group_size=GROUP, sym=SYM,
+                       damp_percent=DAMP, desc_act=desc_act),
+    )
+    log_rows = m.quantize(_calib_tokens(), batch_size=4)
+    out = tiny_src.parent / out_name
+    m.save(out)
+    losses = {
+        f"layers.{r['layer']}.{r['module']}": float(r["loss"])
+        for r in log_rows
+    }
+    return out, losses
+
+
+@pytest.fixture(scope="module")
+def ref_quantized(tiny_src):
+    return _ref_quantize(tiny_src, "ref_q", desc_act=False)
+
+
+@pytest.fixture(scope="module")
+def repo_quantized(tiny_src):
+    return _repo_quantize(tiny_src, "repo_q", desc_act=False)
+
+
+def _ppl(model_dir) -> float:
+    """Next-token perplexity through THIS repo's loader+forward (the
+    reference checkpoint decodes bit-exact through our loader —
+    tests/test_reference_parity.py proves the pack interop)."""
+    from gptqmodel_tpu import GPTQModel
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    m = GPTQModel.load(model_dir)
+    if not m.quantized:
+        m._load_params()
+    ids = jnp.asarray(_eval_tokens())
+    logits = forward_logits(m.spec, m.params, ids)
+    lp = np.asarray(logits, np.float32)
+    x = lp[:, :-1, :]
+    x = x - x.max(axis=-1, keepdims=True)
+    logz = np.log(np.exp(x).sum(axis=-1))
+    tgt = np.asarray(ids)[:, 1:]
+    tok_lp = np.take_along_axis(x, tgt[..., None], axis=-1)[..., 0] - logz
+    return float(np.exp(-tok_lp.mean()))
+
+
+def test_subset_losses_match(ref_quantized, repo_quantized):
+    """Subset-level avg losses from the two full pipelines agree closely
+    (observed 0.998-1.003; 10% band leaves room for fp noise while catching
+    any structural drift in capture/replay/Hessian normalization)."""
+    _, ref_losses = ref_quantized
+    _, repo_losses = repo_quantized
+    n_checked = 0
+    for layer in (0, 1):
+        for lead, members in SUBSETS.items():
+            ref_sum = sum(ref_losses[f"layers.{layer}.{m}"] for m in members)
+            ours = repo_losses[f"layers.{layer}.{lead}"]
+            if ref_sum < 5e-8:  # o/down losses round to 0 in both logs
+                assert ours < 5e-8, (layer, lead, ref_sum, ours)
+                continue
+            ratio = ours / ref_sum
+            assert 0.9 < ratio < 1.1, (layer, lead, ratio, ref_sum, ours)
+            n_checked += 1
+    assert n_checked >= 4
+
+
+def _code_mismatch_by_module(ref_dir, repo_dir):
+    from safetensors.numpy import load_file
+
+    from gptqmodel_tpu.ops import pack as packing
+
+    rt = load_file(str(next(Path(ref_dir).glob("*.safetensors"))))
+    ot = load_file(str(next(Path(repo_dir).glob("*.safetensors"))))
+    qnames = sorted(k[: -len(".qweight")] for k in ot if k.endswith(".qweight"))
+    assert len(qnames) == 14  # 2 layers x 7 linears
+    out = {}
+    for name in qnames:
+        cr = packing.unpack_qweight(rt[f"{name}.qweight"], BITS)
+        co = packing.unpack_qweight(ot[f"{name}.qweight"], BITS)
+        delta = np.abs(cr.astype(np.int64) - co.astype(np.int64))
+        out[name] = (float((delta > 0).mean()), int(delta.max()))
+    return out
+
+
+def test_codes_match_reference(ref_quantized, repo_quantized):
+    """Layer-0 first subset is bit-exact; later modules may differ only by
+    +-1-level boundary flips on a small fraction of entries (fp noise
+    cascading through true-sequential replay)."""
+    ref_dir, _ = ref_quantized
+    repo_dir, _ = repo_quantized
+    mm = _code_mismatch_by_module(ref_dir, repo_dir)
+    first = ["model.layers.0.self_attn.q_proj", "model.layers.0.self_attn.k_proj"]
+    for name in first:
+        frac, _ = mm[name]
+        assert frac < 0.002, (name, frac)  # observed: exactly 0
+    for name, (frac, dmax) in mm.items():
+        assert frac < 0.05, (name, frac)
+        if frac:
+            assert dmax <= 2, (name, dmax)
+
+
+def test_ppl_parity_band(tiny_src, ref_quantized, repo_quantized):
+    """BASELINE proxy: both pipelines' quantized models score the same
+    held-out perplexity through the same evaluator, within 5% of fp ppl
+    (the "ppl delta <= 0.05" target scaled to this model), and neither
+    degrades the fp model materially."""
+    ref_dir, _ = ref_quantized
+    repo_dir, _ = repo_quantized
+    ppl_fp = _ppl(tiny_src)
+    ppl_ref = _ppl(ref_dir)
+    ppl_ours = _ppl(repo_dir)
+    assert ppl_ref < ppl_fp * 1.5 and ppl_ours < ppl_fp * 1.5, (
+        ppl_fp, ppl_ref, ppl_ours,
+    )
+    assert abs(ppl_ours - ppl_ref) <= 0.05 * ppl_fp, (
+        ppl_fp, ppl_ref, ppl_ours,
+    )
+
+
+def test_desc_act_pipeline_parity(tiny_src):
+    """The act-order pipeline (desc_act=True) also tracks the reference
+    end-to-end: subset losses within 10%, ppl within the band."""
+    ref_dir, ref_losses = _ref_quantize(tiny_src, "ref_q_da", desc_act=True)
+    repo_dir, repo_losses = _repo_quantize(tiny_src, "repo_q_da",
+                                           desc_act=True)
+    for layer in (0, 1):
+        for lead, members in SUBSETS.items():
+            ref_sum = sum(ref_losses[f"layers.{layer}.{m}"] for m in members)
+            ours = repo_losses[f"layers.{layer}.{lead}"]
+            if ref_sum < 5e-8:
+                assert ours < 5e-8, (layer, lead, ref_sum, ours)
+                continue
+            ratio = ours / ref_sum
+            assert 0.9 < ratio < 1.1, (layer, lead, ratio)
+    ppl_fp = _ppl(tiny_src)
+    ppl_ref = _ppl(ref_dir)
+    ppl_ours = _ppl(repo_dir)
+    assert abs(ppl_ours - ppl_ref) <= 0.05 * ppl_fp, (
+        ppl_fp, ppl_ref, ppl_ours,
+    )
