@@ -508,6 +508,15 @@ def weight_only_quantize(
                 loss = float(
                     np.mean((np.asarray(dequantize_fp4(qmod)).T - W) ** 2)
                 )
+            elif mcfg.method == METHOD.BITSANDBYTES:
+                from gptqmodel_tpu.ops.bnb import dequantize_bnb4, nf4_quantize
+
+                bs = mcfg.group_size if mcfg.group_size > 0 else 64
+                qmod = nf4_quantize(
+                    W, blocksize=bs,
+                    bias=None if bias is None else np.asarray(bias),
+                )
+                loss = float(np.mean((np.asarray(dequantize_bnb4(qmod)) - W) ** 2))
             else:  # RTN
                 res = rtn_quantize(
                     W, bits=mcfg.bits, group_size=mcfg.group_size,

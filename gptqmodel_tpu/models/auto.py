@@ -41,6 +41,31 @@ class GPTQModel:
             return cls.from_quantized(model_dir, **kwargs)
         return cls.from_pretrained(model_dir, quantize_config, **kwargs)
 
+    class adapter:
+        """Post-hoc EoRA adapter generation (reference
+        GPTQModel.adapter.generate, models/auto.py:758): quantized
+        checkpoint + original native checkpoint + calibration -> rank-r
+        eigenspace sidecar adapters."""
+
+        @classmethod
+        def generate(
+            cls,
+            model_id_or_path,  # native model
+            quantized_model_id_or_path,
+            calibration_dataset,
+            rank: int,
+            batch_size: int = 4,
+            max_length: int = 2048,
+            save_to=None,
+        ):
+            from gptqmodel_tpu.adapter.eora_gen import generate_eora
+
+            return generate_eora(
+                model_id_or_path, quantized_model_id_or_path,
+                calibration_dataset, rank, batch_size=batch_size,
+                max_length=max_length, save_to=save_to,
+            )
+
     @classmethod
     def from_pretrained(
         cls, model_dir, quantize_config=None, **kwargs
@@ -250,10 +275,12 @@ class BaseQModel:
         from gptqmodel_tpu.quantization.config import METHOD
 
         if calibration is None:
-            if self.qcfg.method not in (METHOD.RTN, METHOD.FP8, METHOD.FP4):
+            if self.qcfg.method not in (
+                METHOD.RTN, METHOD.FP8, METHOD.FP4, METHOD.BITSANDBYTES,
+            ):
                 raise ValueError(
                     f"{self.qcfg.method} needs calibration data; only "
-                    "RTN/FP8/FP4 are calibration-free"
+                    "RTN/FP8/FP4/bitsandbytes-nf4 are calibration-free"
                 )
             result = weight_only_quantize(self.model_dir, self.qcfg)
             self.params = result.params

@@ -156,7 +156,10 @@ def build_params_tree(
         elif layer_filter is not None:
             continue
 
-        is_quant = _QUANT_LEAVES.issubset(leaves.keys())
+        is_quant = _QUANT_LEAVES.issubset(leaves.keys()) or (
+            {"qweight", "scales"}.issubset(leaves.keys())
+            and "scaled_zeros" in leaves  # gemv-fast legacy zeros alias
+        )
         is_fp8 = "weight_scale" in leaves and "weight" in leaves
         is_fp4 = "qweight_fp4" in leaves
         is_trellis = {"trellis", "suh", "svh"}.issubset(leaves.keys())
@@ -270,6 +273,9 @@ def _load_quant_linear(
 ) -> QuantLinear:
     mcfg = qcfg.for_module(mod_path) or qcfg
     qweight = reader.get(leaves["qweight"])
+    if "qzeros" not in leaves and "scaled_zeros" in leaves:
+        # legacy gemv-fast alias (reference gemv_fast_awq.py:214)
+        leaves = dict(leaves, qzeros=leaves["scaled_zeros"])
     qzeros = reader.get(leaves["qzeros"])
     scales = reader.get(leaves["scales"])
     g_idx = reader.get(leaves["g_idx"]) if "g_idx" in leaves else None
@@ -279,6 +285,16 @@ def _load_quant_linear(
         # AutoAWQ checkpoint: out-dim interleaved pack, true zeros, scales
         # transposed relative to nothing — [in/g, out] already matches
         qweight, qzeros = packing.awq_gemm_to_gptq(qweight, qzeros, bits)
+    elif qcfg.format == FORMAT.AWQ_GEMV:
+        g = mcfg.group_size if mcfg.group_size > 0 else qweight.shape[1] * 32 // bits
+        qweight, qzeros, scales = packing.awq_gemv_to_gptq(
+            qweight, qzeros, scales, group_size=g, bits=bits
+        )
+    elif qcfg.format == FORMAT.AWQ_GEMV_FAST:
+        g = mcfg.group_size if mcfg.group_size > 0 else qweight.shape[1]
+        qweight, qzeros, scales = packing.awq_gemv_fast_to_gptq(
+            qweight, scales, qzeros, group_size=g, bits=bits
+        )
     in_f = qweight.shape[0] * 32 // bits
     out_f = scales.shape[1]
     planar = qcfg.format == FORMAT.GPTQ_P

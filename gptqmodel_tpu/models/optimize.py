@@ -25,6 +25,21 @@ from gptqmodel_tpu.ops.qlinear import QuantLinear
 log = logging.getLogger("gptqmodel_tpu")
 
 
+def _same_perm(m: QuantLinear, a: QuantLinear) -> bool:
+    """Members must share the column order: both contiguous, or identical
+    desc_act permutations (q/k/v and gate/up share the subset Hessian, so
+    their act-order perms match in practice)."""
+    if (m.g_idx is None) != (a.g_idx is None):
+        return False
+    if (m.act_perm is None) != (a.act_perm is None):
+        return False
+    if m.g_idx is not None:
+        if m.act_perm is None:  # XLA-path g_idx modules: keep per-module
+            return False
+        return np.array_equal(np.asarray(m.g_idx), np.asarray(a.g_idx))
+    return True
+
+
 def _can_fuse(mods: list) -> bool:
     if not all(isinstance(m, QuantLinear) for m in mods):
         return False
@@ -34,7 +49,7 @@ def _can_fuse(mods: list) -> bool:
         and m.group_size == a.group_size
         and m.in_features == a.in_features
         and m.v1 == a.v1
-        and m.g_idx is None
+        and _same_perm(m, a)
         and m.rt_layout == a.rt_layout
         and m.rt_block_k == a.rt_block_k
         and (m.bias is None) == (a.bias is None)
@@ -51,9 +66,10 @@ def _concat_quant(mods: list[QuantLinear]) -> QuantLinear:
         qweight=cat("qweight"),
         qzeros=cat("qzeros"),
         scales=cat("scales"),
-        g_idx=None,
+        g_idx=a.g_idx,
         bias=cat("bias") if a.bias is not None else None,
         zvals=cat("zvals") if a.zvals is not None else None,
+        act_perm=a.act_perm,
         bits=a.bits,
         group_size=a.group_size,
         in_features=a.in_features,

@@ -110,6 +110,10 @@ def flatten_params(
         qweight = np.asarray(tree.qweight)
         if tree.rt_layout:  # runtime layout -> interchange layout on disk
             qweight = packing.unrepack_rt(qweight, tree.bits, tree.rt_block_k)
+        if tree.act_perm is not None:  # desc_act runtime row order -> original
+            codes = packing.unpack_qweight(qweight, tree.bits)
+            inv = np.argsort(np.asarray(tree.act_perm))
+            qweight = packing.pack_qweight(codes[inv], tree.bits)
         out[f"{prefix}.qweight"] = qweight
         out[f"{prefix}.qzeros"] = qzeros
         out[f"{prefix}.scales"] = np.asarray(tree.scales)

@@ -97,6 +97,38 @@ def make_bnb4_linear(
     )
 
 
+def nf4_quantize(
+    W: np.ndarray,
+    blocksize: int = 64,
+    bias: np.ndarray | None = None,
+) -> Bnb4Linear:
+    """Quantize a dense weight to NF4 (bnb ``quantize_4bit`` semantics:
+    per-block absmax scale, nearest NF4 code, first element in the HIGH
+    nibble). The quantize direction of the reference's BitsAndBytes path
+    (quantization/config.py METHOD.BITSANDBYTES,
+    nn_modules/qlinear/bitsandbytes.py) — implemented host-side since TPUs
+    have no bnb CUDA kernels; the import/forward side lives above."""
+    W = np.asarray(W, np.float32)
+    out_f, in_f = W.shape
+    flat = W.reshape(-1)
+    if flat.size % blocksize:
+        raise ValueError(
+            f"weight numel {flat.size} not divisible by blocksize {blocksize}"
+        )
+    blocks = flat.reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1)
+    normed = blocks / np.maximum(absmax, 1e-12)[:, None]
+    # nearest code via midpoint bins (LUT is sorted): argmin|x - lut| ==
+    # searchsorted over midpoints — O(n log 16) instead of an n x 16 table
+    mids = (NF4_LUT[1:] + NF4_LUT[:-1]) / 2.0
+    codes = np.searchsorted(mids, normed.reshape(-1)).astype(np.uint8)
+    packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
+    return make_bnb4_linear(
+        packed, absmax, NF4_LUT, (out_f, in_f), blocksize=blocksize,
+        bias=bias,
+    )
+
+
 def dequantize_bnb4(p: Bnb4Linear, dtype=jnp.float32) -> jnp.ndarray:
     """Dense [out, in] reconstruction (row-major element order, HF layout)."""
     u = p.codes_u8.astype(jnp.int32)

@@ -350,6 +350,98 @@ def awq_gemm_to_gptq(
     return pack_qweight(codes, bits), pack_qzeros(zeros, bits, v1=False)
 
 
+def awq_gemv_to_gptq(
+    qweight: np.ndarray,  # int32 [out, in/8] — sequential nibbles along in
+    qzeros: np.ndarray,  # int32 [out, zeros_width] — group zeros, 8/word
+    scales: np.ndarray,  # f16 [out, zeros_width*8] — padded group scales
+    group_size: int,
+    bits: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """AWQ gemv tensors -> GPTQ v2 (qweight, qzeros, scales).
+
+    Layout per the reference's AwqGEMVLinear.pack
+    (gptqmodel/nn_modules/qlinear/gemv_awq.py:151): identity order_map (no
+    gemm interleave), qweight packed along IN within [out, in/pf] words,
+    zeros packed along the GROUP axis, scales/zeros padded to
+    ``calculate_zeros_width(in, g) * pf`` columns. Zeros are true (v2)."""
+    assert bits == 4, "reference gemv kernels are 4-bit only"
+    pf = 32 // bits
+    qweight = np.asarray(qweight)
+    out_f = qweight.shape[0]
+    in_f = qweight.shape[1] * pf
+    G = in_f // group_size
+    shifts = (np.arange(pf, dtype=np.uint32) * bits)[None, None, :]
+    codes = (
+        (qweight.astype(np.uint32)[:, :, None] >> shifts) & 0xF
+    ).reshape(out_f, in_f).astype(np.int32)  # [out, in]
+    zw = np.asarray(qzeros)
+    zeros = (
+        (zw.astype(np.uint32)[:, :, None] >> shifts) & 0xF
+    ).reshape(out_f, -1)[:, :G].astype(np.int32)  # [out, G]
+    s = np.asarray(scales)[:, :G]  # [out, G]
+    return (
+        pack_qweight(np.ascontiguousarray(codes.T), bits),
+        pack_qzeros(np.ascontiguousarray(zeros.T), bits, v1=False),
+        np.ascontiguousarray(s.T),
+    )
+
+
+def _gemv_fast_source_index(N: int, K: int) -> np.ndarray:
+    """For each packed position (row, col, field) of the gemv-fast layout,
+    the source flat index into codes [N, K] — derived by replaying the
+    reference's pack_intweight index motion
+    (gemv_fast_awq.py:23) on an index array, so the inverse is exact by
+    construction."""
+    src = np.arange(N * K, dtype=np.int64).reshape(N, K)
+    x = src.reshape(N, K // 32, 4, 4, 2).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(N, K // 32, 4, 8)
+    x = x.reshape(N, K // 32, 4, 4, 2).transpose(0, 1, 2, 4, 3)
+    x = x.reshape(N, K)
+    interleave, kstride = 4, 64
+    x = x.reshape(N // interleave, interleave, K // kstride, kstride)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(N // interleave, K // kstride, kstride, interleave)
+    return x  # [N/4, K/64, 64, 4]: value = source flat index of that field
+
+
+def awq_gemv_fast_to_gptq(
+    qweight: np.ndarray,  # int16 [N/4, K] packed words
+    scales: np.ndarray,  # f16 [padG, N] (transposed + padded)
+    qzeros: np.ndarray,  # f16 [padG, N] = -(scales * zeros)
+    group_size: int,
+    bits: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """AWQ gemv-fast tensors -> GPTQ v2 (qweight, qzeros, scales).
+
+    Reference layout (gemv_fast_awq.py:234 pack + pack_intweight): codes
+    double-permuted within 32-element K runs, rows interleaved by 4, four
+    4-bit fields per int16 word; scales stored transposed [padG, N]; zeros
+    stored as the precomputed float ``-(scale * zero)``."""
+    assert bits == 4, "reference gemv-fast kernel is 4-bit only"
+    qweight = np.asarray(qweight)
+    n4, K = qweight.shape
+    N = n4 * 4
+    w = qweight.view(np.uint16) if qweight.dtype == np.int16 else qweight.astype(np.uint16)
+    fields = np.stack(
+        [(w >> np.uint16(4 * j)) & np.uint16(0xF) for j in range(4)], axis=-1
+    ).reshape(n4, K // 64, 64, 4)
+    idx = _gemv_fast_source_index(N, K)
+    codes = np.empty(N * K, dtype=np.int32)
+    codes[idx.reshape(-1)] = fields.reshape(-1).astype(np.int32)
+    codes = codes.reshape(N, K)  # [out, in]
+    G = K // group_size
+    s = np.asarray(scales, np.float32)[:G]  # [G, N]
+    zf = np.asarray(qzeros, np.float32)[:G]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(s != 0, -zf / np.where(s == 0, 1.0, s), 0.0)
+    zeros = np.clip(np.round(z), 0, 2**bits - 1).astype(np.int32)  # [G, N]
+    return (
+        pack_qweight(np.ascontiguousarray(codes.T), bits),
+        pack_qzeros(zeros, bits, v1=False),
+        np.ascontiguousarray(np.asarray(scales)[:G]),
+    )
+
+
 # --------------------------------------------------------------------------
 # runtime (rt) layout: group-aligned bit-plane parts for the Pallas kernel
 # --------------------------------------------------------------------------

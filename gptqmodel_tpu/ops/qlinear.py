@@ -26,7 +26,7 @@ from gptqmodel_tpu.ops import pack as packing
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B", "rot_theta", "rot_scales"],
+    data_fields=["qweight", "qzeros", "scales", "g_idx", "bias", "zvals", "lora_A", "lora_B", "rot_theta", "rot_scales", "act_perm"],
     meta_fields=["bits", "group_size", "in_features", "out_features", "sym", "v1", "rt_layout", "rt_block_k", "planar", "a8", "had_block", "rot_group", "zero_const"],
 )
 @dataclasses.dataclass
@@ -59,6 +59,13 @@ class QuantLinear:
     # the packed matmul (pairs derived from the round-robin template)
     rot_theta: jnp.ndarray | None = None  # [rounds, in/2]
     rot_scales: jnp.ndarray | None = None  # [in]
+    # desc_act fast path (runtime-only, post_init_params): the stable sort
+    # of g_idx that makes groups contiguous. qweight rows are stored in this
+    # order (then rt-repacked) and the forward gathers x columns by it —
+    # the load-time-perm trick of the reference's exllama kernels
+    # (gptqmodel_ext/exllamav2/cuda/q_matrix.cu builds the same perm at
+    # load; marlin.py:246-261 repacks with g_idx). Never serialized.
+    act_perm: jnp.ndarray | None = None  # int32 [in]
     bits: int = 4
     group_size: int = 128
     in_features: int = 0
@@ -157,6 +164,8 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
     if p.rt_layout:  # jit-safe reverse of the rt row permutation
         perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
         codes = codes[jnp.asarray(np.argsort(perm))]
+    if p.act_perm is not None:  # desc_act runtime order -> original order
+        codes = codes[jnp.argsort(jnp.asarray(p.act_perm))]
     scales = p.scales.astype(dtype)
     if p.g_idx is not None:
         s = scales[p.g_idx]  # [in, out]

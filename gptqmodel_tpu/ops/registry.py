@@ -88,7 +88,8 @@ def select_kernel(p: QuantLinear) -> str:
     if _BACKEND == "xla":
         return "xla"
     eligible = p.zvals is not None and not p.planar and pallas_qmatmul.supports(
-        p.bits, p.group_size, p.in_features, p.out_features, p.g_idx is None
+        p.bits, p.group_size, p.in_features, p.out_features,
+        p.g_idx is None or p.act_perm is not None,
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
         if not eligible:
@@ -136,6 +137,10 @@ def qlinear_forward(p: QuantLinear, x: jnp.ndarray) -> jnp.ndarray:
     ):
         return qlinear_forward_xla(p, x)
     x2 = x.reshape(-1, x.shape[-1])
+    if p.act_perm is not None:
+        # desc_act: weights are stored group-contiguous in perm order; one
+        # activation-column gather replaces per-row g_idx indirection
+        x2 = x2[:, p.act_perm]
     y = pallas_qmatmul.qmatmul(
         x2, p.qweight, p.scales, p.zvals,
         bits=p.bits, group_size=p.group_size, rt=p.rt_layout,
@@ -168,6 +173,10 @@ def qmlp_forward(gu: QuantLinear, down: QuantLinear, x: jnp.ndarray, act: str):
         return None
     if gu.bias is not None or gu.lora_A is not None or down.lora_A is not None:
         return None
+    if gu.act_perm is not None or down.act_perm is not None:
+        # desc_act: down's input is the in-kernel intermediate — its column
+        # gather can't be applied between the fused stages
+        return None
     if gu.bits != down.bits or gu.group_size != down.group_size:
         return None
     if gu.had_block or down.had_block or gu.rot_theta is not None \
@@ -199,6 +208,25 @@ def qmlp_forward(gu: QuantLinear, down: QuantLinear, x: jnp.ndarray, act: str):
     return y
 
 
+def _act_order_perm(p: QuantLinear) -> np.ndarray | None:
+    """Stable sort of g_idx when it is a balanced grouping (every group has
+    exactly ``group_size`` columns, groups 0..G-1) — i.e. a GPTQ act-order
+    permutation of contiguous groups. Returns None otherwise (ragged custom
+    g_idx stays on the XLA path)."""
+    if p.g_idx is None:
+        return None
+    gi = np.asarray(p.g_idx)
+    g = p.in_features if p.group_size in (-1, None) else p.group_size
+    if p.in_features % g:
+        return None
+    G = p.in_features // g
+    counts = np.bincount(gi, minlength=G)
+    if counts.shape[0] != G or not (counts == g).all():
+        return None
+    perm = np.argsort(gi, kind="stable").astype(np.int32)
+    return perm
+
+
 def post_init_module(p: QuantLinear) -> QuantLinear:
     """Prepare runtime state for the fast kernel: float zero points, and —
     when the contract allows — the group-aligned rt repack of qweight
@@ -212,20 +240,37 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
     # uniform zeros (sym quant) -> the kernel can drop the zvals input
     zero_const = float(zeros.flat[0]) if (zeros == zeros.flat[0]).all() else -1.0
     qweight, rt_layout, rt_bk = p.qweight, False, 0
-    if p.g_idx is None and not p.planar and pallas_qmatmul.rt_supported(
-        p.bits, p.group_size, p.in_features
+    # desc_act (g_idx) fast path: when g_idx is a balanced permutation of
+    # contiguous groups (always true for GPTQ act-order — each group keeps
+    # exactly ``g`` columns), the stable sort of g_idx reorders weight rows
+    # into contiguous groups. Baking that perm into the packed rows before
+    # the rt repack lets act-order checkpoints run the same Pallas kernel as
+    # contiguous ones, at the cost of one x-column gather per forward
+    # (reference: exllamav2/cuda/q_matrix.cu builds this perm at load;
+    # marlin.py:246-261 repacks with g_idx).
+    act_perm = _act_order_perm(p)
+    if (
+        (p.g_idx is None or act_perm is not None)
+        and not p.planar
+        and pallas_qmatmul.rt_supported(p.bits, p.group_size, p.in_features)
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(
             p.in_features, p.group_size, N=p.out_features
         )
-        qweight = jnp.asarray(
-            packing.repack_rt(np.asarray(p.qweight), p.bits, rt_bk)
-        )
+        qw = np.asarray(p.qweight)
+        if act_perm is not None:
+            codes = packing.unpack_qweight(qw, p.bits)  # [in, out]
+            qw = packing.pack_qweight(codes[act_perm], p.bits)
+        qweight = jnp.asarray(packing.repack_rt(qw, p.bits, rt_bk))
         rt_layout = True
+    else:
+        act_perm = None  # XLA path consumes g_idx natively; no perm needed
     return QuantLinear(
         qweight=qweight, qzeros=p.qzeros, scales=p.scales, g_idx=p.g_idx,
         bias=p.bias, zvals=jnp.asarray(zvals), lora_A=p.lora_A, lora_B=p.lora_B,
         rot_theta=p.rot_theta, rot_scales=p.rot_scales,
+        act_perm=None if act_perm is None
+        else jnp.asarray(act_perm, dtype=jnp.int32),
         bits=p.bits, group_size=p.group_size, in_features=p.in_features,
         out_features=p.out_features, sym=p.sym, v1=p.v1, planar=p.planar,
         a8=p.a8, had_block=p.had_block, rot_group=p.rot_group,

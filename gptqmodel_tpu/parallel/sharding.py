@@ -130,6 +130,10 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
             lora_B=None if tree.lora_B is None else P(),
             rot_theta=None if tree.rot_theta is None else P(),
             rot_scales=None if tree.rot_scales is None else P(),
+            # act_perm indexes the FULL in_features axis — replicate (a
+            # row-sharded desc_act module would need a sharded gather;
+            # those modules stay on the XLA path under TP anyway)
+            act_perm=None if tree.act_perm is None else P(),
         )
     if isinstance(tree, dict):
         out = {}

@@ -26,6 +26,7 @@ class METHOD(str, Enum):
     FP8 = "fp8"
     QQQ = "qqq"  # W4A8: sym 4-bit weights + dynamic int8 activations
     FP4 = "fp4"  # e2m1 weight-only with per-group scales
+    BITSANDBYTES = "bitsandbytes"  # nf4 weight-only (reference METHOD.BITSANDBYTES)
     PAROQUANT = "paroquant"  # learned pairwise-rotation quantization
     EXL3 = "exl3"  # QTIP-style trellis quantization (reference EXL3Config)
 
@@ -38,6 +39,8 @@ class FORMAT(str, Enum):
     GPTQ_V2 = "gptq_v2"  # runtime format: true zeros
     GPTQ_P = "gptq_p"  # split-plane packing (native 5/6/7-bit), v2 zeros
     AWQ_GEMM = "gemm"
+    AWQ_GEMV = "gemv"  # reference gemv_awq.py layout (import-only)
+    AWQ_GEMV_FAST = "gemv_fast"  # reference gemv_fast_awq.py layout (import-only)
     EXL3 = "exl3"  # trellis-packed (exllamav3 tensor layout)
 
     def __str__(self) -> str:
@@ -142,6 +145,8 @@ class QuantizeConfig:
             self.bits = 8  # nominal; e4m3 storage
         if self.method == METHOD.FP4:
             self.bits = 4  # nominal; e2m1 storage
+        if self.method == METHOD.BITSANDBYTES:
+            self.bits = 4  # nf4 storage (reference _normalize_bitsandbytes_format)
         if self.method == METHOD.EXL3:
             # trellis: K in 1..8 bits, no groups, sym-free codebook
             # (reference EXL3Config.__post_init__: group_size=-1, sym=True)
@@ -247,9 +252,10 @@ class QuantizeConfig:
         d = dict(d)
         # AutoAWQ checkpoint schema (quant_method=awq, version=gemm,
         # w_bit/q_group_size/zero_point)
-        if d.get("quant_method") == "awq" and d.get("version") in ("gemm", "gemv"):
-            d["format"] = FORMAT.AWQ_GEMM
-            d.pop("version")
+        if d.get("quant_method") == "awq" and d.get("version") in (
+            "gemm", "gemv", "gemv_fast",
+        ):
+            d["format"] = FORMAT(d.pop("version"))
             if "w_bit" in d:
                 d["bits"] = d.pop("w_bit")
             if "q_group_size" in d:

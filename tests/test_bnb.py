@@ -120,3 +120,57 @@ def test_bnb4_checkpoint_import_and_forward():
         )
         rel = np.linalg.norm(got - fp_logits) / np.linalg.norm(fp_logits)
         assert rel < 0.25, rel  # nf4 quantization error only
+
+
+def test_library_nf4_quantizer_matches_oracle():
+    """ops.bnb.nf4_quantize (the quantize direction, VERDICT r2 item 9 /
+    reference METHOD.BITSANDBYTES) is bit-identical to the independent
+    argmin oracle above."""
+    from gptqmodel_tpu.ops.bnb import nf4_quantize
+
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((32, 128)).astype(np.float32) * 0.07
+    packed_ref, absmax_ref, _ = _nf4_quantize_ref(W, blocksize=64)
+    p = nf4_quantize(W, blocksize=64)
+    np.testing.assert_array_equal(np.asarray(p.codes_u8), packed_ref)
+    np.testing.assert_allclose(np.asarray(p.absmax), absmax_ref, rtol=0)
+    # round trip
+    back = np.asarray(dequantize_bnb4(p))
+    rel = np.linalg.norm(back - W) / np.linalg.norm(W)
+    assert rel < 0.15, rel
+
+
+def test_nf4_quantize_save_reload_e2e():
+    """Model-level quantize-to-nf4: GPTQModel.quantize(method=bitsandbytes)
+    -> save -> reload through the bnb import path -> logits close to fp."""
+    from tests.test_transformer import _tiny_llama_dir
+
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "llama", intermediate_size=128)
+        fp = GPTQModel.load(d)
+        fp._load_params()
+        rng = np.random.default_rng(5)
+        ids = rng.integers(1, 250, size=(2, 32))
+        fp_logits = np.asarray(
+            forward_logits(fp.spec, fp.params, jnp.asarray(ids))
+        )
+
+        m = GPTQModel.load(
+            d, QuantizeConfig(method="bitsandbytes", group_size=64)
+        )
+        rows = m.quantize()  # calibration-free
+        assert rows and all(not r["fallback"] for r in rows)
+        q0 = m.params["model"]["layers"][0]["self_attn"]["q_proj"]
+        assert isinstance(q0, Bnb4Linear)
+
+        out = Path(tmp) / "nf4_q"
+        m.save(out)
+        m2 = GPTQModel.load(out)
+        q_logits = np.asarray(
+            forward_logits(m2.spec, m2.params, jnp.asarray(ids))
+        )
+        rel = np.linalg.norm(q_logits - fp_logits) / np.linalg.norm(fp_logits)
+        assert rel < 0.25, rel

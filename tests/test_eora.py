@@ -73,3 +73,56 @@ def test_eora_e2e_quality_and_roundtrip():
         r_logits = np.asarray(forward_logits(m2.spec, m2.params, jnp.asarray(eval_ids)))
         err_reload = _fidelity(r_logits, fp_logits)
         assert abs(err_reload - errs["eora"]) < 5e-3
+
+
+def test_posthoc_adapter_generate():
+    """GPTQModel.adapter.generate (reference auto.py:758): existing
+    quantized checkpoint + native checkpoint -> sidecar adapters that
+    improve logits fidelity; reload picks the sidecar up automatically."""
+    from gptqmodel_tpu import GPTQModel, QuantizeConfig
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp)
+        calib = _calib()
+        eval_ids = np.stack(_calib(4, 48, seed=7))
+
+        fp = GPTQModel.load(src)
+        fp._load_params()
+        fp_logits = np.asarray(
+            forward_logits(fp.spec, fp.params, jnp.asarray(eval_ids))
+        )
+
+        # quantize WITHOUT adapters, save
+        m = GPTQModel.load(src, QuantizeConfig(bits=3, group_size=32))
+        m.quantize(calib, batch_size=4)
+        qdir = Path(tmp) / "q"
+        m.save(qdir)
+        base_logits = np.asarray(
+            forward_logits(m.spec, m.params, jnp.asarray(eval_ids))
+        )
+        base_err = _fidelity(base_logits, fp_logits)
+
+        # post-hoc adapter generation against the native checkpoint
+        qm = GPTQModel.adapter.generate(
+            model_id_or_path=src,
+            quantized_model_id_or_path=qdir,
+            calibration_dataset=calib,
+            rank=16,
+            batch_size=4,
+        )
+        assert (qdir / "eora" / "adapter_model.safetensors").exists()
+        eora_logits = np.asarray(
+            forward_logits(qm.spec, qm.params, jnp.asarray(eval_ids))
+        )
+        eora_err = _fidelity(eora_logits, fp_logits)
+        assert eora_err < base_err, (eora_err, base_err)
+
+        # a fresh load picks the sidecar up and matches the in-memory model
+        m2 = GPTQModel.load(qdir)
+        q0 = m2.params["model"]["layers"][0]["self_attn"]["q_proj"]
+        assert q0.lora_A is not None
+        re_logits = np.asarray(
+            forward_logits(m2.spec, m2.params, jnp.asarray(eval_ids))
+        )
+        np.testing.assert_allclose(re_logits, eora_logits, rtol=2e-4, atol=2e-4)
