@@ -67,11 +67,26 @@ def build_params(spec, bits=4, g=128):
     D = spec.hidden_size
     F = spec.moe_intermediate_size
 
+    import jax
+
+    # RANDOM codes (not zeros): with zero codes every dequantized weight is
+    # the same constant, hidden states stay exactly zero, router logits tie,
+    # and top-k degenerates to experts 0..k — the roofline's expected-unique-
+    # experts model would then grade a ~9-expert workload. Random codes +
+    # random embeddings give genuinely spread routing; the probe below
+    # MEASURES the spread and the roofline uses the measured value.
+    _keys = iter(jax.random.split(jax.random.PRNGKey(0), 4096))
+
+    def _rand_words(shape):
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(next(_keys), shape, dtype=jnp.uint32), jnp.int32
+        )
+
     def ql(out_f, in_f):
         G = in_f // g
         rt = rt_supported(bits, g, in_f)
         return QuantLinear(
-            qweight=jnp.zeros((in_f // pf, out_f), jnp.int32),
+            qweight=_rand_words((in_f // pf, out_f)),
             qzeros=jnp.zeros((G, out_f // pf), jnp.int32),
             scales=jnp.full((G, out_f), 0.01, jnp.bfloat16),
             g_idx=None, bias=None,
@@ -86,7 +101,7 @@ def build_params(spec, bits=4, g=128):
         G = K // g
         G_pad = max(8, -(-G // 8) * 8)
         return StackedQuantExperts(
-            qweight=jnp.zeros((E, K // pf, N), jnp.int32),
+            qweight=_rand_words((E, K // pf, N)),
             scales=jnp.full((E, G_pad, N), 0.01, jnp.bfloat16),
             bits=bits, G=G, zero_const=8.0, in_features=K, out_features=N,
         )
@@ -124,7 +139,10 @@ def build_params(spec, bits=4, g=128):
         })
     return {
         "model": {
-            "embed_tokens": {"weight": jnp.zeros((spec.vocab_size, h), jnp.bfloat16)},
+            "embed_tokens": {"weight": (
+                jax.random.normal(next(_keys), (spec.vocab_size, h),
+                                  jnp.bfloat16)
+            )},
             "layers": layers,
             "norm": {"weight": jnp.ones(h, jnp.bfloat16)},
         },
@@ -132,8 +150,10 @@ def build_params(spec, bits=4, g=128):
     }
 
 
-def step_bytes(spec, B, bits=4, g=128) -> int:
-    """Expected HBM bytes per decode step (routed-experts MoE roofline)."""
+def step_bytes(spec, B, bits=4, g=128, uniq=None) -> int:
+    """Expected HBM bytes per decode step (routed-experts MoE roofline).
+    ``uniq``: unique routed experts per layer per step — pass the MEASURED
+    value from the bench's routing probe; defaults to the iid model."""
     h = spec.hidden_size
     q = spec.num_heads * spec.head_dim
     kv = spec.num_kv_heads * spec.head_dim
@@ -145,7 +165,8 @@ def step_bytes(spec, B, bits=4, g=128) -> int:
 
     attn = packed(h * q + 2 * h * kv + q * h)
     router = E * h * 2  # bf16
-    uniq = E * (1.0 - (1.0 - 1.0 / E) ** (B * k))
+    if uniq is None:
+        uniq = E * (1.0 - (1.0 - 1.0 / E) ** (B * k))
     experts = uniq * packed(3 * h * F)
     head = packed(spec.vocab_size * h)
     return int(spec.num_layers * (attn + router + experts) + head)
@@ -185,8 +206,44 @@ def main():
     decode = make_decode_fn(spec, jnp.bfloat16)
     caches = init_kv_cache(spec, B, max_len, jnp.bfloat16, kv_quant="int8")
 
-    ids = jnp.asarray(np.ones((B, T), np.int32))
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, spec.vocab_size, size=(B, T)), jnp.int32)
     lens = jnp.full((B,), T, jnp.int32)
+
+    # ---- routing-spread probe: MEASURE unique routed experts per layer per
+    # step (eager forward records concrete top_i via a dispatch wrapper) and
+    # feed the measured value into the roofline instead of the iid formula
+    from gptqmodel_tpu.models import transformer as _tr
+
+    probe_T = 2
+    recorded = []
+    orig_dispatch = _tr._moe_stacked_dispatch
+
+    def _recording_dispatch(spec_, mp_, x_, top_w_, top_i_):
+        recorded.append(np.asarray(top_i_).reshape(B, probe_T, -1))
+        return orig_dispatch(spec_, mp_, x_, top_w_, top_i_)
+
+    _tr._moe_stacked_dispatch = _recording_dispatch
+    try:
+        from gptqmodel_tpu.models.transformer import forward_logits
+
+        t0 = time.time()
+        forward_logits(
+            spec, params,
+            jnp.asarray(rng.integers(1, spec.vocab_size, size=(B, probe_T)),
+                        jnp.int32),
+            dtype=jnp.bfloat16,
+        )
+    finally:
+        _tr._moe_stacked_dispatch = orig_dispatch
+    per_step_unique = [
+        len(np.unique(ti[:, t])) for ti in recorded for t in range(probe_T)
+    ]
+    uniq_measured = float(np.mean(per_step_unique)) if per_step_unique else 0.0
+    _log(f"routing probe: mean unique experts/layer/step = "
+         f"{uniq_measured:.1f} of {spec.num_experts} "
+         f"(iid model: {spec.num_experts * (1 - (1 - 1/spec.num_experts) ** (B * spec.num_experts_per_tok)):.1f}; "
+         f"probe {time.time()-t0:.0f}s)")
     t0 = time.time()
     logits, caches, key_valid = prefill(params, ids, lens, caches)
     logits.block_until_ready()
@@ -227,7 +284,7 @@ def main():
         step_time = st if step_time is None else min(step_time, st)
     toks_per_s = B / step_time
 
-    sb = step_bytes(spec, B)
+    sb = step_bytes(spec, B, uniq=uniq_measured or None)
     roof = HBM_GBPS * 1e9 / sb
     vs = (1.0 / step_time) / roof
     vs_wall = (1.0 / step_time) / (WALL_GBPS * 1e9 / sb)
@@ -243,6 +300,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(vs, 4),
         "vs_measured_wall": round(vs_wall, 4),
+        "unique_experts_measured": round(uniq_measured, 1),
     }))
 
 

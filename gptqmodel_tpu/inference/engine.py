@@ -15,6 +15,7 @@ Ragged batches (continuous batching) use the standard decoupling:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -205,15 +206,35 @@ def make_prefill_fn(spec: ModelSpec, dtype=jnp.bfloat16):
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
         cos, sin = rope_cos_sin(spec, positions)
         key_valid = jnp.arange(max_len)[None, :] < prompt_lens[:, None]
-        qi = jnp.arange(T)[:, None]
-        ki = jnp.arange(max_len)[None, :]
-        ok = (ki <= qi)[None, :, :] & key_valid[:, None, :]
-        bias = jnp.where(ok, 0.0, _NEG)[:, None]  # [B, 1, T, max_len]
-        ctx = {"cos": cos, "sin": sin, "bias": bias}
-        if has_sliding_layers(spec):  # gemma3: local rope + windowed mask
-            ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, positions, local=True)
-            ok_l = ok & (ki > qi - spec.sliding_window)[None]
-            ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
+        # long prompts: the dense [B, 1, T, max_len] bias (and the [B, H, T,
+        # S] logits it implies) are quadratic in context — swap to the
+        # index-carried mask + chunked online-softmax attention
+        # (transformer.LazyCausalBias); short prompts keep the dense path
+        # (XLA fuses it; the chunk scan only pays off once the quadratic
+        # tensors dominate)
+        chunked_t = int(os.environ.get("GPTQ_TPU_CHUNKED_PREFILL_T", "1024"))
+        if T >= chunked_t:
+            from gptqmodel_tpu.models.transformer import LazyCausalBias
+
+            bias = LazyCausalBias(prompt_lens, T, max_len)
+            ctx = {"cos": cos, "sin": sin, "bias": bias}
+            if has_sliding_layers(spec):
+                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
+                    spec, positions, local=True
+                )
+                ctx["bias_l"] = LazyCausalBias(
+                    prompt_lens, T, max_len, window=spec.sliding_window
+                )
+        else:
+            qi = jnp.arange(T)[:, None]
+            ki = jnp.arange(max_len)[None, :]
+            ok = (ki <= qi)[None, :, :] & key_valid[:, None, :]
+            bias = jnp.where(ok, 0.0, _NEG)[:, None]  # [B, 1, T, max_len]
+            ctx = {"cos": cos, "sin": sin, "bias": bias}
+            if has_sliding_layers(spec):  # gemma3: local rope + windowed mask
+                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, positions, local=True)
+                ok_l = ok & (ki > qi - spec.sliding_window)[None]
+                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
         h = embed(spec, params, ids, dtype, positions)
         h, caches = _stack_forward(spec, params, h, ctx, caches)
         last = jnp.take_along_axis(h, (prompt_lens - 1)[:, None, None], axis=1)

@@ -427,13 +427,104 @@ def _fused_decode_attention(spec, q, cache, attn_bias, scale, rep, hd):
     return out.reshape(B, nkv * rep, 1, hd)
 
 
+class LazyCausalBias:
+    """Structural prefill mask carried as INDICES instead of a materialized
+    ``[B, 1, T, S]`` tensor (quadratic in context — 554 MB at B=8/T=4k f32).
+    Attention consumes it through the chunked online-softmax path
+    (:func:`_chunked_causal_attention`); exotic branches (differential
+    attention) fall back to :meth:`materialize`.
+
+    Mask semantics match engine.make_prefill_fn's dense construction:
+    ``ok = (ki <= qi) & (ki < prompt_len) [& (ki > qi - window)]``.
+    """
+
+    def __init__(self, prompt_lens, T: int, S: int, window: int = 0):
+        self.prompt_lens = prompt_lens  # [B] int32
+        self.T = T
+        self.S = S
+        self.window = window
+
+    def materialize(self, neg=-1e30):
+        qi = jnp.arange(self.T)[:, None]
+        ki = jnp.arange(self.S)[None, :]
+        ok = (ki <= qi)[None] & (
+            ki[None] < self.prompt_lens[:, None, None]
+        )
+        if self.window:
+            ok = ok & (ki > qi - self.window)[None]
+        return jnp.where(ok, 0.0, neg)[:, None]  # [B, 1, T, S]
+
+
+def _chunked_causal_attention(
+    spec, q, k, v, lb: LazyCausalBias, scale, rep, sinks=None, chunk=512
+):
+    """Flash-style prefill: scan over key chunks with a running
+    (max, denom, acc) online softmax — live memory O(B·H·T·(D + chunk))
+    instead of the O(T·S) logits/bias tensors. Masks are computed from
+    indices inside each chunk (nothing quadratic is ever materialized).
+    ``sinks`` (gpt_oss) fold into the initial carry: m0 = sink, l0 = 1
+    reproduces the sink softmax denominator exactly."""
+    B, Hkv = k.shape[0], k.shape[1]
+    T, D = q.shape[2], q.shape[3]
+    S = k.shape[2]
+    ch = min(chunk, S)
+    while S % ch:
+        ch //= 2
+    nc = S // ch
+    qg = q.reshape(B, Hkv, rep, T, D)
+    qi = jnp.arange(T)[None, :]  # [1, T]
+    neg = jnp.float32(-1e30)
+
+    if sinks is not None:
+        m0 = jnp.broadcast_to(
+            sinks.reshape(1, Hkv, rep, 1, 1).astype(jnp.float32),
+            (B, Hkv, rep, T, 1),
+        )
+        l0 = jnp.ones((B, Hkv, rep, T, 1), jnp.float32)
+    else:
+        m0 = jnp.full((B, Hkv, rep, T, 1), neg)
+        l0 = jnp.zeros((B, Hkv, rep, T, 1), jnp.float32)
+    acc0 = jnp.zeros((B, Hkv, rep, T, D), jnp.float32)
+
+    def body(carry, c):
+        m, l, acc = carry
+        kc = jax.lax.dynamic_slice_in_dim(k, c * ch, ch, axis=2)
+        vc = jax.lax.dynamic_slice_in_dim(v, c * ch, ch, axis=2)
+        logits = jnp.einsum(
+            "bgrqd,bgkd->bgrqk", qg, kc, preferred_element_type=jnp.float32
+        ) * scale
+        if spec.attn_softcap:
+            logits = jnp.tanh(logits / spec.attn_softcap) * spec.attn_softcap
+        ki = c * ch + jnp.arange(ch)[None, None, :]  # [1, 1, ch]
+        ok = (ki <= qi[:, :, None]) & (
+            ki < lb.prompt_lens[:, None, None]
+        )
+        if lb.window:
+            ok = ok & (ki > qi[:, :, None] - lb.window)
+        logits = jnp.where(ok[:, None, None], logits, neg)
+        mc = jnp.max(logits, axis=-1, keepdims=True)
+        mn = jnp.maximum(m, mc)
+        p = jnp.exp(logits - mn)
+        alpha = jnp.exp(m - mn)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bgrqk,bgkd->bgrqd", p.astype(q.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        return (mn, l, acc), ()
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nc))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.reshape(B, Hkv * rep, T, D).astype(q.dtype)
+
+
 def attention(
     spec: ModelSpec,
     ap: Params,
     h: jnp.ndarray,  # [B, T, hidden]
     cos,
     sin,
-    attn_bias,  # additive [*, *, T, KV] or None
+    attn_bias,  # additive [*, *, T, KV], a LazyCausalBias, or None
     cache: Optional[dict] = None,  # {"k","v": [B, Hkv, L, D], "pos": int32}
     prefix: str = "self_attn",
     taps=None,
@@ -533,6 +624,25 @@ def attention(
         e = jnp.exp(logits - m)
         denom = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sink - m)
         return e / denom
+
+    if isinstance(attn_bias, LazyCausalBias):
+        if "lambda_q1" not in ap:
+            out = _chunked_causal_attention(
+                spec, q, k, v, attn_bias, scale, rep, sinks=sinks
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+            if out_gate is not None:
+                out = out * jax.nn.sigmoid(
+                    out_gate.astype(jnp.float32)
+                ).astype(out.dtype)
+            if "attn_sub_norm" in ap:
+                out = rms_norm(
+                    out, ap["attn_sub_norm"]["weight"], spec.rms_norm_eps
+                )
+            oname = "o_proj" if "o_proj" in ap else "out_proj"
+            _tap(taps, tap_paths, f"{prefix}.{oname}", out)
+            return apply_linear(ap[oname], out), cache
+        attn_bias = attn_bias.materialize()  # exotic branch: dense fallback
 
     fused = _fused_decode_attention(
         spec, q, cache, attn_bias, scale, rep, hd
@@ -900,6 +1010,31 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
         else jnp.bfloat16
     )
     gu = sq.get("gateup")
+    # fused slot-MLP kernel: gate|up + act·mul + down in ONE launch — the
+    # slot-padded intermediates never touch HBM (the bulk of the ~10%
+    # traffic gap in BENCH_MOE_r02); GPTQ_TPU_QMOE_FUSED=0 reverts
+    if (
+        gu is not None
+        and os.environ.get("GPTQ_TPU_QMOE_FUSED", "1") != "0"
+        and not spec.moe_input_scaled
+    ):
+        from gptqmodel_tpu.ops.pallas_qmoe import (
+            qmoe_mlp_forward_sorted,
+            qmoe_mlp_supported,
+        )
+
+        if qmoe_mlp_supported(
+            bits=gu.bits, D=gu.in_features, F=gu.out_features // 2,
+            G_gu=gu.G, G_d=down.G, M_pad=M_pad, act=spec.hidden_act,
+        ):
+            y = qmoe_mlp_forward_sorted(
+                xs, ids, counts, gu, down, act=spec.hidden_act, bm=bm,
+                interpret=interpret, out_dtype=bf,
+            )
+            out = jnp.zeros((N, D), jnp.float32).at[tok].add(
+                y[pos].astype(jnp.float32) * w[:, None]
+            )
+            return out.astype(x.dtype)
     if gu is not None:  # fused: one kernel + one xs stream for gate AND up
         both = qmoe_forward_sorted(xs, ids, counts, gu, bm=bm,
                                    interpret=interpret, out_dtype=bf)

@@ -86,6 +86,65 @@ def build_slots(
     )
 
 
+def _ic_contract(x, u, s_full, *, bits, G, zero_const):
+    """Interchange-layout dequant-matmul: ``x [m, K]`` (K-axis PLANE-PERMUTED
+    per :func:`pallas_qmatmul._plane_permute_x`) against packed ``u [K/pf,
+    nt]`` with padded group scales ``s_full [G_pad, nt]`` and a SCALAR zero
+    point. Exact copy of _qmm_kernel's plane math (pallas_qmatmul.py:54).
+    Returns [m, nt] f32."""
+    R, nt = u.shape
+    kt = R * (32 // bits)
+    m = x.shape[0]
+    s = s_full[:G].astype(jnp.bfloat16)[:, None, :]  # [G, 1, nt]
+    pf = 32 // bits
+    acc = jnp.zeros((m, nt), jnp.float32)
+    if bits == 8:
+        z = jnp.bfloat16(zero_const)
+        rpg = R // G
+        for a in range(pf):
+            wa = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)).astype(
+                jnp.int32
+            ).astype(jnp.bfloat16)
+            wa = ((wa.reshape(G, rpg, nt) - z) * s).reshape(R, nt)
+            acc += jnp.dot(
+                x[:, a * R : (a + 1) * R], wa,
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        fmask, magic = _MAGIC_BF16[bits]
+        zoff = jnp.bfloat16(zero_const + _MAGIC_OFFSET)
+        rpg = (2 * R) // G
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(
+                magic
+            )
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+            wa = ((wa.reshape(G, rpg, nt) - zoff) * s).reshape(2 * R, nt)
+            acc += jnp.dot(
+                x[:, a * 2 * R : (a + 1) * 2 * R], wa,
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _plane_perm_matrix(K: int, bits: int) -> np.ndarray:
+    """0/1 matrix P [K, K] such that ``x @ P`` reorders columns of
+    ``x [m, K]`` (logical order) into the plane extraction order consumed by
+    :func:`_ic_contract` — the in-kernel analog of
+    pallas_qmatmul._plane_permute_x with kt == K. A matmul instead of a
+    reshape/transpose because Mosaic cannot relayout the 4-D shape cast
+    in-kernel ("infer-vector-layout: unsupported shape cast"); the product
+    is EXACT for bf16 inputs (one nonzero per column, f32 accumulate) and
+    MXU-trivial at slot sizes."""
+    from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
+
+    perm = np.asarray(
+        _plane_permute_x(np.arange(K, dtype=np.float32)[None], K,
+                         32 // bits, bits)
+    )[0].astype(np.int64)  # position p holds logical column perm[p]
+    return (np.arange(K)[:, None] == perm[None, :]).astype(np.float32)
+
+
 def _qmoe_kernel(
     ids_ref, count_ref, x_ref, qw_ref, s_ref, o_ref,
     *, bits, kt, nt, G, bm, zero_const,
@@ -105,42 +164,11 @@ def _qmoe_kernel(
 
     @pl.when(cnt > 0)
     def _():
-        # interchange-layout dequant, exact copy of _qmm_kernel's plane math
-        # (pallas_qmatmul.py:54) with a SCALAR zero point
-        pf = 32 // bits
-        R = kt // pf
         u = qw_ref[0].astype(jnp.uint32)  # [R, nt]
         x = x_ref[pl.ds(r0, bm), :].astype(jnp.bfloat16)  # [bm, kt] permuted
-        s = s_ref[0][:G].astype(jnp.bfloat16)[:, None, :]  # [G, 1, nt]
-
-        acc = jnp.zeros((bm, nt), jnp.float32)
-        if bits == 8:
-            z = jnp.bfloat16(zero_const)
-            rpg = R // G
-            for a in range(pf):
-                wa = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)).astype(
-                    jnp.int32
-                ).astype(jnp.bfloat16)
-                wa = ((wa.reshape(G, rpg, nt) - z) * s).reshape(R, nt)
-                acc += jnp.dot(
-                    x[:, a * R : (a + 1) * R], wa,
-                    preferred_element_type=jnp.float32,
-                )
-        else:
-            fmask, magic = _MAGIC_BF16[bits]
-            zoff = jnp.bfloat16(zero_const + _MAGIC_OFFSET)
-            rpg = (2 * R) // G
-            for a in range(pf // 2):
-                t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(
-                    magic
-                )
-                wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
-                wa = ((wa.reshape(G, rpg, nt) - zoff) * s).reshape(2 * R, nt)
-                acc += jnp.dot(
-                    x[:, a * 2 * R : (a + 1) * 2 * R], wa,
-                    preferred_element_type=jnp.float32,
-                )
-
+        acc = _ic_contract(
+            x, u, s_ref[0], bits=bits, G=G, zero_const=zero_const
+        )
         rows = jax.lax.broadcasted_iota(jnp.int32, (bm, nt), 0)
         keep = rows < cnt
         o_ref[pl.ds(r0, bm), :] = jnp.where(keep, acc.astype(o_ref.dtype), 0.0)
@@ -223,6 +251,208 @@ def qmoe_matmul(
         ),
         interpret=interpret,
     )(expert_ids, row_count, x_sorted, qw_stacked, s_stacked)
+
+
+# --------------------------------------------------------------------------
+# fused slot-MLP kernel: gate|up + act·mul + down in ONE launch
+# --------------------------------------------------------------------------
+#
+# The 3-kernel ragged dispatch round-trips the slot-PADDED intermediates
+# ([S*bm, 2F] gate|up out + [S*bm, F] inner + xs re-read) through HBM every
+# layer — at decode shapes (B=8 top-8: 64 real rows padded to ~576) that is
+# most of the ~10% traffic gap vs the dense kernel (BENCH_MOE_r02 / STATUS
+# decomposition). Here each slot runs the whole expert MLP on VMEM-resident
+# tiles: only xs is read and y written; gate/up/down packed weights stream
+# exactly once per routed expert (consecutive same-expert slots reuse the
+# resident blocks). The intermediate needs the down contraction's plane
+# order — a static in-register transpose (_plane_permute_vals), no extra HBM
+# bytes. Reference analog: fused-MoE grouped GEMM epilogues (vLLM
+# fused_moe), done TPU-style as one Pallas program.
+
+
+def _act_kernel(name: str):
+    return {
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+        "gelu_pytorch_tanh": lambda v: jax.nn.gelu(v, approximate=True),
+        "gelu_new": lambda v: jax.nn.gelu(v, approximate=True),
+        "relu": lambda v: jnp.maximum(v, 0.0),
+    }[name]
+
+
+def _qmoe_mlp_kernel(
+    ids_ref, count_ref, x_ref, qwgu_ref, sgu_ref, qwd_ref, sd_ref, perm_ref,
+    o_ref, *, bits, F, G_gu, G_d, bm, zc, act,
+):
+    s_idx = pl.program_id(0)
+
+    @pl.when(s_idx == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    r0 = s_idx * bm
+    cnt = count_ref[s_idx]
+
+    @pl.when(cnt > 0)
+    def _():
+        x = x_ref[pl.ds(r0, bm), :].astype(jnp.bfloat16)  # [bm, D] permuted
+        both = _ic_contract(
+            x, qwgu_ref[0].astype(jnp.uint32), sgu_ref[0],
+            bits=bits, G=G_gu, zero_const=zc,
+        )  # [bm, 2F] logical N order
+        g, u = both[:, :F], both[:, F:]
+        inner = (_act_kernel(act)(g) * u).astype(jnp.bfloat16)  # [bm, F]
+        # reorder columns into down's extraction order via the 0/1 perm
+        # matmul (exact; see _plane_perm_matrix)
+        inner_p = jnp.dot(
+            inner, perm_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        y = _ic_contract(
+            inner_p, qwd_ref[0].astype(jnp.uint32), sd_ref[0],
+            bits=bits, G=G_d, zero_const=zc,
+        )  # [bm, D]
+        D = y.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, D), 0)
+        o_ref[pl.ds(r0, bm), :] = jnp.where(
+            rows < cnt, y.astype(o_ref.dtype), 0.0
+        )
+
+
+_QMOE_MLP_VMEM_BUDGET = 13 * 2**20
+
+
+def qmoe_mlp_supported(
+    *, bits, D, F, G_gu, G_d, M_pad, act,
+    budget: int = _QMOE_MLP_VMEM_BUDGET,
+) -> bool:
+    """Eligibility + VMEM estimate for the fused slot-MLP kernel."""
+    if bits not in (2, 4, 8):
+        return False
+    if act not in ("silu", "gelu", "gelu_pytorch_tanh", "gelu_new", "relu"):
+        return False
+    pf = 32 // bits
+    if D % pf or F % pf or (2 * F) % 128 or D % 128:
+        return False
+    # _ic_contract's scale reshape needs whole groups per extraction part:
+    # rows-per-part (2R magic / R convert) must divide evenly into G groups
+    rows_gu = (2 * D // pf) if bits != 8 else (D // pf)
+    rows_d = (2 * F // pf) if bits != 8 else (F // pf)
+    if rows_gu % G_gu or rows_d % G_d:
+        return False
+    # live VMEM: double-buffered gu + down weight tiles, resident xs + o,
+    # the wa dequant temporary of the wider (gu) contract, the f32
+    # accumulators, + headroom folded into the budget constant
+    gu_tile = (D // pf) * 2 * F * 4
+    d_tile = (F // pf) * D * 4
+    xs_o = M_pad * D * 2 * 2
+    wa = rows_gu * 2 * F * 2
+    accs = 8 * (2 * F + D) * 4
+    perm_p = F * F * 2  # resident 0/1 plane-perm matrix (bf16)
+    est = 2 * (gu_tile + d_tile) + xs_o + wa + accs + perm_p
+    return est <= budget
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
+                     "interpret", "out_dtype"),
+)
+def qmoe_mlp_matmul(
+    x_sorted_p: jnp.ndarray,  # [S*bm, D] bf16, slot-aligned, PLANE-PERMUTED
+    expert_ids: jnp.ndarray,  # [S] int32
+    row_count: jnp.ndarray,  # [S] int32
+    qw_gu: jnp.ndarray,  # [E, D/pf, 2F] int32 interchange (gate cols first)
+    s_gu: jnp.ndarray,  # [E, Gp, 2F] bf16
+    qw_d: jnp.ndarray,  # [E, F/pf, D] int32 interchange
+    s_d: jnp.ndarray,  # [E, Gp_d, D] bf16
+    *,
+    bits: int,
+    G_gu: int,
+    G_d: int,
+    F: int,
+    bm: int = 8,
+    zc: float = 8.0,
+    act: str = "silu",
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """y_sorted [M_pad, D]: whole expert MLP per slot, one kernel launch."""
+    M_pad, D = x_sorted_p.shape
+    E, Kpf, twoF = qw_gu.shape
+    S = expert_ids.shape[0]
+    assert twoF == 2 * F and M_pad == S * bm
+    Gp, Gp_d = s_gu.shape[1], s_d.shape[1]
+    kernel = functools.partial(
+        _qmoe_mlp_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
+        zc=zc, act=act,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec(
+                    (M_pad, D), lambda s, ids, ct: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Kpf, twoF), lambda s, ids, ct: (ids[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Gp, twoF), lambda s, ids, ct: (ids[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, F // (32 // bits), D),
+                    lambda s, ids, ct: (ids[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Gp_d, D), lambda s, ids, ct: (ids[s], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (F, F), lambda s, ids, ct: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (M_pad, D), lambda s, ids, ct: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M_pad, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        expert_ids, row_count, x_sorted_p, qw_gu, s_gu, qw_d, s_d,
+        jnp.asarray(_plane_perm_matrix(F, bits), jnp.bfloat16),
+    )
+
+
+def qmoe_mlp_forward_sorted(
+    x_sorted: jnp.ndarray,  # [S*bm, D] bf16 (slot-aligned, UNpermuted)
+    expert_ids, row_count,
+    gu: "StackedQuantExperts", down: "StackedQuantExperts",
+    *, act: str, bm: int = 8, interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
+
+    pf = 32 // gu.bits
+    xp = _plane_permute_x(x_sorted, gu.in_features, pf, gu.bits)
+    return qmoe_mlp_matmul(
+        xp, expert_ids, row_count, gu.qweight, gu.scales,
+        down.qweight, down.scales,
+        bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
+        bm=bm, zc=gu.zero_const, act=act, interpret=interpret,
+        out_dtype=out_dtype,
+    )
 
 
 # --------------------------------------------------------------------------

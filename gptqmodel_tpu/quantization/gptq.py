@@ -168,9 +168,10 @@ def hessian_inverse(
 
 def _solver_backend():
     """Static (trace-time) choice of the block-solver inner loop:
-    'pallas' on TPU, falsy (XLA fori) on CPU; GPTQ_TPU_SOLVER overrides
-    ('xla' forces the fori path, 'pallas_interpret' runs the kernel under
-    the interpreter for CPU validation)."""
+    'mega' (whole-solve VMEM kernel) on TPU, falsy (XLA fori) on CPU;
+    GPTQ_TPU_SOLVER overrides ('xla' forces the fori path,
+    'pallas_interpret'/'mega_interpret' run the kernels under the
+    interpreter for CPU validation)."""
     import os
 
     ov = os.environ.get("GPTQ_TPU_SOLVER", "")
@@ -180,9 +181,18 @@ def _solver_backend():
         return {"pallas_interpret": "interpret", "mega_interpret": ov}[ov]
     if ov in ("pallas", "mega"):
         return ov
-    # default OFF until flipped after on-chip validation (session V);
-    # CPU always keeps the XLA fori path — interpret would slow the whole
-    # suite; the kernels are interpret-validated in tests/test_pallas_gptq.py
+    # default: mega on TPU — session X (round 3) measured it BIT-EXACT vs
+    # the XLA scan at llama-8B shapes (worst module code mismatch 0.0, loss
+    # ratio 1.0000) and 30% faster end-to-end (450 vs 639 s / 4 layers).
+    # CPU keeps the XLA fori path — interpret would slow the whole suite;
+    # the kernels are interpret-validated in tests/test_pallas_gptq.py.
+    try:
+        import jax
+
+        if jax.default_backend() not in ("cpu", "gpu"):
+            return "mega"
+    except Exception:
+        pass
     return ""
 
 

@@ -224,3 +224,75 @@ def test_packed_dense_fallback_matches_kernel_path():
     big_w = jnp.tile(top_w, (256, 1))
     out_big = np.asarray(tr._moe_ragged_apply_q(spec, sq, big_x, big_w, big_i))
     np.testing.assert_allclose(out_big[:tokens], fallback, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("bits,D,F,g", [(4, 256, 384, 128), (8, 256, 256, 128),
+                                        (4, 2048, 768, 128)])
+def test_fused_slot_mlp_matches_three_kernel_path(bits, D, F, g):
+    """qmoe_mlp (gate|up + act·mul + down in one launch) vs the 3-call
+    dispatch — same slot plan, interpret mode."""
+    import jax
+
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        StackedQuantExperts,
+        fuse_gate_up,
+        qmoe_forward_sorted,
+        qmoe_mlp_forward_sorted,
+        qmoe_mlp_supported,
+    )
+
+    rng = np.random.default_rng(1)
+    E, tokens, topk, bm = 4, 6, 2, 8
+
+    def stack(K, N):
+        exps = [_make_expert(rng, K, N, bits, g) for _ in range(E)]
+        G = K // g
+        G_pad = max(8, -(-G // 8) * 8)
+        s_pad = np.zeros((E, G_pad, N), np.float32)
+        for i, e in enumerate(exps):
+            s_pad[i, :G] = e[1]
+        return StackedQuantExperts(
+            qweight=jnp.asarray(np.stack([e[0] for e in exps])),
+            scales=jnp.asarray(s_pad.astype(jnp.bfloat16)),
+            bits=bits, G=G, zero_const=float(2 ** (bits - 1)),
+            in_features=K, out_features=N,
+        )
+
+    gate, up, down = stack(D, F), stack(D, F), stack(F, D)
+    gu = fuse_gate_up(gate, up)
+    assert gu is not None
+    assert qmoe_mlp_supported(
+        bits=bits, D=D, F=F, G_gu=gu.G, G_d=down.G,
+        M_pad=(tokens * topk // bm + E + 1) * bm, act="silu",
+    )
+
+    top_i = rng.integers(0, E, size=(tokens, topk))
+    x = rng.standard_normal((tokens, D)).astype(np.float32)
+    max_slots = tokens * topk // bm + E + 1
+    pos, ids, counts, order = build_slots(top_i, E, bm, max_slots)
+    M_pad = max_slots * bm
+    xs = np.zeros((M_pad, D), np.float32)
+    xs[pos] = x[order // topk]
+    xs = jnp.asarray(xs, jnp.bfloat16)
+    ids_j, counts_j = jnp.asarray(ids), jnp.asarray(counts)
+
+    # 3-call reference path
+    both = qmoe_forward_sorted(xs, ids_j, counts_j, gu, bm=bm, interpret=True)
+    gacc, uacc = both[:, :F], both[:, F:]
+    inner = (jax.nn.silu(gacc) * uacc).astype(jnp.bfloat16)
+    y_ref = np.asarray(
+        qmoe_forward_sorted(inner, ids_j, counts_j, down, bm=bm,
+                            interpret=True)
+    )
+
+    y_fused = np.asarray(
+        qmoe_mlp_forward_sorted(xs, ids_j, counts_j, gu, down, act="silu",
+                                bm=bm, interpret=True)
+    )
+    # identical math modulo the bf16 round of the inner intermediate (the
+    # 3-call path also rounds inner to bf16 before the down kernel)
+    rel = np.linalg.norm(y_fused - y_ref) / (np.linalg.norm(y_ref) + 1e-9)
+    assert rel < 2e-2, rel
+    # empty slots stay zero
+    dead = counts == 0
+    assert np.all(y_fused.reshape(max_slots, bm, -1)[dead] == 0.0)
