@@ -66,27 +66,30 @@ xs_np = np.zeros((S_full * bm, D), np.float32)
 xs_np[pos] = x[order // topk]
 
 
-def timed_layers(fn, tag, reps=50):
-    """Scan fn over `reps` iterations in-graph; min-of-3 differential."""
-    @jax.jit
-    def loop_n(n, x0):
+def timed_layers(fn, w, tag, reps=50):
+    """Scan fn over `reps` iterations in-graph; min-of-3 differential.
+
+    Weights `w` pass through jit as ARGUMENTS — closing over them bakes
+    them into the HLO as constants and blows the remote-compile body limit
+    (HTTP 413, first session-Z attempt).
+    """
+    def loop_n(n, x0, w):
         def body(c, _):
-            y = fn(c)
-            return (y[:, :D] * 1e-3 + x0[:, :D] * 1e-6).astype(jnp.bfloat16), ()
-        c, _ = jax.lax.scan(body, x0[:, :D].astype(jnp.bfloat16), None,
-                            length=n)
+            y = fn(c, w)
+            return (y * 1e-3 + x0 * 1e-6).astype(jnp.bfloat16), ()
+        c, _ = jax.lax.scan(body, x0.astype(jnp.bfloat16), None, length=n)
         return c
     import functools
-    x0 = jnp.asarray(xs_np, jnp.bfloat16)
+    x0 = jnp.asarray(xs_np[:fn.rows], jnp.bfloat16)
     short = jax.jit(functools.partial(loop_n, 5))
     long = jax.jit(functools.partial(loop_n, 5 + reps))
-    short(x0).block_until_ready()
-    long(x0).block_until_ready()
+    short(x0, w).block_until_ready()
+    long(x0, w).block_until_ready()
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); short(x0).block_until_ready()
+        t0 = time.perf_counter(); short(x0, w).block_until_ready()
         ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); long(x0).block_until_ready()
+        t0 = time.perf_counter(); long(x0, w).block_until_ready()
         tl = time.perf_counter() - t0
         best = min(best, (tl - ts) / reps)
     print(f"{tag}: {best*1e6:.1f} us/call", flush=True)
@@ -95,32 +98,37 @@ def timed_layers(fn, tag, reps=50):
 
 ids_j, counts_j = jnp.asarray(ids), jnp.asarray(counts)
 
-def fused_full(xs):
+def fused_full(xs, w):
+    gu, down = w
     return qmoe_mlp_forward_sorted(
-        jnp.pad(xs, ((0, S_full * bm - xs.shape[0]), (0, 0))),
-        ids_j, counts_j, gu, down, act="silu", bm=bm, out_dtype=jnp.bfloat16)
+        xs, ids_j, counts_j, gu, down, act="silu", bm=bm,
+        out_dtype=jnp.bfloat16)
+fused_full.rows = S_full * bm
 
 S_small = 24 + M // bm  # 32 slots
 ids_s, counts_s = jnp.asarray(ids[:S_small]), jnp.asarray(counts[:S_small])
 assert int(counts[S_small:].sum()) == 0, "plan overflows the small bound"
 
-def fused_small(xs):
+def fused_small(xs, w):
+    gu, down = w
     return qmoe_mlp_forward_sorted(
-        jnp.pad(xs, ((0, S_small * bm - xs.shape[0]), (0, 0))),
-        ids_s, counts_s, gu, down, act="silu", bm=bm, out_dtype=jnp.bfloat16)
+        xs, ids_s, counts_s, gu, down, act="silu", bm=bm,
+        out_dtype=jnp.bfloat16)
+fused_small.rows = S_small * bm
 
-def three_call(xs):
-    xp = jnp.pad(xs, ((0, S_full * bm - xs.shape[0]), (0, 0)))
-    both = qmoe_forward_sorted(xp, ids_j, counts_j, gu, bm=bm,
+def three_call(xs, w):
+    gu, down = w
+    both = qmoe_forward_sorted(xs, ids_j, counts_j, gu, bm=bm,
                                out_dtype=jnp.bfloat16)
     inner = (jax.nn.silu(both[:, :F].astype(jnp.float32))
              * both[:, F:].astype(jnp.float32)).astype(jnp.bfloat16)
     return qmoe_forward_sorted(inner, ids_j, counts_j, down, bm=bm,
                                out_dtype=jnp.bfloat16)
+three_call.rows = S_full * bm
 
-t_fused = timed_layers(fused_full, "fused S=72 (13 experts)")
-t_small = timed_layers(fused_small, "fused S=32 (13 experts)")
-t_three = timed_layers(three_call, "3-call S=72 (13 experts)")
+t_fused = timed_layers(fused_full, (gu, down), "fused S=72 (13 experts)")
+t_small = timed_layers(fused_small, (gu, down), "fused S=32 (13 experts)")
+t_three = timed_layers(three_call, (gu, down), "3-call S=72 (13 experts)")
 
 # pure weight-streaming floor at 13 experts: 13 * packed(3*D*F) bytes
 pk = 3 * D * F * bits // 8 + 3 * D * F // g * 2
