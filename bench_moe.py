@@ -189,7 +189,7 @@ def main():
 
     if on_tpu:
         layers = int(os.environ.get("BENCH_MOE_LAYERS", "32"))
-        B, T, steps, max_len = 8, 64, 16, 128
+        B, T, steps, max_len = 8, 64, 64, 192
     else:
         layers, B, T, steps, max_len = 2, 2, 8, 4, 32
         from gptqmodel_tpu.ops import registry
@@ -215,7 +215,7 @@ def main():
     # feed the measured value into the roofline instead of the iid formula
     from gptqmodel_tpu.models import transformer as _tr
 
-    probe_T = 2
+    probe_T = 8
     recorded = []
     orig_dispatch = _tr._moe_stacked_dispatch
 
@@ -236,8 +236,11 @@ def main():
         )
     finally:
         _tr._moe_stacked_dispatch = orig_dispatch
+    # deeper positions approximate decode-state routing; the timed loop
+    # teacher-forces the SAME per-element random token distribution
     per_step_unique = [
-        len(np.unique(ti[:, t])) for ti in recorded for t in range(probe_T)
+        len(np.unique(ti[:, t])) for ti in recorded
+        for t in range(probe_T // 2, probe_T)
     ]
     uniq_measured = float(np.mean(per_step_unique)) if per_step_unique else 0.0
     _log(f"routing probe: mean unique experts/layer/step = "
@@ -252,6 +255,16 @@ def main():
     token = jnp.argmax(logits, axis=-1)
     pos = lens
 
+    # teacher-forced DISTINCT random tokens per element per step: argmax
+    # feedback on a random-weight model collapses the batch onto one
+    # stream (all elements pick the same token -> identical hidden states
+    # -> degenerate routing far below real serving traffic). Real decode
+    # serves B independent sequences; random per-element tokens model
+    # that, and the probe above GRADES whatever routing actually results.
+    max_steps = 2 + 64
+    forced = jnp.asarray(
+        rng.integers(1, spec.vocab_size, size=(max_steps, B)), jnp.int32)
+
     def make_loop(n):
         @jax.jit
         def loop(params, token, pos, key_valid, caches):
@@ -259,11 +272,11 @@ def main():
                 token, pos, key_valid, caches = carry
                 logits, caches, key_valid = decode(
                     params, token, pos, T + s, key_valid, caches)
-                token = jnp.argmax(logits, axis=-1)
-                return (token, pos + 1, key_valid, caches), token[0]
-            (token, pos, key_valid, caches), toks = jax.lax.scan(
+                token = forced[s]
+                return (token, pos + 1, key_valid, caches), logits[0, 0]
+            (token, pos, key_valid, caches), xs = jax.lax.scan(
                 body, (token, pos, key_valid, caches), jnp.arange(n))
-            return toks.sum()
+            return xs.sum()
         return loop
 
     warm, timed = make_loop(2), make_loop(2 + steps)
@@ -273,7 +286,7 @@ def main():
     _log(f"decode loops compiled+warm in {time.time()-t0:.1f}s")
 
     step_time = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         float(warm(params, token, pos, key_valid, caches))
         tw = time.time() - t0

@@ -986,30 +986,60 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     gate, up, down = sq.get("gate"), sq.get("up"), sq["down"]
     E = (sq.get("gateup") or gate).qweight.shape[0]
     flat_e = top_i.reshape(-1)
+    S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
+    M_pad = S * bm
+    import os
+
+    gu = sq.get("gateup")
+    # end-to-end MoE layer kernel: one dynamic-trip instance does the
+    # one-hot gather, expert MLP and weighted combine — the [S*bm, D] slot
+    # buffers never touch HBM and empty slots never execute (session Z:
+    # ~2.5 us per empty grid step). The SORT-FREE plan (plan_rows_jit)
+    # places unsorted rows directly, so the per-step argsort disappears
+    # too. GPTQ_TPU_QMOE_E2E=0 reverts.
+    if (
+        gu is not None
+        and os.environ.get("GPTQ_TPU_QMOE_E2E", "1") != "0"
+        and os.environ.get("GPTQ_TPU_QMOE_FUSED", "1") != "0"
+        and not spec.moe_input_scaled
+    ):
+        from gptqmodel_tpu.ops.pallas_qmoe import (
+            plan_rows_jit,
+            qmoe_mlp_forward_e2e,
+            qmoe_mlp_supported,
+        )
+
+        if qmoe_mlp_supported(
+            bits=gu.bits, D=gu.in_features, F=gu.out_features // 2,
+            G_gu=gu.G, G_d=down.G, M_pad=M_pad, act=spec.hidden_act,
+        ):
+            ids, counts, row_pos = plan_rows_jit(flat_e, E, bm, S)
+            tok_flat = jnp.arange(M, dtype=jnp.int32) // K
+            w_flat = top_w.reshape(-1).astype(jnp.float32)
+            out = qmoe_mlp_forward_e2e(
+                x, row_pos, tok_flat, w_flat, ids, counts, gu, down,
+                act=spec.hidden_act, bm=bm, interpret=interpret,
+            )
+            return out.astype(x.dtype)
     order = jnp.argsort(flat_e, stable=True)
     tok = order // K
-    S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
     ids, counts, pos = plan_slots_jit(flat_e[order], E, bm, S)
-    M_pad = S * bm
     w = top_w.reshape(-1)[order].astype(jnp.float32)
+    # bf16 intermediates halve the slot-padded HBM round-trips — measured
+    # 7.06 -> 6.76 ms/step on the 30B MoE bench with the fused gate|up form
+    # (same precision class as the reference CUDA kernels' half outputs);
+    # GPTQ_TPU_QMOE_BF16=0 reverts to f32 intermediates
+    bf = (
+        jnp.float32
+        if os.environ.get("GPTQ_TPU_QMOE_BF16", "1") == "0"
+        else jnp.bfloat16
+    )
     x_rows = x[tok].astype(jnp.float32)
     if spec.moe_input_scaled:  # llama4: weight scales the expert INPUT
         x_rows = x_rows * w[:, None]
     xs = jnp.zeros((M_pad, D), jnp.bfloat16).at[pos].set(
         x_rows.astype(jnp.bfloat16)
     )
-    # bf16 intermediates halve the slot-padded HBM round-trips — measured
-    # 7.06 -> 6.76 ms/step on the 30B MoE bench with the fused gate|up form
-    # (same precision class as the reference CUDA kernels' half outputs);
-    # GPTQ_TPU_QMOE_BF16=0 reverts to f32 intermediates
-    import os
-
-    bf = (
-        jnp.float32
-        if os.environ.get("GPTQ_TPU_QMOE_BF16", "1") == "0"
-        else jnp.bfloat16
-    )
-    gu = sq.get("gateup")
     # fused slot-MLP kernel: gate|up + act·mul + down in ONE launch — the
     # slot-padded intermediates never touch HBM (the bulk of the ~10%
     # traffic gap in BENCH_MOE_r02); GPTQ_TPU_QMOE_FUSED=0 reverts
@@ -1097,6 +1127,33 @@ def _moe_ragged_apply(spec: ModelSpec, stacked: dict, x, top_w, top_i):
     return jnp.zeros_like(x).at[tok].add(y * w[:, None])
 
 
+def _topk(x: jnp.ndarray, k: int):
+    """``jax.lax.top_k`` replacement for routing-size k: k rounds of
+    argmax + iota-mask. lax.top_k lowers to a per-row SORT on TPU — at
+    decode shapes the sort costs more than the whole routed-expert MLP
+    (session Z follow-up: removing the dispatch argsort alone was ~1
+    ms/step on the 30B MoE bench). Identical values/indices incl. the
+    first-occurrence tie order. Falls back to lax.top_k for large k."""
+    import os
+
+    if k > 16 or os.environ.get("GPTQ_TPU_ITER_TOPK", "0") != "1":
+        # measured on the 30B MoE bench: the argmax rounds LOSE to
+        # lax.top_k end-to-end (4.63 vs 3.93 ms/step) — XLA's sort is not
+        # the bottleneck once the dispatch argsort is gone; kept opt-in
+        # as a negative result
+        return jax.lax.top_k(x, k)
+    E = x.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.max(cur, axis=-1))
+        idxs.append(i.astype(jnp.int32))
+        cur = jnp.where(cols == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _sparsemixer_route(scores: jnp.ndarray, jitter_eps: float):
     """PhiMoE sparsemixer, INFERENCE path (modeling_phimoe.py:605): pick the
     top expert, softmax over the jitter-masked gates for its weight, mask it
@@ -1144,14 +1201,14 @@ def moe_mlp(
     if spec.moe_scoring == "sparsemixer":  # phimoe inference routing
         top_w, top_i = _sparsemixer_route(logits, spec.router_jitter)
     elif spec.moe_scoring == "topk_softmax":  # gpt_oss: topk THEN softmax
-        top_v, top_i = jax.lax.top_k(logits, spec.num_experts_per_tok)
+        top_v, top_i = _topk(logits, spec.num_experts_per_tok)
         top_w = jax.nn.softmax(top_v, axis=-1)
     elif spec.moe_scoring == "llama4":  # sigmoid of topk, scales the INPUT
-        top_v, top_i = jax.lax.top_k(logits, spec.num_experts_per_tok)
+        top_v, top_i = _topk(logits, spec.num_experts_per_tok)
         top_w = jax.nn.sigmoid(top_v)
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-        top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
+        top_w, top_i = _topk(probs, spec.num_experts_per_tok)
         if spec.norm_topk_prob:
             top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
@@ -1283,16 +1340,16 @@ def deepseek_moe(
         g = spec.n_group
         cg = choose.reshape(-1, g, E // g)
         if spec.moe_topk_method == "noaux_tc":  # v3: sum of top-2 per group
-            gs = jnp.sum(jax.lax.top_k(cg, 2)[0], axis=-1)
+            gs = jnp.sum(_topk(cg, 2)[0], axis=-1)
         else:  # v2: group max
             gs = jnp.max(cg, axis=-1)
-        gidx = jax.lax.top_k(gs, spec.topk_group)[1]
+        gidx = _topk(gs, spec.topk_group)[1]
         gmask = jnp.zeros_like(gs).at[
             jnp.arange(gs.shape[0])[:, None], gidx
         ].set(1.0)
         choose = jnp.where(gmask[..., None] > 0, cg, 0.0).reshape(-1, E)
 
-    _, top_i = jax.lax.top_k(choose, K)
+    _, top_i = _topk(choose, K)
     top_w = jnp.take_along_axis(scores, top_i, axis=1)  # weights = RAW scores
     if spec.norm_topk_prob:
         top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
@@ -2399,7 +2456,7 @@ def longcat_moe(
     scores = jax.nn.softmax(logits, axis=-1)
     bias = jnp.asarray(
         mp["router"]["e_score_correction_bias"], jnp.float32).reshape(-1)
-    _, top_i = jax.lax.top_k(scores + bias[None, :], spec.num_experts_per_tok)
+    _, top_i = _topk(scores + bias[None, :], spec.num_experts_per_tok)
     top_w = jnp.take_along_axis(scores, top_i, axis=1)
     top_w = top_w * spec.routed_scaling_factor
 

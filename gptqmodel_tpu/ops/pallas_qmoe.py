@@ -435,17 +435,372 @@ def qmoe_mlp_matmul(
     )
 
 
+# --------------------------------------------------------------------------
+# dynamic-slot fused MLP: fori over the USED slot count, manual DMA
+# --------------------------------------------------------------------------
+#
+# The grid formulation above runs every STATIC slot (S = worst-case bound);
+# session Z measured ~2.5 us per EMPTY grid step on v5e (pl.when-guarded
+# compute and revisit-skipped DMA notwithstanding) — ~99 us/layer at honest
+# decode routing (13 used of 72). Here ONE kernel instance fori-loops over
+# the runtime used-slot count with double-buffered expert-tile DMAs from
+# HBM, so empty slots never execute and decode cost scales with the experts
+# a step actually routes. This is the part of the reference's grouped-GEMM
+# dispatch that CUDA gets from dynamic grids (vLLM fused-MoE launches only
+# routed blocks); TPU grids are static, so the dynamism moves into the
+# kernel. Used slots are a PREFIX of the plan (build_slots / plan_slots_jit
+# both pad at the end), so the trip count is just sum(counts > 0).
+
+
+def _qmoe_mlp_dyn_kernel(
+    ids_ref, count_ref, nused_ref,  # scalar prefetch (SMEM)
+    x_ref, qwgu_hbm, sgu_hbm, qwd_hbm, sd_hbm, perm_ref,  # inputs
+    o_ref,  # output [M_pad, D] VMEM
+    gu_buf, sgu_buf, d_buf, sd_buf, sems,  # scratch (double buffers)
+    *, bits, F, G_gu, G_d, bm, zc, act,
+):
+    n = nused_ref[0]
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    def dmas(slot, s):
+        e = ids_ref[s]
+        return (
+            pltpu.make_async_copy(qwgu_hbm.at[e], gu_buf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(sgu_hbm.at[e], sgu_buf.at[slot],
+                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(qwd_hbm.at[e], d_buf.at[slot],
+                                  sems.at[slot, 2]),
+            pltpu.make_async_copy(sd_hbm.at[e], sd_buf.at[slot],
+                                  sems.at[slot, 3]),
+        )
+
+    @pl.when(n > 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+        def body(i, carry):
+            cur = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n)
+            def _():
+                for d in dmas(jax.lax.rem(i + 1, 2), i + 1):
+                    d.start()
+
+            for d in dmas(cur, i):
+                d.wait()
+
+            r0 = i * bm
+            cnt = count_ref[i]
+            x = x_ref[pl.ds(r0, bm), :].astype(jnp.bfloat16)
+            both = _ic_contract(
+                x, gu_buf[cur].astype(jnp.uint32), sgu_buf[cur],
+                bits=bits, G=G_gu, zero_const=zc,
+            )  # [bm, 2F] logical N order
+            g, u = both[:, :F], both[:, F:]
+            inner = (_act_kernel(act)(g) * u).astype(jnp.bfloat16)
+            inner_p = jnp.dot(
+                inner, perm_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            y = _ic_contract(
+                inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
+                bits=bits, G=G_d, zero_const=zc,
+            )  # [bm, D]
+            D = y.shape[1]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bm, D), 0)
+            o_ref[pl.ds(r0, bm), :] = jnp.where(
+                rows < cnt, y.astype(o_ref.dtype), 0.0
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
+                     "interpret", "out_dtype"),
+)
+def qmoe_mlp_matmul_dyn(
+    x_sorted_p: jnp.ndarray,  # [S*bm, D] bf16, slot-aligned, PLANE-PERMUTED
+    expert_ids: jnp.ndarray,  # [S] int32
+    row_count: jnp.ndarray,  # [S] int32 (used slots form a prefix)
+    n_used: jnp.ndarray,  # [1] int32 = sum(row_count > 0)
+    qw_gu: jnp.ndarray,  # [E, D/pf, 2F] int32 interchange (gate cols first)
+    s_gu: jnp.ndarray,  # [E, Gp, 2F] bf16
+    qw_d: jnp.ndarray,  # [E, F/pf, D] int32 interchange
+    s_d: jnp.ndarray,  # [E, Gp_d, D] bf16
+    *,
+    bits: int,
+    G_gu: int,
+    G_d: int,
+    F: int,
+    bm: int = 8,
+    zc: float = 8.0,
+    act: str = "silu",
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """y_sorted [M_pad, D]: whole expert MLP per USED slot, one instance."""
+    M_pad, D = x_sorted_p.shape
+    E, Kpf, twoF = qw_gu.shape
+    S = expert_ids.shape[0]
+    assert twoF == 2 * F and M_pad == S * bm
+    Gp, Gp_d = s_gu.shape[1], s_d.shape[1]
+    Fpf = F // (32 // bits)
+    kernel = functools.partial(
+        _qmoe_mlp_dyn_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
+        zc=zc, act=act,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(),
+            in_specs=[vmem, any_spec, any_spec, any_spec, any_spec, vmem],
+            out_specs=vmem,
+            scratch_shapes=[
+                pltpu.VMEM((2, Kpf, twoF), qw_gu.dtype),
+                pltpu.VMEM((2, Gp, twoF), s_gu.dtype),
+                pltpu.VMEM((2, Fpf, D), qw_d.dtype),
+                pltpu.VMEM((2, Gp_d, D), s_d.dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M_pad, D), out_dtype),
+        interpret=interpret,
+    )(
+        expert_ids, row_count, n_used,
+        x_sorted_p, qw_gu, s_gu, qw_d, s_d,
+        jnp.asarray(_plane_perm_matrix(F, bits), jnp.bfloat16),
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end MoE layer kernel: gather + expert MLP + weighted combine
+# --------------------------------------------------------------------------
+#
+# The dispatch around the slot kernels still costs real decode time: the
+# [S*bm, D] slot buffer is scattered to HBM, read by the kernel, the [S*bm,
+# D] result written back, gathered, weighted and scatter-added — ~10 MB of
+# HBM round-trips plus several small XLA launches per layer. Here the slot
+# buffers never exist: tokens stay resident as [N8, D] VMEM, each slot's
+# rows are selected by an exact 0/1 one-hot matmul (MXU-trivial), and the
+# routed output is weighted and accumulated into the [N8, D] result inside
+# the same dynamic-trip slot loop. One kernel instance per MoE layer.
+# Reference analog: the fused epilogues of CUDA grouped-GEMM MoE kernels
+# (vLLM fused_moe writes weighted outputs in-kernel) — done TPU-style.
+
+
+def _qmoe_mlp_e2e_kernel(
+    ids_ref, nused_ref,  # scalar prefetch (SMEM)
+    x_ref, tok_ref, w_ref, qwgu_hbm, sgu_hbm, qwd_hbm, sd_hbm,
+    perm_ref,  # inputs
+    o_ref,  # output [N8, D] f32 VMEM (accumulated)
+    gu_buf, sgu_buf, d_buf, sd_buf, sems,  # scratch (NBUF-deep buffers)
+    *, bits, F, G_gu, G_d, bm, zc, act, nbuf,
+):
+    n = nused_ref[0]
+    N8 = o_ref.shape[0]
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    def dmas(slot, s):
+        e = ids_ref[s]
+        return (
+            pltpu.make_async_copy(qwgu_hbm.at[e], gu_buf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(sgu_hbm.at[e], sgu_buf.at[slot],
+                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(qwd_hbm.at[e], d_buf.at[slot],
+                                  sems.at[slot, 2]),
+            pltpu.make_async_copy(sd_hbm.at[e], sd_buf.at[slot],
+                                  sems.at[slot, 3]),
+        )
+
+    @pl.when(n > 0)
+    def _():
+        # prefetch up to nbuf-1 slots ahead
+        for j in range(nbuf - 1):
+            @pl.when(j < n)
+            def _(j=j):
+                for d in dmas(j, j):
+                    d.start()
+
+        def body(i, carry):
+            cur = jax.lax.rem(i, nbuf)
+
+            @pl.when(i + nbuf - 1 < n)
+            def _():
+                for d in dmas(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1):
+                    d.start()
+
+            for d in dmas(cur, i):
+                d.wait()
+
+            r0 = i * bm
+            tokr = tok_ref[pl.ds(r0, bm), :]  # [bm, 1] int32 (-1 = padding)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bm, N8), 1)
+            sel = (cols == tokr).astype(jnp.bfloat16)  # exact 0/1 row select
+            x = jnp.dot(
+                sel, x_ref[:], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)  # [bm, D] permuted token rows
+            both = _ic_contract(
+                x, gu_buf[cur].astype(jnp.uint32), sgu_buf[cur],
+                bits=bits, G=G_gu, zero_const=zc,
+            )  # [bm, 2F] logical N order
+            g, u = both[:, :F], both[:, F:]
+            inner = (_act_kernel(act)(g) * u).astype(jnp.bfloat16)
+            inner_p = jnp.dot(
+                inner, perm_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            y = _ic_contract(
+                inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
+                bits=bits, G=G_d, zero_const=zc,
+            )  # [bm, D] f32
+            wr = w_ref[pl.ds(r0, bm), :]  # [bm, 1] f32 (0 for padding)
+            # sel^T . (y*w) via dot_general contracting dim 0 of both — the
+            # lane-major tok slice a transpose would need is not Mosaic-
+            # addressable (dynamic lane start must be 128-aligned)
+            o_ref[:] += jax.lax.dot_general(
+                sel.astype(jnp.float32), y * wr,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
+                     "interpret", "nbuf"),
+)
+def qmoe_mlp_e2e(
+    xp: jnp.ndarray,  # [N8, D] bf16 token rows, PLANE-PERMUTED (gu order)
+    expert_ids: jnp.ndarray,  # [S] int32
+    n_used: jnp.ndarray,  # [1] int32 = number of used slots (plan prefix)
+    tok_col: jnp.ndarray,  # [S*bm, 1] int32: token index per slot row, -1 pad
+    w_col: jnp.ndarray,  # [S*bm, 1] f32: routing weight per slot row, 0 pad
+    qw_gu: jnp.ndarray,  # [E, D/pf, 2F] int32 interchange (gate cols first)
+    s_gu: jnp.ndarray,  # [E, Gp, 2F] bf16
+    qw_d: jnp.ndarray,  # [E, F/pf, D] int32 interchange
+    s_d: jnp.ndarray,  # [E, Gp_d, D] bf16
+    *,
+    bits: int,
+    G_gu: int,
+    G_d: int,
+    F: int,
+    bm: int = 8,
+    zc: float = 8.0,
+    act: str = "silu",
+    interpret: bool = False,
+    nbuf: int = 3,
+) -> jnp.ndarray:
+    """out [N8, D] f32 = sum over used slots of one-hot-gathered expert MLP
+    outputs, routing-weighted — the whole MoE layer after routing in ONE
+    kernel instance."""
+    N8, D = xp.shape
+    E, Kpf, twoF = qw_gu.shape
+    S = expert_ids.shape[0]
+    assert twoF == 2 * F and tok_col.shape == (S * bm, 1)
+    Gp, Gp_d = s_gu.shape[1], s_d.shape[1]
+    Fpf = F // (32 // bits)
+    kernel = functools.partial(
+        _qmoe_mlp_e2e_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
+        zc=zc, act=act, nbuf=nbuf,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(),
+            in_specs=[vmem, vmem, vmem,
+                      any_spec, any_spec, any_spec, any_spec, vmem],
+            out_specs=vmem,
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, Kpf, twoF), qw_gu.dtype),
+                pltpu.VMEM((nbuf, Gp, twoF), s_gu.dtype),
+                pltpu.VMEM((nbuf, Fpf, D), qw_d.dtype),
+                pltpu.VMEM((nbuf, Gp_d, D), s_d.dtype),
+                pltpu.SemaphoreType.DMA((nbuf, 4)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N8, D), jnp.float32),
+        interpret=interpret,
+    )(
+        expert_ids, n_used,
+        xp, tok_col, w_col, qw_gu, s_gu, qw_d, s_d,
+        jnp.asarray(_plane_perm_matrix(F, bits), jnp.bfloat16),
+    )
+
+
+def qmoe_mlp_forward_e2e(
+    x: jnp.ndarray,  # [N, D] token rows (UNpermuted, any float dtype)
+    pos: jnp.ndarray,  # [M] slot position per sorted row (plan_slots_jit)
+    tok: jnp.ndarray,  # [M] source token per sorted row
+    w_sorted: jnp.ndarray,  # [M] routing weight per sorted row
+    expert_ids, row_count,
+    gu: "StackedQuantExperts", down: "StackedQuantExperts",
+    *, act: str, bm: int = 8, interpret: bool = False, nbuf: int = 3,
+) -> jnp.ndarray:
+    """Whole post-routing MoE layer: returns [N, D] f32 combined output."""
+    from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
+
+    N, D = x.shape
+    S = expert_ids.shape[0]
+    M_pad = S * bm
+    N8 = max(8, -(-N // 8) * 8)
+    xp8 = jnp.zeros((N8, D), jnp.bfloat16).at[:N].set(x.astype(jnp.bfloat16))
+    pf = 32 // gu.bits
+    xp8 = _plane_permute_x(xp8, gu.in_features, pf, gu.bits)
+    tok_col = jnp.full((M_pad, 1), -1, jnp.int32).at[pos, 0].set(
+        tok.astype(jnp.int32)
+    )
+    w_col = jnp.zeros((M_pad, 1), jnp.float32).at[pos, 0].set(
+        w_sorted.astype(jnp.float32)
+    )
+    n_used = jnp.sum(row_count > 0, dtype=jnp.int32)[None]
+    out = qmoe_mlp_e2e(
+        xp8, expert_ids, n_used, tok_col, w_col,
+        gu.qweight, gu.scales, down.qweight, down.scales,
+        bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
+        bm=bm, zc=gu.zero_const, act=act, interpret=interpret, nbuf=nbuf,
+    )
+    return out[:N]
+
+
 def qmoe_mlp_forward_sorted(
     x_sorted: jnp.ndarray,  # [S*bm, D] bf16 (slot-aligned, UNpermuted)
     expert_ids, row_count,
     gu: "StackedQuantExperts", down: "StackedQuantExperts",
     *, act: str, bm: int = 8, interpret: bool = False,
-    out_dtype=jnp.float32,
+    out_dtype=jnp.float32, dyn: bool | None = None,
 ):
+    import os
+
     from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
 
     pf = 32 // gu.bits
     xp = _plane_permute_x(x_sorted, gu.in_features, pf, gu.bits)
+    if dyn is None:
+        dyn = os.environ.get("GPTQ_TPU_QMOE_DYN", "1") != "0"
+    if dyn:
+        n_used = jnp.sum(row_count > 0, dtype=jnp.int32)[None]
+        return qmoe_mlp_matmul_dyn(
+            xp, expert_ids, row_count, n_used, gu.qweight, gu.scales,
+            down.qweight, down.scales,
+            bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
+            bm=bm, zc=gu.zero_const, act=act, interpret=interpret,
+            out_dtype=out_dtype,
+        )
     return qmoe_mlp_matmul(
         xp, expert_ids, row_count, gu.qweight, gu.scales,
         down.qweight, down.scales,
@@ -509,6 +864,33 @@ def plan_slots_jit(flat_e: jnp.ndarray, E: int, bm: int, S: int):
     rho = r_idx - row_base[e_row]
     pos = (slot_base[e_row] * bm + rho).astype(jnp.int32)
     return e_of, count, pos
+
+
+def plan_rows_jit(flat_e: jnp.ndarray, E: int, bm: int, S: int):
+    """SORT-FREE slot plan for the e2e kernel: returns (expert_ids[S],
+    row_count[S], row_pos[M]) where UNSORTED flat row r lands at padded row
+    ``row_pos[r]``. Equivalent to argsort(stable) + :func:`plan_slots_jit`
+    (same aligned layout, ranks = stable insertion order) but built from a
+    one-hot counting sort — a [M, M] strictly-lower-triangular matmul gives
+    each row's rank within its expert, so the XLA sort (the priciest op in
+    the per-step routing glue) disappears from the decode path."""
+    M = flat_e.shape[0]
+    onehot = (flat_e[:, None] == jnp.arange(E, dtype=flat_e.dtype)[None, :])
+    onehot_f = onehot.astype(jnp.float32)  # [M, E]
+    cnt = jnp.sum(onehot, axis=0).astype(jnp.int32)  # rows per expert
+    ns = -(-cnt // bm)  # slots per expert
+    slot_base = jnp.cumsum(ns) - ns
+    tril = jnp.tril(jnp.ones((M, M), jnp.float32), k=-1)
+    earlier = jnp.dot(tril, onehot_f, preferred_element_type=jnp.float32)
+    rank = jnp.sum(earlier * onehot_f, axis=1).astype(jnp.int32)  # [M]
+    row_pos = (slot_base[flat_e] * bm + rank).astype(jnp.int32)
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    e_of = jnp.searchsorted(slot_base + ns, s_idx, side="right")
+    e_of = jnp.clip(e_of, 0, E - 1).astype(jnp.int32)
+    j = s_idx - slot_base[e_of]
+    count = jnp.clip(cnt[e_of] - j * bm, 0, bm).astype(jnp.int32)
+    count = jnp.where(s_idx < jnp.sum(ns), count, 0)
+    return e_of, count, row_pos
 
 
 def qmoe_forward_sorted(

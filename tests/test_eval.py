@@ -93,3 +93,37 @@ def test_load_choice_task_field_spellings(tmp_path):
     p2 = tmp_path / "task.json"
     p2.write_text(json.dumps(rows))
     assert len(load_choice_task(p2, limit=2)) == 2
+
+
+def test_bundled_task_files_end_to_end():
+    """The committed tests/tasks/* files (original content in the common
+    arc/hellaswag/mmlu field spellings) run the WHOLE offline eval stack:
+    file -> load_choice_task -> text encode -> bucketed logliks through a
+    real model -> accuracy. Reference analog: lm-eval task runs in
+    tests/models/model_test.py (there the data is downloaded; here it
+    ships with the repo — zero-egress)."""
+    from pathlib import Path
+
+    from gptqmodel_tpu import GPTQModel
+    from gptqmodel_tpu.utils.eval import evaluate_choice_task, load_choice_task
+
+    tasks_dir = Path(__file__).parent / "tasks"
+    files = sorted(tasks_dir.iterdir())
+    assert len(files) >= 3
+
+    def byte_encode(s):  # offline text->ids: bytes shifted past specials
+        return [b + 3 for b in s.encode("utf-8")][:48]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = _make_tiny(tmp, vocab_size=512)
+        m = GPTQModel.load(src)
+        m._load_params()
+        for f in files:
+            samples = load_choice_task(f)
+            assert len(samples) >= 6, f.name
+            res = evaluate_choice_task(m, samples, encode=byte_encode)
+            res2 = evaluate_choice_task(m, samples, encode=byte_encode)
+            assert res == res2, "eval must be deterministic"
+            assert res["n"] == len(samples)
+            assert 0.0 <= res["acc"] <= 1.0
+            assert 0.0 <= res["acc_norm"] <= 1.0

@@ -296,3 +296,155 @@ def test_fused_slot_mlp_matches_three_kernel_path(bits, D, F, g):
     # empty slots stay zero
     dead = counts == 0
     assert np.all(y_fused.reshape(max_slots, bm, -1)[dead] == 0.0)
+
+
+def _stacked_random(rng, E, K, N, bits, g):
+    import jax
+
+    from gptqmodel_tpu.ops.pallas_qmoe import StackedQuantExperts
+
+    G = K // g
+    G_pad = max(8, -(-G // 8) * 8)
+    sc = np.zeros((E, G_pad, N), np.float32)
+    sc[:, :G] = rng.uniform(0.005, 0.02, (E, G, N))
+    return StackedQuantExperts(
+        qweight=jax.lax.bitcast_convert_type(
+            jax.random.bits(jax.random.PRNGKey(K * 7 + N),
+                            (E, K // (32 // bits), N), dtype=jnp.uint32),
+            jnp.int32),
+        scales=jnp.asarray(sc, jnp.bfloat16),
+        bits=bits, G=G, zero_const=float(2 ** (bits - 1)),
+        in_features=K, out_features=N,
+    )
+
+
+def test_dyn_slot_mlp_bit_exact_vs_grid():
+    """The dynamic-trip-count fused MLP (manual double-buffered DMA, used
+    slots only) must be BIT-EXACT vs the static slot-grid kernel — same
+    _ic_contract math, different scheduling (session Z/Z2)."""
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        fuse_gate_up, qmoe_mlp_forward_sorted,
+    )
+
+    rng = np.random.default_rng(3)
+    bits, g, E, D, F = 4, 128, 8, 256, 256
+    tokens, topk, bm = 8, 2, 8
+    gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
+                      _stacked_random(rng, E, D, F, bits, g))
+    down = _stacked_random(rng, E, F, D, bits, g)
+    top_i = rng.integers(0, E, size=(tokens, topk))
+    S = tokens * topk // bm + min(E, tokens * topk)
+    pos, ids, counts, order = build_slots(top_i, E, bm, S)
+    x = rng.standard_normal((tokens, D)).astype(np.float32) * 0.5
+    xs = np.zeros((S * bm, D), np.float32)
+    xs[pos] = x[order // topk]
+    xs = jnp.asarray(xs, jnp.bfloat16)
+    args = (xs, jnp.asarray(ids), jnp.asarray(counts), gu, down)
+    y_grid = np.asarray(qmoe_mlp_forward_sorted(
+        *args, act="silu", bm=bm, interpret=True, dyn=False), np.float32)
+    y_dyn = np.asarray(qmoe_mlp_forward_sorted(
+        *args, act="silu", bm=bm, interpret=True, dyn=True), np.float32)
+    assert np.array_equal(y_grid, y_dyn)
+
+
+def test_e2e_layer_kernel_matches_composed_path():
+    """qmoe_mlp_forward_e2e (in-kernel gather + MLP + weighted combine)
+    must be BIT-EXACT vs the composed path (slot scatter -> fused slot
+    kernel -> gather/weight/scatter-add) when fed the same bf16-rounded
+    inputs — identical math, the HBM slot buffers just never exist."""
+    import jax
+
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        fuse_gate_up, qmoe_mlp_forward_e2e, qmoe_mlp_forward_sorted,
+    )
+
+    rng = np.random.default_rng(4)
+    bits, g, E, D, F = 4, 128, 8, 256, 256
+    tokens, topk, bm = 8, 2, 8
+    gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
+                      _stacked_random(rng, E, D, F, bits, g))
+    down = _stacked_random(rng, E, F, D, bits, g)
+    top_i = rng.integers(0, E, size=(tokens, topk))
+    top_w = rng.uniform(0.1, 1.0, (tokens, topk)).astype(np.float32)
+    M = tokens * topk
+    S = M // bm + min(E, M)
+    pos, ids, counts, order = build_slots(top_i, E, bm, S)
+    tok = order // topk
+    w_sorted = top_w.reshape(-1)[order]
+    x = (rng.standard_normal((tokens, D)) * 0.5).astype(np.float32)
+    xb = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+
+    xs = np.zeros((S * bm, D), np.float32)
+    xs[pos] = xb[tok]
+    y = np.asarray(qmoe_mlp_forward_sorted(
+        jnp.asarray(xs, jnp.bfloat16), jnp.asarray(ids), jnp.asarray(counts),
+        gu, down, act="silu", bm=bm, interpret=True, dyn=False), np.float32)
+    ref = np.zeros((tokens, D), np.float32)
+    np.add.at(ref, tok, y[pos] * w_sorted[:, None])
+
+    out = np.asarray(qmoe_mlp_forward_e2e(
+        jnp.asarray(xb), jnp.asarray(pos), jnp.asarray(tok),
+        jnp.asarray(w_sorted), jnp.asarray(ids), jnp.asarray(counts),
+        gu, down, act="silu", bm=bm, interpret=True))
+    assert np.array_equal(ref, out)
+
+
+def test_plan_rows_jit_matches_sorted_plan():
+    """Sort-free placement == stable argsort + plan_slots_jit: the scatter
+    targets (tok_col/w_col) and slot tables must be identical."""
+    from gptqmodel_tpu.ops.pallas_qmoe import plan_rows_jit, plan_slots_jit
+
+    rng = np.random.default_rng(11)
+    for E, tokens, topk, bm in [(8, 8, 2, 8), (128, 8, 8, 8), (16, 12, 4, 8)]:
+        M = tokens * topk
+        S = M // bm + min(E, M)
+        top_i = rng.integers(0, E, size=(tokens, topk))
+        top_w = rng.random((tokens, topk)).astype(np.float32)
+        flat_e = jnp.asarray(top_i.reshape(-1))
+
+        order = np.argsort(top_i.reshape(-1), kind="stable")
+        ids_s, counts_s, pos_s = plan_slots_jit(
+            jnp.asarray(top_i.reshape(-1)[order]), E, bm, S)
+        ids_r, counts_r, row_pos = plan_rows_jit(flat_e, E, bm, S)
+        assert np.array_equal(np.asarray(ids_s), np.asarray(ids_r))
+        assert np.array_equal(np.asarray(counts_s), np.asarray(counts_r))
+
+        M_pad = S * bm
+        tok_a = np.full(M_pad, -1, np.int64)
+        tok_a[np.asarray(pos_s)] = order // topk
+        w_a = np.zeros(M_pad, np.float32)
+        w_a[np.asarray(pos_s)] = top_w.reshape(-1)[order]
+        tok_b = np.full(M_pad, -1, np.int64)
+        tok_b[np.asarray(row_pos)] = np.arange(M) // topk
+        w_b = np.zeros(M_pad, np.float32)
+        w_b[np.asarray(row_pos)] = top_w.reshape(-1)
+        assert np.array_equal(tok_a, tok_b)
+        assert np.array_equal(w_a, w_b)
+
+
+def test_topk_iterative_matches_lax():
+    """transformer._topk (argmax rounds) == lax.top_k on routing shapes,
+    including first-occurrence tie order."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.models.transformer import _topk
+
+    os.environ["GPTQ_TPU_ITER_TOPK"] = "1"  # opt-in path under test
+    rng = np.random.default_rng(5)
+    for shape, k in [((8, 128), 8), ((64, 16), 2), ((3, 7, 32), 4)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        # inject ties
+        x[..., 3] = x[..., 1]
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+        v, i = _topk(jnp.asarray(x), k)
+        assert np.array_equal(np.asarray(v_ref), np.asarray(v))
+        assert np.array_equal(np.asarray(i_ref), np.asarray(i))
+    # large k falls back to lax.top_k verbatim
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    v, i = _topk(x, 32)
+    v_ref, i_ref = jax.lax.top_k(x, 32)
+    assert np.array_equal(np.asarray(v_ref), np.asarray(v))
+    os.environ.pop("GPTQ_TPU_ITER_TOPK", None)
