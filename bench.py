@@ -119,7 +119,7 @@ def main():
     if on_tpu:
         spec = llama8b_spec(layers=int(os.environ.get("BENCH_LAYERS", "32")))
         B = int(os.environ.get("BENCH_BATCH", "8"))
-        T, steps, max_len = 128, 32, 256
+        T, steps, max_len = 128, 64, 256  # 64-step differential: short runs swing with tunnel RPC jitter (MoE bench r3)
     else:  # CI sanity run
         spec = tiny_spec(hidden=256, layers=2, heads=8, kv_heads=4, inter=512, vocab=512)
         B, T, steps, max_len = 2, 16, 8, 64
@@ -189,7 +189,7 @@ def main():
     # on a 5.8 ms step (measured, session K) — a single shot can under-read
     # the true rate by 3pp of roofline
     step_time = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         float(warm(params, token, pos, key_valid, caches))
         t_warm = time.time() - t0

@@ -391,42 +391,6 @@ def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
     return k, v, cache
 
 
-def _fused_decode_attention(spec, q, cache, attn_bias, scale, rep, hd):
-    """Route decode attention (T=1) through the fused Pallas kernel when the
-    contract allows; returns out [B, H, 1, hd] or None (XLA fallback)."""
-    from gptqmodel_tpu.ops.registry import _on_tpu, attention_backend
-
-    ab = attention_backend()
-    if ab == "xla" or attn_bias is None or spec.attn_softcap:
-        return None
-    if cache["k"].dtype == jnp.uint8:  # int4 KV: XLA path (kernel later)
-        return None
-    S = cache["k"].shape[2]
-    from gptqmodel_tpu.ops import pallas_attention
-
-    if not pallas_attention.supports(S, hd, spec.attn_softcap):
-        return None
-    if ab == "auto":
-        # measured on v5e (llama-8B, B=8, L=256): the fused kernel is 0.6ms/
-        # step SLOWER than XLA's batched einsums — (B, Hkv) grid cells are
-        # too small to amortize at short KV spans. Opt-in via
-        # set_attention_backend("pallas") for long-context serving until the
-        # kernel batches cells.
-        return None
-    if attn_bias.ndim != 4 or attn_bias.shape[2] != 1:
-        return None
-    B = q.shape[0]
-    nkv = cache["k"].shape[1]
-    bias2 = jnp.broadcast_to(attn_bias, (B, 1, 1, S)).reshape(B, S)
-    qg = q[:, :, 0].reshape(B, nkv, rep, hd)
-    out = pallas_attention.decode_attention(
-        qg, cache["k"], cache["v"], bias2,
-        cache.get("k_s"), cache.get("v_s"),
-        scale=scale, interpret=(ab == "pallas_interpret"),
-    )
-    return out.reshape(B, nkv * rep, 1, hd)
-
-
 class LazyCausalBias:
     """Structural prefill mask carried as INDICES instead of a materialized
     ``[B, 1, T, S]`` tensor (quadratic in context — 554 MB at B=8/T=4k f32).
@@ -644,14 +608,8 @@ def attention(
             return apply_linear(ap[oname], out), cache
         attn_bias = attn_bias.materialize()  # exotic branch: dense fallback
 
-    fused = _fused_decode_attention(
-        spec, q, cache, attn_bias, scale, rep, hd
-    ) if (cache is not None and T == 1 and sinks is None
-          and "lambda_q1" not in ap) else None
     if "lambda_q1" in ap:  # diffllama differential attention
         out = _diff_attention(spec, ap, q, k, v, attn_bias, scale, rep)
-    elif fused is not None:
-        out = fused
     elif rep > 1:
         # GQA without materializing repeated K/V: fold the query-group dim
         # into the einsum (saves 2·rep× the KV bytes in copies — dominant

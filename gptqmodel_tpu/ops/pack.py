@@ -77,10 +77,10 @@ def _pack_axis0_np(codes: np.ndarray, bits: int) -> np.ndarray:
     """Pack uint codes along axis 0. [n, m] -> [n*bits/32, m] int32."""
     codes = np.ascontiguousarray(codes, dtype=np.uint32)
     n, m = codes.shape
-    if bits in (2, 4, 8):
+    if bits in (1, 2, 4, 8):
         pf = 32 // bits
         assert n % pf == 0, f"rows {n} not divisible by pack_factor {pf}"
-        if codes.size >= _NATIVE_PACK_MIN_ELEMS:
+        if bits != 1 and codes.size >= _NATIVE_PACK_MIN_ELEMS:
             out = _native_pack(codes, bits, planar=False)
             if out is not None:
                 return out
@@ -114,7 +114,7 @@ def _unpack_axis0_np(packed: np.ndarray, bits: int) -> np.ndarray:
     """Inverse of _pack_axis0_np. [p, m] int32 -> [n, m] int32 codes."""
     u = packed.view(np.uint32) if packed.dtype == np.int32 else packed
     p, m = u.shape
-    if bits in (2, 4, 8):
+    if bits in (1, 2, 4, 8):
         pf = 32 // bits
         shifts = (np.arange(pf, dtype=np.uint32) * bits)[None, :, None]
         vals = (u[:, None, :] >> shifts) & ((1 << bits) - 1)
@@ -487,7 +487,72 @@ def repack_rt(qweight: np.ndarray, bits: int, block_k: int) -> np.ndarray:
 
 def unrepack_rt(qweight_rt: np.ndarray, bits: int, block_k: int) -> np.ndarray:
     """rt-layout -> interchange layout (for export/dequant)."""
+    if bits == 3:
+        return unrepack_rt3(qweight_rt, block_k)
     codes_rt = _unpack_axis0_np(np.asarray(qweight_rt), bits)
     perm = rt_row_permutation(codes_rt.shape[0], bits, block_k)
     inv = np.argsort(perm)
     return _pack_axis0_np(codes_rt[inv], bits)
+
+
+def repack_rt3(qweight: np.ndarray, block_k: int) -> np.ndarray:
+    """3-bit stitched interchange [3K/32, N] -> plane-split rt layout (same
+    shape, EXACTLY 3 bits/weight streamed): per K-tile, ``block_k/16``
+    words of the 2-bit plane (``codes & 3``, rt_row_permutation(bits=2))
+    followed by ``block_k/32`` words of the 1-bit plane (``codes >> 2``,
+    rt_row_permutation(bits=1)). Paired magic extraction of either plane
+    then yields contiguous group-aligned logical rows, so the Pallas sym
+    kernel reconstructs ``code = p2 + 4*p1`` exactly in bf16 — the stitched
+    format's word-straddling fields (the reason 3-bit CUDA kernels like the
+    reference's exllama q3-path need special shift tables) never reach the
+    chip."""
+    codes = _unpack_axis0_np(np.asarray(qweight), 3)  # [K, N]
+    K, _ = codes.shape
+    assert K % block_k == 0, (K, block_k)
+    p2 = rt_row_permutation(block_k, 2, block_k)
+    p1 = rt_row_permutation(block_k, 1, block_k)
+    tiles = []
+    for t in range(K // block_k):
+        c = codes[t * block_k : (t + 1) * block_k]
+        tiles.append(_pack_axis0_np(c[p2] & 3, 2))
+        tiles.append(_pack_axis0_np(c[p1] >> 2, 1))
+    return np.vstack(tiles).astype(np.int32)
+
+
+def unrepack_rt3(qweight_rt: np.ndarray, block_k: int) -> np.ndarray:
+    """Inverse of :func:`repack_rt3` -> stitched 3-bit interchange."""
+    u = np.asarray(qweight_rt)
+    rows_t = 3 * block_k // 32
+    assert u.shape[0] % rows_t == 0, (u.shape, block_k)
+    i2 = np.argsort(rt_row_permutation(block_k, 2, block_k))
+    i1 = np.argsort(rt_row_permutation(block_k, 1, block_k))
+    out = []
+    for t in range(u.shape[0] // rows_t):
+        tile = u[t * rows_t : (t + 1) * rows_t]
+        c2 = _unpack_axis0_np(tile[: block_k // 16], 2)[i2]
+        c1 = _unpack_axis0_np(tile[block_k // 16 :], 1)[i1]
+        out.append(c2 | (c1 << 2))
+    return _pack_axis0_np(np.vstack(out), 3)
+
+
+def rt3_decode_jnp(qweight, K: int, block_k: int):
+    """jit-safe rt3 -> logical codes [K, N] (dequant/export paths)."""
+    import jax.numpy as jnp
+
+    rows_t = 3 * block_k // 32
+    T = K // block_k
+    u = qweight.reshape(T, rows_t, -1).astype(jnp.uint32)
+    u2, u1 = u[:, : block_k // 16], u[:, block_k // 16 :]
+
+    def unp(x, bits):
+        pf = 32 // bits
+        sh = (jnp.arange(pf, dtype=jnp.uint32) * bits)[None, None, :, None]
+        v = (x[:, :, None, :] >> sh) & jnp.uint32((1 << bits) - 1)
+        return v.reshape(x.shape[0], x.shape[1] * pf, x.shape[2])
+
+    c2 = unp(u2, 2)
+    c1 = unp(u1, 1)
+    i2 = jnp.asarray(np.argsort(rt_row_permutation(block_k, 2, block_k)))
+    i1 = jnp.asarray(np.argsort(rt_row_permutation(block_k, 1, block_k)))
+    codes = c2[:, i2] | (c1[:, i1] << jnp.uint32(2))
+    return codes.reshape(K, -1).astype(jnp.int32)

@@ -25,7 +25,8 @@ broadcast with a reshape — no gathers.
 - contiguous groups required (GAR composes its perms away; desc_act imports
   fall back to the XLA reference path — SURVEY §7 "hard parts").
 
-Supports bits ∈ {2, 4, 8}. 3-bit stays on the XLA path.
+Supports bits ∈ {2, 4, 8} everywhere; 3-bit runs the rt sym fast path
+(plane-split repack, _qmm_rt3_sym_kernel) and falls back to XLA otherwise.
 """
 
 from __future__ import annotations
@@ -337,14 +338,94 @@ def _qmm_rt_sym_fused_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _qmm_rt3_sym_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, kt, nt, gpk, zero_const
+):
+    """3-bit rt kernel (sym): the qweight block is the PLANE-SPLIT layout
+    (pack.repack_rt3) — ``kt/16`` words of the 2-bit plane then ``kt/32``
+    words of the 1-bit plane, each rt-permuted so paired magic extraction
+    yields contiguous group-covering logical rows. Extraction part ``a``
+    combines EXACTLY in bf16: ``code = (lo-128) + 4*(hi-128)`` (every
+    intermediate is a small integer, ulp 1 below 256), then the same
+    per-group partial-dot formulation as the other sym kernels. Streams
+    exactly 3 bits/weight — the stitched interchange format's
+    word-straddling fields (reference exllama q3 shift tables,
+    gptqmodel_ext/exllama/cuda_func/q4_matmul.cu lineage) never reach the
+    chip. 1-bit parts 2a|2a+1 concat along sublanes to pair with 2-bit
+    part a's logical range."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = kt // gpk
+    R2 = kt // 16
+    u2 = qw_ref[:R2, :].astype(jnp.uint32)  # 2-bit plane words
+    u1 = qw_ref[R2:, :].astype(jnp.uint32)  # [kt/32, nt] 1-bit plane words
+    x = x_ref[:].astype(jnp.bfloat16)
+    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
+
+    acc = acc_ref[:]
+    part = kt // 8  # logical rows per 2-bit extraction part (whole groups)
+    part1 = kt // 16  # rows per 1-bit part (whole groups or half a group)
+    gpp = part // g
+    fmask2, magic = _MAGIC_BF16[2]
+    m1 = jnp.uint32(0x00010001)
+    # DISTRIBUTED plane dots (no concat, no combine fma — a first combined-
+    # tile variant measured 4x slower than the 4-bit kernel on chip):
+    #   y = Σ_g s_g (x_g @ lo_g) + 4 Σ_g s_g (x_g @ hi_g) − Σ_g X1_g zs_g
+    # with lo = p2+128, hi = p1+128 raw magic outputs; both offsets fold
+    # into the single end-of-part correction zs = (z + 5*128)·s.
+    zs = jnp.float32(zero_const + 5.0 * _MAGIC_OFFSET) * sf
+    for a in range(8):
+        t2 = ((u2 >> jnp.uint32(2 * a)) & jnp.uint32(fmask2)) | jnp.uint32(magic)
+        lo = pltpu.bitcast(t2.astype(jnp.int32), jnp.bfloat16)  # p2 + 128
+        for gi in range(gpp):
+            g_abs = a * gpp + gi
+            xg = x[:, g_abs * g : (g_abs + 1) * g]
+            P = jnp.dot(
+                xg, lo[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+            )
+            X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
+            acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
+    for b in range(16):
+        tb = ((u1 >> jnp.uint32(b)) & m1) | jnp.uint32(magic)
+        hi = pltpu.bitcast(tb.astype(jnp.int32), jnp.bfloat16)  # p1 + 128
+        off_rows = b * part1  # logical start of this part within the tile
+        # group-aligned subslices (part1 is either whole groups or half of
+        # one group — never crosses a boundary: kt % 8g == 0)
+        s0 = 0
+        while s0 < part1:
+            g_abs = (off_rows + s0) // g
+            ln = min((g_abs + 1) * g - (off_rows + s0), part1 - s0)
+            xg = x[:, off_rows + s0 : off_rows + s0 + ln]
+            P = jnp.dot(
+                xg, hi[s0 : s0 + ln], preferred_element_type=jnp.float32
+            )
+            acc += jnp.float32(4.0) * P * sf[g_abs][None, :]
+            s0 += ln
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def rt_supported(bits: int, group_size: int, K: int) -> bool:
-    """rt layout contract: magic bits (bf16 for 2/4, f32 for 8),
-    128-lane-aligned groups, tiles of >= 8 groups (Mosaic sublane rule for
-    the scales block). For 8-bit each plane (K-tile/4 rows) must cover whole
-    groups: 8 groups/tile gives 2 per plane."""
-    if bits not in (2, 4, 8):
+    """rt layout contract: magic bits (bf16 for 2/4, f32 for 8, plane-split
+    for 3 — sym only, enforced at post_init), 128-lane-aligned groups,
+    tiles of >= 8 groups (Mosaic sublane rule for the scales block). For
+    8-bit each plane (K-tile/4 rows) must cover whole groups: 8 groups/tile
+    gives 2 per plane."""
+    if bits not in (2, 3, 4, 8):
         return False
     g = group_size if group_size > 0 else K
+    if bits == 3:
+        # 1-bit parts span kt/16 rows; 16-group tiles keep every x lane
+        # slice 128-aligned (kt/16 = g) — 8-group tiles would slice at g/2
+        return g % 128 == 0 and K % (16 * g) == 0
     return g % 128 == 0 and K % (8 * g) == 0
 
 
@@ -454,7 +535,14 @@ def qmatmul(
     N = qweight.shape[1]
     G = scales.shape[0]
     g = group_size if group_size > 0 else K
-    assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
+    if bits == 3:  # plane-split rt layout: 3 bits/weight, no integral pf
+        assert rt and zero_const >= 0.0, "3-bit fast path is rt + sym only"
+        assert qweight.shape[0] * 32 == 3 * K, (qweight.shape, K, bits)
+        g3 = group_size if group_size > 0 else K
+        bk3 = rt_block_k or rt_block_k_for(K, group_size)
+        assert bk3 % (16 * g3) == 0, (bk3, g3, "rt3 needs 16-group tiles")
+    else:
+        assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
     assert G * g == K, (G, g, K)
 
     bk = (
@@ -500,13 +588,25 @@ def qmatmul(
         interpret=interpret,
     )
     x_spec = pl.BlockSpec((bm, bk), lambda n, m, k: (m, k), memory_space=pltpu.VMEM)
+    qw_rows = 3 * bk // 32 if bits == 3 else bk // pf
     qw_spec = pl.BlockSpec(
-        (bk // pf, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM
+        (qw_rows, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM
     )
     sz_spec = pl.BlockSpec((gpk, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM)
 
     if rt:
         assert rt_supported(bits, group_size, K), (bits, group_size, K)
+        if bits == 3:  # plane-split sym kernel (pack.repack_rt3 layout)
+            kernel = functools.partial(
+                _qmm_rt3_sym_kernel, kt=bk, nt=bn, gpk=gpk,
+                zero_const=float(zero_const),
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[x_spec, qw_spec, sz_spec],
+                **common,
+            )(x, qweight, scales.astype(jnp.bfloat16))
         if zero_const >= 0.0:  # sym fast path: no zvals input, bf16 scales
             sym_impl = (
                 _qmm_rt_sym_fused_kernel

@@ -158,10 +158,13 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
         codes = packing.planar_unpack_axis0_jnp(p.qweight, p.bits)  # [in, out]
         zeros = packing.planar_unpack_axis0_jnp(p.qzeros.T, p.bits).T
         zeros = zeros.astype(jnp.int32)
+    elif p.bits == 3 and p.rt_layout:  # plane-split layout decodes directly
+        codes = packing.rt3_decode_jnp(p.qweight, p.in_features, p.rt_block_k)
+        zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)
     else:
         codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
         zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
-    if p.rt_layout:  # jit-safe reverse of the rt row permutation
+    if p.rt_layout and p.bits != 3:  # jit-safe reverse of the rt row perm
         perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
         codes = codes[jnp.asarray(np.argsort(perm))]
     if p.act_perm is not None:  # desc_act runtime order -> original order

@@ -52,13 +52,19 @@ def _on_tpu() -> bool:
         return False
 
 
-# decode-attention kernel toggle: "auto" | "xla" | "pallas" | "pallas_interpret"
+# decode attention is always XLA now (see set_attention_backend)
 _ATTN_BACKEND = "auto"
 
 
 def set_attention_backend(name: str):
+    """Decode attention is ALWAYS XLA: the fused Pallas decode-attention
+    kernel was measured at parity-or-worse across the whole KV range it
+    supported (L=256: -0.6 ms; L=2048: +0.006; L=4096: +0.042 — session Y)
+    and was removed (win-or-cut). The knob survives for the sharded-serving
+    pin and tests; long-context prefill uses the chunked online-softmax
+    path (transformer._chunked_causal_attention)."""
     global _ATTN_BACKEND
-    assert name in ("auto", "xla", "pallas", "pallas_interpret"), name
+    assert name in ("auto", "xla"), name
     _ATTN_BACKEND = name
 
 
@@ -87,9 +93,14 @@ def select_kernel(p: QuantLinear) -> str:
     backend setting. AUTO: pallas on TPU when the contract matches."""
     if _BACKEND == "xla":
         return "xla"
-    eligible = p.zvals is not None and not p.planar and pallas_qmatmul.supports(
-        p.bits, p.group_size, p.in_features, p.out_features,
-        p.g_idx is None or p.act_perm is not None,
+    eligible = p.zvals is not None and not p.planar and (
+        pallas_qmatmul.supports(
+            p.bits, p.group_size, p.in_features, p.out_features,
+            p.g_idx is None or p.act_perm is not None,
+        )
+        # 3-bit has no interchange-layout kernel: eligible only once
+        # post_init has produced the plane-split rt layout (sym)
+        or (p.bits == 3 and p.rt_layout and p.zero_const >= 0.0)
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
         if not eligible:
@@ -179,6 +190,8 @@ def qmlp_forward(gu: QuantLinear, down: QuantLinear, x: jnp.ndarray, act: str):
         return None
     if gu.bits != down.bits or gu.group_size != down.group_size:
         return None
+    if gu.bits == 3:  # rt3 plane-split layout: qmlp kernel reads 2/4/8 rt
+        return None
     if gu.had_block or down.had_block or gu.rot_theta is not None \
             or down.rot_theta is not None or gu.a8 or down.a8:
         return None
@@ -253,6 +266,9 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         (p.g_idx is None or act_perm is not None)
         and not p.planar
         and pallas_qmatmul.rt_supported(p.bits, p.group_size, p.in_features)
+        # 3-bit fast path is sym-only (plane-split kernel); asym 3-bit
+        # stays on the XLA path
+        and not (p.bits == 3 and zero_const < 0.0)
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(
             p.in_features, p.group_size, N=p.out_features
@@ -261,7 +277,10 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         if act_perm is not None:
             codes = packing.unpack_qweight(qw, p.bits)  # [in, out]
             qw = packing.pack_qweight(codes[act_perm], p.bits)
-        qweight = jnp.asarray(packing.repack_rt(qw, p.bits, rt_bk))
+        if p.bits == 3:
+            qweight = jnp.asarray(packing.repack_rt3(qw, rt_bk))
+        else:
+            qweight = jnp.asarray(packing.repack_rt(qw, p.bits, rt_bk))
         rt_layout = True
     else:
         act_perm = None  # XLA path consumes g_idx natively; no perm needed

@@ -25,7 +25,7 @@ from gptqmodel_tpu.inference.engine import (
 from gptqmodel_tpu.ops.registry import set_attention_backend
 from gptqmodel_tpu.utils.testing import llama8b_spec
 
-B, steps = 8, 32
+B, steps = 8, 64  # 64-step differential: 16-32 step runs swing with tunnel RPC jitter
 spec = llama8b_spec(layers=32)
 roofline_ms = packed_model_bytes(spec, 4, 128) / 819e9 * 1e3
 params = build_quant_params_on_device(spec, 4, 128)
@@ -36,11 +36,12 @@ decode = make_decode_fn(spec, jnp.bfloat16)
 def run(L, backend):
     set_attention_backend(backend)
     try:
-        T = L - 64  # prompt fills most of the span
+        T = min(L - 64, 1984)  # prefill temps OOM at T=4032; decode reads the full allocated span either way
         max_len = L
-        caches = init_kv_cache(spec, B, max_len, jnp.bfloat16, kv_quant="int8")
-        ids = jnp.asarray(np.ones((B, T), np.int32))
-        lens = jnp.full((B,), T, jnp.int32)
+        b = B if L <= 2048 else 4  # L=4096: several live cache copies OOM at B=8
+        caches = init_kv_cache(spec, b, max_len, jnp.bfloat16, kv_quant="int8")
+        ids = jnp.asarray(np.ones((b, T), np.int32))
+        lens = jnp.full((b,), T, jnp.int32)
         t0 = time.time()
         logits, caches, key_valid = prefill(params, ids, lens, caches)
         token = jnp.argmax(logits, axis=-1)

@@ -221,7 +221,7 @@ def test_rt_sym_fused_variant_pow2_exact(monkeypatch):
     catches any unpack-order/offset regression bit-exactly."""
     monkeypatch.setenv("GPTQ_TPU_RT_FUSED", "1")
     rng = np.random.default_rng(9)
-    K, N, g = 1024, 128, 128
+    K, N, g = 2048, 128, 128
     codes = rng.integers(0, 16, size=(N, K), dtype=np.int64)
     scales = (2.0 ** rng.integers(-8, -4, size=(K // g, N))).astype(np.float32)
     zeros = np.full((K // g, N), 8, np.int64)
@@ -278,3 +278,107 @@ def test_post_init_zvals_semantics():
     zv = np.asarray(p.zvals)
     w2 = (codes - np.repeat(zv, 64, 0)) * np.repeat(scales, 64, 0)
     np.testing.assert_allclose(w2, w_ref, atol=1e-5)
+
+
+def _sym_module(bits, K, N, g, seed=0, pow2_scales=False):
+    rng = np.random.default_rng(seed)
+    G = K // g
+    codes = rng.integers(0, 2**bits, size=(N, K), dtype=np.int64)
+    if pow2_scales:
+        scales = (2.0 ** rng.integers(-7, -4, size=(G, N))).astype(np.float16)
+    else:
+        scales = rng.uniform(0.005, 0.05, size=(G, N)).astype(np.float16)
+    zeros = np.full((G, N), 2 ** (bits - 1), np.int64)  # uniform (sym)
+    p = make_quant_linear(
+        Q=codes, scales=scales, zeros=zeros, g_idx=None, bias=None,
+        bits=bits, group_size=g, sym=True,
+    )
+    return registry.post_init_module(p)
+
+
+def test_rt3_repack_roundtrip():
+    from gptqmodel_tpu.ops import pack as P
+
+    rng = np.random.default_rng(7)
+    K, N, bk = 2048, 128, 1024
+    codes = rng.integers(0, 8, size=(K, N), dtype=np.int64)
+    qw = P.pack_qweight(codes, 3)
+    rt = P.repack_rt3(qw, bk)
+    assert rt.shape == qw.shape  # exactly 3 bits/weight either way
+    np.testing.assert_array_equal(P.unrepack_rt3(rt, bk), qw)
+    np.testing.assert_array_equal(P.unrepack_rt(rt, 3, bk), qw)  # dispatch
+    import jax.numpy as _jnp
+
+    dec = np.asarray(P.rt3_decode_jnp(_jnp.asarray(rt), K, bk))
+    np.testing.assert_array_equal(dec, codes)
+
+
+def test_rt3_kernel_matches_xla():
+    """3-bit sym fast path: post_init plane-split repack + the rt3 kernel
+    vs the f32 XLA reference (reference 3-bit lineage:
+    gptqmodel_ext/exllama q3 shift tables — here the layout dissolves the
+    stitching at repack time)."""
+    p = _sym_module(3, 2048, 256, 128)
+    assert p.rt_layout and p.zero_const == 4.0
+    rng = np.random.default_rng(3)
+    for M in (1, 8):
+        x = jnp.asarray(rng.standard_normal((M, 2048)), dtype=jnp.float32)
+        ref = np.asarray(qlinear_forward_xla(p, x))
+        registry.set_backend("pallas_interpret")
+        try:
+            got = np.asarray(registry.qlinear_forward(p, x))
+        finally:
+            registry.set_backend("auto")
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 8e-3, (M, rel)
+
+
+def test_rt3_exact_with_pow2_scales():
+    """pow2 scales + integer activations: the plane recombination
+    (lo-128) + 4*(hi-128) is exact in bf16, so the whole kernel output
+    must be EXACT — guards the plane-split layout mapping."""
+    p = _sym_module(3, 2048, 128, 128, pow2_scales=True)
+    assert p.rt_layout
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.integers(-4, 5, size=(4, 2048)).astype(np.float32)
+    )
+    ref = np.asarray(qlinear_forward_xla(p, x))
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), dtype=np.float32)
+    finally:
+        registry.set_backend("auto")
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_rt3_asym_stays_on_xla():
+    """3-bit with non-uniform zeros has no fast kernel: post_init must NOT
+    repack, select_kernel must resolve to xla, and the forward must still
+    be correct through the XLA path."""
+    p = _random_module(3, 128, 2048, 128)  # random zeros -> asym
+    assert not p.rt_layout and p.zero_const < 0
+    assert registry.select_kernel(p) == "xla"
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 2048)), dtype=jnp.float32)
+    ref = np.asarray(qlinear_forward_xla(p, x))
+    got = np.asarray(registry.qlinear_forward(p, x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_rt3_dequantize_weight_reverses_layout():
+    """dequantize_weight on an rt3 module must equal the pre-repack dense
+    dequant (export/HF-dequant path correctness)."""
+    rng = np.random.default_rng(9)
+    K, N, g = 2048, 128, 128
+    G = K // g
+    codes = rng.integers(0, 8, size=(N, K), dtype=np.int64)
+    scales = rng.uniform(0.005, 0.05, size=(G, N)).astype(np.float16)
+    zeros = np.full((G, N), 4, np.int64)
+    p0 = make_quant_linear(Q=codes, scales=scales, zeros=zeros, g_idx=None,
+                           bias=None, bits=3, group_size=g, sym=True)
+    p1 = registry.post_init_module(p0)
+    assert p1.rt_layout
+    w0 = np.asarray(dequantize_weight(p0, dtype=jnp.float32))
+    w1 = np.asarray(dequantize_weight(p1, dtype=jnp.float32))
+    np.testing.assert_array_equal(w0, w1)
