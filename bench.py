@@ -188,16 +188,19 @@ def main():
     # min-of-3 differential reps: chip-state drift between runs is ±0.3 ms
     # on a 5.8 ms step (measured, session K) — a single shot can under-read
     # the true rate by 3pp of roofline
-    step_time = None
+    # min-min differential: take the min of each side SEPARATELY before
+    # subtracting — a per-call (timed-warm) pairing lets one warm-side
+    # jitter spike fabricate an impossibly fast step (session R observed
+    # 89.6% of nameplate > the hardware wall from exactly that)
+    t_warms, t_timeds = [], []
     for _ in range(5):
         t0 = time.time()
         float(warm(params, token, pos, key_valid, caches))
-        t_warm = time.time() - t0
+        t_warms.append(time.time() - t0)
         t0 = time.time()
         float(timed(params, token, pos, key_valid, caches))
-        t_timed = time.time() - t0
-        st = (t_timed - t_warm) / steps  # differential: drops dispatch+I/O
-        step_time = st if step_time is None else min(step_time, st)
+        t_timeds.append(time.time() - t0)
+    step_time = (min(t_timeds) - min(t_warms)) / steps
     toks_per_s = B / step_time
 
     bw = HBM_GBPS.get(os.environ.get("BENCH_TPU_GEN", "v5e"), 819.0)

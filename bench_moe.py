@@ -285,16 +285,16 @@ def main():
     float(timed(params, token, pos, key_valid, caches))
     _log(f"decode loops compiled+warm in {time.time()-t0:.1f}s")
 
-    step_time = None
+    # min-min differential (see bench.py): min each side separately
+    t_warms, t_timeds = [], []
     for _ in range(5):
         t0 = time.time()
         float(warm(params, token, pos, key_valid, caches))
-        tw = time.time() - t0
+        t_warms.append(time.time() - t0)
         t0 = time.time()
         float(timed(params, token, pos, key_valid, caches))
-        tt = time.time() - t0
-        st = (tt - tw) / steps
-        step_time = st if step_time is None else min(step_time, st)
+        t_timeds.append(time.time() - t0)
+    step_time = (min(t_timeds) - min(t_warms)) / steps
     toks_per_s = B / step_time
 
     sb = step_bytes(spec, B, uniq=uniq_measured or None)
