@@ -272,7 +272,14 @@ def main():
                 token, pos, key_valid, caches = carry
                 logits, caches, key_valid = decode(
                     params, token, pos, T + s, key_valid, caches)
-                token = forced[s]
+                # diverse AND serialized: mixing argmax into the forced
+                # token keeps per-element diversity (pure argmax feedback
+                # collapses the batch) while keeping the real decode data
+                # dependency — pure teacher forcing lets XLA overlap
+                # consecutive steps, under-reading serving latency
+                token = (
+                    forced[s] + jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ) % (spec.vocab_size - 1) + 1
                 return (token, pos + 1, key_valid, caches), logits[0, 0]
             (token, pos, key_valid, caches), xs = jax.lax.scan(
                 body, (token, pos, key_valid, caches), jnp.arange(n))
