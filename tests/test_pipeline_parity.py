@@ -254,3 +254,78 @@ def test_desc_act_pipeline_parity(tiny_src):
     assert abs(ppl_ours - ppl_ref) <= 0.05 * ppl_fp, (
         ppl_fp, ppl_ref, ppl_ours,
     )
+
+
+# ---------------------------------------------------------------------------
+# tiny MoE through the reference's FULL looper (VERDICT r2 #1 parenthetical)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_moe_src(tmp_path_factory):
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from ref_full import save_tiny_tokenizer
+
+    d = tmp_path_factory.mktemp("pipeline_parity_moe")
+    cfg = AutoConfig.for_model(
+        model_type="qwen3_moe", vocab_size=VOCAB, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=256,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        decoder_sparse_step=1, norm_topk_prob=True, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = AutoModelForCausalLM.from_config(cfg).to(torch.float32).eval()
+    src = d / "tiny_qwen3_moe"
+    model.save_pretrained(src, safe_serialization=True)
+    save_tiny_tokenizer(src)
+    return src
+
+
+def test_moe_pipeline_parity(tiny_moe_src):
+    """Tiny qwen3_moe quantized through the reference's complete looper
+    (per-expert modules, MoE lifecycle hooks) AND through quantize_model:
+    per-layer summed losses agree and held-out ppl stays in the BASELINE
+    band. Expert-level losses are not compared one-to-one: expert Hessians
+    see only routed rows, and fp routing noise reorders near-tied experts
+    between the two stacks."""
+    _, ref_losses = _ref_quantize(tiny_moe_src, "ref_moe_q", desc_act=False)
+    _, repo_losses = _repo_quantize(tiny_moe_src, "repo_moe_q",
+                                    desc_act=False)
+
+    def subset_of(mod):  # shared-input concat subsets (q|k|v, gate|up)
+        mod = mod.replace("k_proj", "q_proj").replace("v_proj", "q_proj")
+        return mod.replace("up_proj", "gate_proj")
+
+    def layer_sums(losses, dedupe):
+        out, seen = {}, set()
+        for k, v in losses.items():
+            layer = k.split(".")[1]
+            if dedupe:
+                # repo rows repeat the SUBSET loss on every member row
+                # (q/k/v and gate/up each carry the concat-solve loss);
+                # count each subset once — the reference reports
+                # per-member losses that SUM to the subset loss
+                key = (layer, subset_of(k))
+                if key in seen:
+                    continue
+                seen.add(key)
+            out[layer] = out.get(layer, 0.0) + v
+        return out
+
+    rs = layer_sums(ref_losses, dedupe=False)
+    qs = layer_sums(repo_losses, dedupe=True)
+    assert set(rs) == set(qs), (sorted(rs), sorted(qs))
+    for layer in rs:
+        denom = max(rs[layer], 1e-9)
+        ratio = qs[layer] / denom
+        assert 0.8 < ratio < 1.25, (layer, rs[layer], qs[layer])
+
+    fp_ppl = _ppl(tiny_moe_src)
+    ref_ppl = _ppl(tiny_moe_src.parent / "ref_moe_q")
+    repo_ppl = _ppl(tiny_moe_src.parent / "repo_moe_q")
+    band = 0.05 * fp_ppl  # BASELINE "ppl delta <= 0.05" scaled to fp
+    assert abs(repo_ppl - fp_ppl) <= band, (fp_ppl, repo_ppl)
+    assert abs(repo_ppl - ref_ppl) <= band, (ref_ppl, repo_ppl)
