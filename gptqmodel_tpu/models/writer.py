@@ -109,11 +109,13 @@ def flatten_params(
             qzeros = packing.convert_qzeros_v1_to_v2(qzeros, tree.bits)
         qweight = np.asarray(tree.qweight)
         if tree.rt_layout:  # runtime layout -> interchange layout on disk
-            qweight = packing.unrepack_rt(qweight, tree.bits, tree.rt_block_k)
+            qweight = packing.unrepack_rt(qweight, tree.bits, tree.rt_block_k, planar=tree.planar)
         if tree.act_perm is not None:  # desc_act runtime row order -> original
-            codes = packing.unpack_qweight(qweight, tree.bits)
+            codes = packing.unpack_qweight(qweight, tree.bits,
+                                           planar=tree.planar)
             inv = np.argsort(np.asarray(tree.act_perm))
-            qweight = packing.pack_qweight(codes[inv], tree.bits)
+            qweight = packing.pack_qweight(codes[inv], tree.bits,
+                                           planar=tree.planar)
         out[f"{prefix}.qweight"] = qweight
         out[f"{prefix}.qzeros"] = qzeros
         out[f"{prefix}.scales"] = np.asarray(tree.scales)

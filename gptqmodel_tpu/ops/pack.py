@@ -485,74 +485,113 @@ def repack_rt(qweight: np.ndarray, bits: int, block_k: int) -> np.ndarray:
     return _pack_axis0_np(codes[perm], bits)
 
 
-def unrepack_rt(qweight_rt: np.ndarray, bits: int, block_k: int) -> np.ndarray:
-    """rt-layout -> interchange layout (for export/dequant)."""
-    if bits == 3:
-        return unrepack_rt3(qweight_rt, block_k)
+def unrepack_rt(
+    qweight_rt: np.ndarray, bits: int, block_k: int, planar: bool = False
+) -> np.ndarray:
+    """rt-layout -> storage layout (for export/dequant)."""
+    if bits in (3, 5, 6, 7):
+        return unrepack_rt_planes(qweight_rt, bits, block_k, planar=planar)
     codes_rt = _unpack_axis0_np(np.asarray(qweight_rt), bits)
     perm = rt_row_permutation(codes_rt.shape[0], bits, block_k)
     inv = np.argsort(perm)
     return _pack_axis0_np(codes_rt[inv], bits)
 
 
-def repack_rt3(qweight: np.ndarray, block_k: int) -> np.ndarray:
-    """3-bit stitched interchange [3K/32, N] -> plane-split rt layout (same
-    shape, EXACTLY 3 bits/weight streamed): per K-tile, ``block_k/16``
-    words of the 2-bit plane (``codes & 3``, rt_row_permutation(bits=2))
-    followed by ``block_k/32`` words of the 1-bit plane (``codes >> 2``,
-    rt_row_permutation(bits=1)). Paired magic extraction of either plane
-    then yields contiguous group-aligned logical rows, so the Pallas sym
-    kernel reconstructs ``code = p2 + 4*p1`` exactly in bf16 — the stitched
-    format's word-straddling fields (the reason 3-bit CUDA kernels like the
-    reference's exllama q3-path need special shift tables) never reach the
-    chip."""
-    codes = _unpack_axis0_np(np.asarray(qweight), 3)  # [K, N]
+def repack_rt_planes(
+    qweight: np.ndarray, bits: int, block_k: int, planar: bool = False
+) -> np.ndarray:
+    """Non-power-of-two bits (3/5/6/7) -> plane-split rt layout [bits*K/32,
+    N] (streams EXACTLY ``bits``/weight): per K-tile, one rt-permuted
+    sub-array per bit plane of :data:`_PLANAR_PLANES` (3 = 2+1, 5 = 4+1,
+    6 = 4+2, 7 = 4+2+1), each packed at its own width so the Pallas sym
+    kernel's paired magic extraction yields contiguous group-aligned
+    logical rows and recombines ``code = Σ plane << offset`` via
+    DISTRIBUTED per-plane partial dots. Source layout: the stitched
+    interchange format for 3-bit (``planar=False``) or gptq_p planar."""
+    src = np.asarray(qweight)
+    codes = (
+        planar_unpack_axis0(src, bits) if planar
+        else _unpack_axis0_np(src, bits)
+    )
     K, _ = codes.shape
     assert K % block_k == 0, (K, block_k)
-    p2 = rt_row_permutation(block_k, 2, block_k)
-    p1 = rt_row_permutation(block_k, 1, block_k)
+    planes = _PLANAR_PLANES[bits]
+    perms = {w: rt_row_permutation(block_k, w, block_k) for w, _ in planes}
     tiles = []
     for t in range(K // block_k):
         c = codes[t * block_k : (t + 1) * block_k]
-        tiles.append(_pack_axis0_np(c[p2] & 3, 2))
-        tiles.append(_pack_axis0_np(c[p1] >> 2, 1))
+        for w, off in planes:
+            tiles.append(
+                _pack_axis0_np((c[perms[w]] >> off) & ((1 << w) - 1), w)
+            )
     return np.vstack(tiles).astype(np.int32)
 
 
-def unrepack_rt3(qweight_rt: np.ndarray, block_k: int) -> np.ndarray:
-    """Inverse of :func:`repack_rt3` -> stitched 3-bit interchange."""
+def unrepack_rt_planes(
+    qweight_rt: np.ndarray, bits: int, block_k: int, planar: bool = False
+) -> np.ndarray:
+    """Inverse of :func:`repack_rt_planes` -> stitched (3-bit) or planar."""
     u = np.asarray(qweight_rt)
-    rows_t = 3 * block_k // 32
-    assert u.shape[0] % rows_t == 0, (u.shape, block_k)
-    i2 = np.argsort(rt_row_permutation(block_k, 2, block_k))
-    i1 = np.argsort(rt_row_permutation(block_k, 1, block_k))
+    rows_t = bits * block_k // 32
+    assert u.shape[0] % rows_t == 0, (u.shape, block_k, bits)
+    planes = _PLANAR_PLANES[bits]
+    invs = {
+        w: np.argsort(rt_row_permutation(block_k, w, block_k))
+        for w, _ in planes
+    }
     out = []
     for t in range(u.shape[0] // rows_t):
         tile = u[t * rows_t : (t + 1) * rows_t]
-        c2 = _unpack_axis0_np(tile[: block_k // 16], 2)[i2]
-        c1 = _unpack_axis0_np(tile[block_k // 16 :], 1)[i1]
-        out.append(c2 | (c1 << 2))
-    return _pack_axis0_np(np.vstack(out), 3)
+        c = None
+        r0 = 0
+        for w, off in planes:
+            rw = block_k * w // 32
+            part = _unpack_axis0_np(tile[r0 : r0 + rw], w)[invs[w]] << off
+            c = part if c is None else (c | part)
+            r0 += rw
+        out.append(c)
+    codes = np.vstack(out)
+    return (
+        planar_pack_axis0(codes, bits) if planar
+        else _pack_axis0_np(codes, bits)
+    )
+
+
+def rt_planes_decode_jnp(qweight, K: int, block_k: int, bits: int):
+    """jit-safe plane-split rt -> logical codes [K, N]."""
+    import jax.numpy as jnp
+
+    rows_t = bits * block_k // 32
+    T = K // block_k
+    u = qweight.reshape(T, rows_t, -1).astype(jnp.uint32)
+
+    def unp(x, w):
+        pf = 32 // w
+        sh = (jnp.arange(pf, dtype=jnp.uint32) * w)[None, None, :, None]
+        v = (x[:, :, None, :] >> sh) & jnp.uint32((1 << w) - 1)
+        return v.reshape(x.shape[0], x.shape[1] * pf, x.shape[2])
+
+    codes = None
+    r0 = 0
+    for w, off in _PLANAR_PLANES[bits]:
+        rw = block_k * w // 32
+        inv = jnp.asarray(np.argsort(rt_row_permutation(block_k, w, block_k)))
+        part = unp(u[:, r0 : r0 + rw], w)[:, inv] << jnp.uint32(off)
+        codes = part if codes is None else (codes | part)
+        r0 += rw
+    return codes.reshape(K, -1).astype(jnp.int32)
+
+
+def repack_rt3(qweight: np.ndarray, block_k: int) -> np.ndarray:
+    """3-bit stitched -> plane-split rt (see repack_rt_planes)."""
+    return repack_rt_planes(qweight, 3, block_k, planar=False)
+
+
+def unrepack_rt3(qweight_rt: np.ndarray, block_k: int) -> np.ndarray:
+    return unrepack_rt_planes(qweight_rt, 3, block_k, planar=False)
 
 
 def rt3_decode_jnp(qweight, K: int, block_k: int):
-    """jit-safe rt3 -> logical codes [K, N] (dequant/export paths)."""
-    import jax.numpy as jnp
+    return rt_planes_decode_jnp(qweight, K, block_k, 3)
 
-    rows_t = 3 * block_k // 32
-    T = K // block_k
-    u = qweight.reshape(T, rows_t, -1).astype(jnp.uint32)
-    u2, u1 = u[:, : block_k // 16], u[:, block_k // 16 :]
 
-    def unp(x, bits):
-        pf = 32 // bits
-        sh = (jnp.arange(pf, dtype=jnp.uint32) * bits)[None, None, :, None]
-        v = (x[:, :, None, :] >> sh) & jnp.uint32((1 << bits) - 1)
-        return v.reshape(x.shape[0], x.shape[1] * pf, x.shape[2])
-
-    c2 = unp(u2, 2)
-    c1 = unp(u1, 1)
-    i2 = jnp.asarray(np.argsort(rt_row_permutation(block_k, 2, block_k)))
-    i1 = jnp.asarray(np.argsort(rt_row_permutation(block_k, 1, block_k)))
-    codes = c2[:, i2] | (c1[:, i1] << jnp.uint32(2))
-    return codes.reshape(K, -1).astype(jnp.int32)

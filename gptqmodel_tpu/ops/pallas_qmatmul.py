@@ -338,21 +338,21 @@ def _qmm_rt_sym_fused_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _qmm_rt3_sym_kernel(
-    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, kt, nt, gpk, zero_const
+def _qmm_rtp_sym_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, kt, nt, gpk, zero_const, planes
 ):
-    """3-bit rt kernel (sym): the qweight block is the PLANE-SPLIT layout
-    (pack.repack_rt3) — ``kt/16`` words of the 2-bit plane then ``kt/32``
-    words of the 1-bit plane, each rt-permuted so paired magic extraction
-    yields contiguous group-covering logical rows. Extraction part ``a``
-    combines EXACTLY in bf16: ``code = (lo-128) + 4*(hi-128)`` (every
-    intermediate is a small integer, ulp 1 below 256), then the same
-    per-group partial-dot formulation as the other sym kernels. Streams
-    exactly 3 bits/weight — the stitched interchange format's
-    word-straddling fields (reference exllama q3 shift tables,
-    gptqmodel_ext/exllama/cuda_func/q4_matmul.cu lineage) never reach the
-    chip. 1-bit parts 2a|2a+1 concat along sublanes to pair with 2-bit
-    part a's logical range."""
+    """Plane-split rt kernel (sym) for non-power-of-two bits: the qweight
+    block holds one rt-permuted sub-array per bit plane (pack._PLANAR_PLANES
+    decomposition — 3 = 2+1, 5 = 4+1, 6 = 4+2, 7 = 4+2+1; streams EXACTLY
+    ``bits``/weight). Codes recombine via DISTRIBUTED per-plane partial
+    dots — y = Σ_planes 2^off Σ_g s_g (x_g @ (plane_g + 128))
+            − Σ_g X1_g (z + 128·Σ 2^off) s_g —
+    a combined-tile variant (sublane concat + fma) measured 4× slower on
+    chip (session: 3-bit rt). First-plane parts cover whole groups (16-group
+    tiles enforced), later planes' parts subdivide groups but never cross a
+    boundary. Reference 3/5/6/7-bit lineage: exllama q3 shift tables and
+    the gptq_p planar dequant zoo — here the layout dissolves at repack
+    time and one kernel serves every width."""
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -361,51 +361,43 @@ def _qmm_rt3_sym_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     g = kt // gpk
-    R2 = kt // 16
-    u2 = qw_ref[:R2, :].astype(jnp.uint32)  # 2-bit plane words
-    u1 = qw_ref[R2:, :].astype(jnp.uint32)  # [kt/32, nt] 1-bit plane words
     x = x_ref[:].astype(jnp.bfloat16)
     sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
 
+    mult_sum = sum(1 << off for _, off in planes)
+    zs = jnp.float32(zero_const + mult_sum * _MAGIC_OFFSET) * sf
     acc = acc_ref[:]
-    part = kt // 8  # logical rows per 2-bit extraction part (whole groups)
-    part1 = kt // 16  # rows per 1-bit part (whole groups or half a group)
-    gpp = part // g
-    fmask2, magic = _MAGIC_BF16[2]
-    m1 = jnp.uint32(0x00010001)
-    # DISTRIBUTED plane dots (no concat, no combine fma — a first combined-
-    # tile variant measured 4x slower than the 4-bit kernel on chip):
-    #   y = Σ_g s_g (x_g @ lo_g) + 4 Σ_g s_g (x_g @ hi_g) − Σ_g X1_g zs_g
-    # with lo = p2+128, hi = p1+128 raw magic outputs; both offsets fold
-    # into the single end-of-part correction zs = (z + 5*128)·s.
-    zs = jnp.float32(zero_const + 5.0 * _MAGIC_OFFSET) * sf
-    for a in range(8):
-        t2 = ((u2 >> jnp.uint32(2 * a)) & jnp.uint32(fmask2)) | jnp.uint32(magic)
-        lo = pltpu.bitcast(t2.astype(jnp.int32), jnp.bfloat16)  # p2 + 128
-        for gi in range(gpp):
-            g_abs = a * gpp + gi
-            xg = x[:, g_abs * g : (g_abs + 1) * g]
-            P = jnp.dot(
-                xg, lo[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
-            )
-            X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
-            acc += P * sf[g_abs][None, :] - X1g[:, None] * zs[g_abs][None, :]
-    for b in range(16):
-        tb = ((u1 >> jnp.uint32(b)) & m1) | jnp.uint32(magic)
-        hi = pltpu.bitcast(tb.astype(jnp.int32), jnp.bfloat16)  # p1 + 128
-        off_rows = b * part1  # logical start of this part within the tile
-        # group-aligned subslices (part1 is either whole groups or half of
-        # one group — never crosses a boundary: kt % 8g == 0)
-        s0 = 0
-        while s0 < part1:
-            g_abs = (off_rows + s0) // g
-            ln = min((g_abs + 1) * g - (off_rows + s0), part1 - s0)
-            xg = x[:, off_rows + s0 : off_rows + s0 + ln]
-            P = jnp.dot(
-                xg, hi[s0 : s0 + ln], preferred_element_type=jnp.float32
-            )
-            acc += jnp.float32(4.0) * P * sf[g_abs][None, :]
-            s0 += ln
+    r0 = 0
+    first = True
+    for w, off in planes:
+        Rw = kt * w // 32
+        u = qw_ref[r0 : r0 + Rw, :].astype(jnp.uint32)
+        r0 += Rw
+        pf = 32 // w
+        part = kt * w // 16  # rows per paired magic extraction
+        fmask = jnp.uint32(((1 << w) - 1) * 0x00010001)
+        sfm = sf * jnp.float32(1 << off) if off else sf
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(w * a)) & fmask) | jnp.uint32(0x43004300)
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # p + 128
+            offr = a * part
+            s0 = 0
+            while s0 < part:  # group-aligned subslices (static unroll)
+                gi = (offr + s0) // g
+                ln = min((gi + 1) * g - (offr + s0), part - s0)
+                xg = x[:, offr + s0 : offr + s0 + ln]
+                P = jnp.dot(
+                    xg, wa[s0 : s0 + ln], preferred_element_type=jnp.float32
+                )
+                acc += P * sfm[gi][None, :]
+                if first:
+                    # widest plane first: its parts are whole groups, so
+                    # the per-group zero/offset correction folds in here
+                    assert ln == g, (ln, g, "first plane must cover groups")
+                    X1g = jnp.sum(xg.astype(jnp.float32), axis=1)
+                    acc -= X1g[:, None] * zs[gi][None, :]
+                s0 += ln
+        first = False
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -419,12 +411,13 @@ def rt_supported(bits: int, group_size: int, K: int) -> bool:
     tiles of >= 8 groups (Mosaic sublane rule for the scales block). For
     8-bit each plane (K-tile/4 rows) must cover whole groups: 8 groups/tile
     gives 2 per plane."""
-    if bits not in (2, 3, 4, 8):
+    if bits not in (2, 3, 4, 5, 6, 7, 8):
         return False
     g = group_size if group_size > 0 else K
-    if bits == 3:
-        # 1-bit parts span kt/16 rows; 16-group tiles keep every x lane
-        # slice 128-aligned (kt/16 = g) — 8-group tiles would slice at g/2
+    if bits in (3, 5, 6, 7):
+        # plane-split layout: 1-bit parts span kt/16 rows; 16-group tiles
+        # keep every x lane slice 128-aligned (kt/16 = g) — 8-group tiles
+        # would slice at g/2
         return g % 128 == 0 and K % (16 * g) == 0
     return g % 128 == 0 and K % (8 * g) == 0
 
@@ -535,12 +528,13 @@ def qmatmul(
     N = qweight.shape[1]
     G = scales.shape[0]
     g = group_size if group_size > 0 else K
-    if bits == 3:  # plane-split rt layout: 3 bits/weight, no integral pf
-        assert rt and zero_const >= 0.0, "3-bit fast path is rt + sym only"
-        assert qweight.shape[0] * 32 == 3 * K, (qweight.shape, K, bits)
-        g3 = group_size if group_size > 0 else K
-        bk3 = rt_block_k or rt_block_k_for(K, group_size)
-        assert bk3 % (16 * g3) == 0, (bk3, g3, "rt3 needs 16-group tiles")
+    if bits in (3, 5, 6, 7):  # plane-split rt layout: no integral pf
+        assert rt and zero_const >= 0.0, \
+            "3/5/6/7-bit fast path is rt + sym only"
+        assert qweight.shape[0] * 32 == bits * K, (qweight.shape, K, bits)
+        gp_ = group_size if group_size > 0 else K
+        bkp = rt_block_k or rt_block_k_for(K, group_size)
+        assert bkp % (16 * gp_) == 0, (bkp, gp_, "plane rt needs 16-group tiles")
     else:
         assert qweight.shape[0] * pf == K, (qweight.shape, K, bits)
     assert G * g == K, (G, g, K)
@@ -588,7 +582,7 @@ def qmatmul(
         interpret=interpret,
     )
     x_spec = pl.BlockSpec((bm, bk), lambda n, m, k: (m, k), memory_space=pltpu.VMEM)
-    qw_rows = 3 * bk // 32 if bits == 3 else bk // pf
+    qw_rows = bits * bk // 32 if bits in (3, 5, 6, 7) else bk // pf
     qw_spec = pl.BlockSpec(
         (qw_rows, bn), lambda n, m, k: (k, n), memory_space=pltpu.VMEM
     )
@@ -596,10 +590,13 @@ def qmatmul(
 
     if rt:
         assert rt_supported(bits, group_size, K), (bits, group_size, K)
-        if bits == 3:  # plane-split sym kernel (pack.repack_rt3 layout)
+        if bits in (3, 5, 6, 7):  # plane-split sym kernel
+            from gptqmodel_tpu.ops.pack import _PLANAR_PLANES
+
             kernel = functools.partial(
-                _qmm_rt3_sym_kernel, kt=bk, nt=bn, gpk=gpk,
+                _qmm_rtp_sym_kernel, kt=bk, nt=bn, gpk=gpk,
                 zero_const=float(zero_const),
+                planes=tuple(_PLANAR_PLANES[bits]),
             )
             return pl.pallas_call(
                 kernel,

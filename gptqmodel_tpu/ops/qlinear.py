@@ -154,17 +154,24 @@ def dequantize_weight(p: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
     Executable reference semantics (analog of reference
     qlinear/__init__.py:947 dequantize_weight).
     """
-    if p.planar:
+    if p.rt_layout and p.bits in (3, 5, 6, 7):  # plane-split rt layout
+        codes = packing.rt_planes_decode_jnp(
+            p.qweight, p.in_features, p.rt_block_k, p.bits
+        )
+        if p.planar:
+            zeros = packing.planar_unpack_axis0_jnp(
+                p.qzeros.T, p.bits
+            ).T.astype(jnp.int32)
+        else:
+            zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)
+    elif p.planar:
         codes = packing.planar_unpack_axis0_jnp(p.qweight, p.bits)  # [in, out]
         zeros = packing.planar_unpack_axis0_jnp(p.qzeros.T, p.bits).T
         zeros = zeros.astype(jnp.int32)
-    elif p.bits == 3 and p.rt_layout:  # plane-split layout decodes directly
-        codes = packing.rt3_decode_jnp(p.qweight, p.in_features, p.rt_block_k)
-        zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)
     else:
         codes = packing.unpack_qweight_jnp(p.qweight, p.bits)  # [in, out]
         zeros = packing.unpack_qzeros_jnp(p.qzeros, p.bits, v1=p.v1)  # [G, out]
-    if p.rt_layout and p.bits != 3:  # jit-safe reverse of the rt row perm
+    if p.rt_layout and p.bits not in (3, 5, 6, 7):  # jit-safe rt reverse
         perm = packing.rt_row_permutation(p.in_features, p.bits, p.rt_block_k)
         codes = codes[jnp.asarray(np.argsort(perm))]
     if p.act_perm is not None:  # desc_act runtime order -> original order

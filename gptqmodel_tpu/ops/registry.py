@@ -93,14 +93,15 @@ def select_kernel(p: QuantLinear) -> str:
     backend setting. AUTO: pallas on TPU when the contract matches."""
     if _BACKEND == "xla":
         return "xla"
-    eligible = p.zvals is not None and not p.planar and (
-        pallas_qmatmul.supports(
+    eligible = p.zvals is not None and (
+        (not p.planar and pallas_qmatmul.supports(
             p.bits, p.group_size, p.in_features, p.out_features,
             p.g_idx is None or p.act_perm is not None,
-        )
-        # 3-bit has no interchange-layout kernel: eligible only once
-        # post_init has produced the plane-split rt layout (sym)
-        or (p.bits == 3 and p.rt_layout and p.zero_const >= 0.0)
+        ))
+        # 3/5/6/7-bit have no interchange-layout kernel: eligible only
+        # once post_init has produced the plane-split rt layout (sym) —
+        # this clause also admits the planar-sourced widths
+        or (p.bits in (3, 5, 6, 7) and p.rt_layout and p.zero_const >= 0.0)
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
         if not eligible:
@@ -190,7 +191,7 @@ def qmlp_forward(gu: QuantLinear, down: QuantLinear, x: jnp.ndarray, act: str):
         return None
     if gu.bits != down.bits or gu.group_size != down.group_size:
         return None
-    if gu.bits == 3:  # rt3 plane-split layout: qmlp kernel reads 2/4/8 rt
+    if gu.bits in (3, 5, 6, 7):  # plane-split rt: qmlp kernel reads 2/4/8
         return None
     if gu.had_block or down.had_block or gu.rot_theta is not None \
             or down.rot_theta is not None or gu.a8 or down.a8:
@@ -262,23 +263,29 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
     # (reference: exllamav2/cuda/q_matrix.cu builds this perm at load;
     # marlin.py:246-261 repacks with g_idx).
     act_perm = _act_order_perm(p)
+    plane_bits = p.bits in (3, 5, 6, 7)
     if (
         (p.g_idx is None or act_perm is not None)
-        and not p.planar
+        # planar storage reaches the plane-split rt kernel; other planar
+        # widths keep the XLA path
+        and (not p.planar or plane_bits)
         and pallas_qmatmul.rt_supported(p.bits, p.group_size, p.in_features)
-        # 3-bit fast path is sym-only (plane-split kernel); asym 3-bit
+        # 3/5/6/7-bit fast path is sym-only (plane-split kernel); asym
         # stays on the XLA path
-        and not (p.bits == 3 and zero_const < 0.0)
+        and not (plane_bits and zero_const < 0.0)
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(
             p.in_features, p.group_size, N=p.out_features
         )
         qw = np.asarray(p.qweight)
         if act_perm is not None:
-            codes = packing.unpack_qweight(qw, p.bits)  # [in, out]
-            qw = packing.pack_qweight(codes[act_perm], p.bits)
-        if p.bits == 3:
-            qweight = jnp.asarray(packing.repack_rt3(qw, rt_bk))
+            codes = packing.unpack_qweight(qw, p.bits, planar=p.planar)
+            qw = packing.pack_qweight(codes[act_perm], p.bits,
+                                      planar=p.planar)
+        if plane_bits:
+            qweight = jnp.asarray(
+                packing.repack_rt_planes(qw, p.bits, rt_bk, planar=p.planar)
+            )
         else:
             qweight = jnp.asarray(packing.repack_rt(qw, p.bits, rt_bk))
         rt_layout = True

@@ -313,13 +313,14 @@ def test_rt3_repack_roundtrip():
     np.testing.assert_array_equal(dec, codes)
 
 
-def test_rt3_kernel_matches_xla():
-    """3-bit sym fast path: post_init plane-split repack + the rt3 kernel
-    vs the f32 XLA reference (reference 3-bit lineage:
-    gptqmodel_ext/exllama q3 shift tables — here the layout dissolves the
-    stitching at repack time)."""
-    p = _sym_module(3, 2048, 256, 128)
-    assert p.rt_layout and p.zero_const == 4.0
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_rt_planes_kernel_matches_xla(bits):
+    """Plane-split sym fast path (3 = 2+1 stitched source, 5/6/7 = planar
+    gptq_p source): post_init repack + _qmm_rtp_sym_kernel vs the f32 XLA
+    reference (reference lineage: exllama q3 shift tables + the gptq_p
+    planar dequant zoo — one kernel serves every width here)."""
+    p = _sym_module(bits, 2048, 256, 128)
+    assert p.rt_layout and p.zero_const == float(2 ** (bits - 1))
     rng = np.random.default_rng(3)
     for M in (1, 8):
         x = jnp.asarray(rng.standard_normal((M, 2048)), dtype=jnp.float32)
@@ -333,11 +334,12 @@ def test_rt3_kernel_matches_xla():
         assert rel < 8e-3, (M, rel)
 
 
-def test_rt3_exact_with_pow2_scales():
-    """pow2 scales + integer activations: the plane recombination
-    (lo-128) + 4*(hi-128) is exact in bf16, so the whole kernel output
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_rt_planes_exact_with_pow2_scales(bits):
+    """pow2 scales + integer activations: the distributed per-plane dots
+    and 2^off multipliers are exact in f32, so the whole kernel output
     must be EXACT — guards the plane-split layout mapping."""
-    p = _sym_module(3, 2048, 128, 128, pow2_scales=True)
+    p = _sym_module(bits, 2048, 128, 128, pow2_scales=True)
     assert p.rt_layout
     rng = np.random.default_rng(2)
     x = jnp.asarray(
@@ -352,11 +354,12 @@ def test_rt3_exact_with_pow2_scales():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
-def test_rt3_asym_stays_on_xla():
-    """3-bit with non-uniform zeros has no fast kernel: post_init must NOT
-    repack, select_kernel must resolve to xla, and the forward must still
-    be correct through the XLA path."""
-    p = _random_module(3, 128, 2048, 128)  # random zeros -> asym
+@pytest.mark.parametrize("bits", [3, 5])
+def test_rt_planes_asym_stays_on_xla(bits):
+    """Non-uniform zeros have no plane-split fast kernel: post_init must
+    NOT repack, select_kernel must resolve to xla, and the forward must
+    still be correct through the XLA path."""
+    p = _random_module(bits, 128, 2048, 128)  # random zeros -> asym
     assert not p.rt_layout and p.zero_const < 0
     assert registry.select_kernel(p) == "xla"
     rng = np.random.default_rng(4)
@@ -366,17 +369,18 @@ def test_rt3_asym_stays_on_xla():
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
 
 
-def test_rt3_dequantize_weight_reverses_layout():
-    """dequantize_weight on an rt3 module must equal the pre-repack dense
-    dequant (export/HF-dequant path correctness)."""
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_rt_planes_dequantize_weight_reverses_layout(bits):
+    """dequantize_weight on a plane-split rt module must equal the
+    pre-repack dense dequant (export/HF-dequant path correctness)."""
     rng = np.random.default_rng(9)
     K, N, g = 2048, 128, 128
     G = K // g
-    codes = rng.integers(0, 8, size=(N, K), dtype=np.int64)
+    codes = rng.integers(0, 2**bits, size=(N, K), dtype=np.int64)
     scales = rng.uniform(0.005, 0.05, size=(G, N)).astype(np.float16)
-    zeros = np.full((G, N), 4, np.int64)
+    zeros = np.full((G, N), 2 ** (bits - 1), np.int64)
     p0 = make_quant_linear(Q=codes, scales=scales, zeros=zeros, g_idx=None,
-                           bias=None, bits=3, group_size=g, sym=True)
+                           bias=None, bits=bits, group_size=g, sym=True)
     p1 = registry.post_init_module(p0)
     assert p1.rt_layout
     w0 = np.asarray(dequantize_weight(p0, dtype=jnp.float32))
