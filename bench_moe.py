@@ -251,6 +251,15 @@ def main():
     logits, caches, key_valid = prefill(params, ids, lens, caches)
     logits.block_until_ready()
     _log(f"prefill compiled+ran in {time.time()-t0:.1f}s")
+    if on_tpu:  # timed prefill (min of 5): e2e kernel serves M>1024 too
+        pts = []
+        for _ in range(5):
+            t0 = time.time()
+            prefill(params, ids, lens, caches)[0].block_until_ready()
+            pts.append(time.time() - t0)
+        pt = min(pts)
+        _log(f"prefill: {pt*1e3:.1f} ms for {B}x{T} tokens "
+             f"({B*T/pt:.0f} tok/s)")
 
     token = jnp.argmax(logits, axis=-1)
     pos = lens

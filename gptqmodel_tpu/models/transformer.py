@@ -939,13 +939,9 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     N, D = x.shape
     K = top_i.shape[1]
     M = N * K
-    if M > _QMOE_MAX_TOKENS:  # prefill-size: kernel VMEM would blow up
-        return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
     gate, up, down = sq.get("gate"), sq.get("up"), sq["down"]
     E = (sq.get("gateup") or gate).qweight.shape[0]
     flat_e = top_i.reshape(-1)
-    S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
-    M_pad = S * bm
     import os
 
     gu = sq.get("gateup")
@@ -954,7 +950,9 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     # buffers never touch HBM and empty slots never execute (session Z:
     # ~2.5 us per empty grid step). The SORT-FREE plan (plan_rows_jit)
     # places unsorted rows directly, so the per-step argsort disappears
-    # too. GPTQ_TPU_QMOE_E2E=0 reverts.
+    # too. Prefill-size dispatches raise bm (more rows per expert slot,
+    # better MXU row utilization) instead of falling back to the dense
+    # all-expert loop (E/topk x FLOP waste). GPTQ_TPU_QMOE_E2E=0 reverts.
     if (
         gu is not None
         and os.environ.get("GPTQ_TPU_QMOE_E2E", "1") != "0"
@@ -963,22 +961,28 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
     ):
         from gptqmodel_tpu.ops.pallas_qmoe import (
             plan_rows_jit,
+            qmoe_e2e_supported,
             qmoe_mlp_forward_e2e,
-            qmoe_mlp_supported,
         )
 
-        if qmoe_mlp_supported(
+        bm_e = 8 if M <= 512 else (16 if M <= 2048 else 32)
+        if qmoe_e2e_supported(
             bits=gu.bits, D=gu.in_features, F=gu.out_features // 2,
-            G_gu=gu.G, G_d=down.G, M_pad=M_pad, act=spec.hidden_act,
+            G_gu=gu.G, G_d=down.G, N=N, bm=bm_e, act=spec.hidden_act,
         ):
-            ids, counts, row_pos = plan_rows_jit(flat_e, E, bm, S)
+            S_e = -(-M // bm_e) + min(E, M)
+            ids, counts, row_pos = plan_rows_jit(flat_e, E, bm_e, S_e)
             tok_flat = jnp.arange(M, dtype=jnp.int32) // K
             w_flat = top_w.reshape(-1).astype(jnp.float32)
             out = qmoe_mlp_forward_e2e(
                 x, row_pos, tok_flat, w_flat, ids, counts, gu, down,
-                act=spec.hidden_act, bm=bm, interpret=interpret,
+                act=spec.hidden_act, bm=bm_e, interpret=interpret,
             )
             return out.astype(x.dtype)
+    if M > _QMOE_MAX_TOKENS:  # prefill-size: slot-grid VMEM would blow up
+        return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
+    S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)
+    M_pad = S * bm
     order = jnp.argsort(flat_e, stable=True)
     tok = order // K
     ids, counts, pos = plan_slots_jit(flat_e[order], E, bm, S)

@@ -742,6 +742,42 @@ def qmoe_mlp_e2e(
     )
 
 
+_QMOE_E2E_VMEM_BUDGET = 48 * 2**20
+
+
+def qmoe_e2e_supported(
+    *, bits, D, F, G_gu, G_d, N, bm, act, nbuf: int = 3,
+    budget: int = _QMOE_E2E_VMEM_BUDGET,
+) -> bool:
+    """Eligibility + VMEM estimate for the e2e layer kernel. Unlike the
+    slot-grid kernel, the resident buffers scale with the TOKEN count N
+    (x + f32 out stay in VMEM), not the padded slot count — prefill-size
+    dispatches fit by raising ``bm`` (more rows per expert slot, better
+    MXU row utilization) instead of falling back to the dense all-expert
+    loop (top-8-of-128 there wastes E/topk = 16x the FLOPs)."""
+    if bits not in (2, 4, 8):
+        return False
+    if act not in ("silu", "gelu", "gelu_pytorch_tanh", "gelu_new", "relu"):
+        return False
+    pf = 32 // bits
+    if D % pf or F % pf or (2 * F) % 128 or D % 128:
+        return False
+    rows_gu = (2 * D // pf) if bits != 8 else (D // pf)
+    rows_d = (2 * F // pf) if bits != 8 else (F // pf)
+    if rows_gu % G_gu or rows_d % G_d:
+        return False
+    N8 = max(8, -(-N // 8) * 8)
+    gu_tile = (D // pf) * 2 * F * 4
+    d_tile = (F // pf) * D * 4
+    x_o = N8 * D * (2 + 4)  # bf16 x + f32 accumulated out
+    wa = rows_gu * 2 * F * 2  # widest dequant temporary
+    inner = bm * (2 * F * 4 + F * 2)
+    sel = bm * N8 * 4
+    perm_p = F * F * 2
+    est = nbuf * (gu_tile + d_tile) + x_o + wa + inner + sel + perm_p
+    return est <= budget
+
+
 def qmoe_mlp_forward_e2e(
     x: jnp.ndarray,  # [N, D] token rows (UNpermuted, any float dtype)
     pos: jnp.ndarray,  # [M] slot position per sorted row (plan_slots_jit)
@@ -880,8 +916,10 @@ def plan_rows_jit(flat_e: jnp.ndarray, E: int, bm: int, S: int):
     cnt = jnp.sum(onehot, axis=0).astype(jnp.int32)  # rows per expert
     ns = -(-cnt // bm)  # slots per expert
     slot_base = jnp.cumsum(ns) - ns
-    tril = jnp.tril(jnp.ones((M, M), jnp.float32), k=-1)
-    earlier = jnp.dot(tril, onehot_f, preferred_element_type=jnp.float32)
+    # exclusive prefix count per expert == the [M, M] strictly-lower-tri
+    # matmul, without materializing M x M (prefill-size M would make that
+    # a 67 MB constant at M=4096)
+    earlier = jnp.cumsum(onehot_f, axis=0) - onehot_f
     rank = jnp.sum(earlier * onehot_f, axis=1).astype(jnp.int32)  # [M]
     row_pos = (slot_base[flat_e] * bm + rank).astype(jnp.int32)
     s_idx = jnp.arange(S, dtype=jnp.int32)

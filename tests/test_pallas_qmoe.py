@@ -448,3 +448,53 @@ def test_topk_iterative_matches_lax():
     v_ref, i_ref = jax.lax.top_k(x, 32)
     assert np.array_equal(np.asarray(v_ref), np.asarray(v))
     os.environ.pop("GPTQ_TPU_ITER_TOPK", None)
+
+
+def test_e2e_prefill_size_matches_dense_fallback():
+    """Prefill-size dispatch (M > 1024) through the e2e kernel with raised
+    bm must match the dense all-expert fallback (the old prefill path) —
+    same routing, same weights, bf16-level tolerance."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.models.spec import ModelSpec
+    from gptqmodel_tpu.models import transformer as tr
+    from gptqmodel_tpu.ops import registry
+    from gptqmodel_tpu.ops.pallas_qmoe import fuse_gate_up
+
+    rng = np.random.default_rng(6)
+    bits, g, E, D, F = 4, 128, 8, 256, 256
+    tokens, topk = 160, 8  # M = 1280 > _QMOE_MAX_TOKENS
+    gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
+                      _stacked_random(rng, E, D, F, bits, g))
+    down = _stacked_random(rng, E, F, D, bits, g)
+    sq = {"gateup": gu, "down": down}
+    spec = ModelSpec(model_type="qwen3_moe", vocab_size=128, hidden_size=D,
+                     intermediate_size=F, num_layers=1, num_heads=4,
+                     num_kv_heads=2, head_dim=64, num_experts=E,
+                     num_experts_per_tok=topk, moe_intermediate_size=F)
+    x = jnp.asarray(rng.standard_normal((tokens, D)) * 0.5, jnp.bfloat16)
+    # DISTINCT experts per token (real top-k never repeats; the dense
+    # fallback's scatter would collapse duplicates while ragged paths sum)
+    top_i = jnp.asarray(
+        np.stack([rng.permutation(E)[:topk] for _ in range(tokens)]),
+        jnp.int32)
+    top_w = jnp.asarray(
+        rng.uniform(0.1, 1.0, (tokens, topk)).astype(np.float32))
+
+    registry.set_backend("pallas_interpret")
+    try:
+        y_e2e = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq, x, top_w, top_i), np.float32)
+        os.environ["GPTQ_TPU_QMOE_E2E"] = "0"
+        y_dense = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq, x, top_w, top_i), np.float32)
+    finally:
+        os.environ.pop("GPTQ_TPU_QMOE_E2E", None)
+        registry.set_backend("auto")
+    rel = (np.linalg.norm(y_e2e - y_dense)
+           / (np.linalg.norm(y_dense) + 1e-9))
+    assert rel < 2e-2, rel
+    # e2e really took the kernel path: bm raised, not the dense loop
+    assert tokens * topk > tr._QMOE_MAX_TOKENS
