@@ -742,11 +742,18 @@ def qmoe_mlp_e2e(
     )
 
 
-_QMOE_E2E_VMEM_BUDGET = 48 * 2**20
+_QMOE_E2E_VMEM_BUDGET = 15 * 2**20  # v5e VMEM: a 16.4 MB-estimate config compiled and ran on chip; stay just under
+
+
+def qmoe_e2e_nbuf(N: int) -> int:
+    """Prefetch depth: 3 for decode-size dispatches, 2 for prefill-size
+    (the [N8, D] resident x/out grow with tokens; slots there are
+    compute-rich so shallower prefetch costs nothing measurable)."""
+    return 3 if N <= 64 else 2
 
 
 def qmoe_e2e_supported(
-    *, bits, D, F, G_gu, G_d, N, bm, act, nbuf: int = 3,
+    *, bits, D, F, G_gu, G_d, N, bm, act, nbuf: int | None = None,
     budget: int = _QMOE_E2E_VMEM_BUDGET,
 ) -> bool:
     """Eligibility + VMEM estimate for the e2e layer kernel. Unlike the
@@ -766,6 +773,8 @@ def qmoe_e2e_supported(
     rows_d = (2 * F // pf) if bits != 8 else (F // pf)
     if rows_gu % G_gu or rows_d % G_d:
         return False
+    if nbuf is None:
+        nbuf = qmoe_e2e_nbuf(N)
     N8 = max(8, -(-N // 8) * 8)
     gu_tile = (D // pf) * 2 * F * 4
     d_tile = (F // pf) * D * 4
@@ -785,12 +794,15 @@ def qmoe_mlp_forward_e2e(
     w_sorted: jnp.ndarray,  # [M] routing weight per sorted row
     expert_ids, row_count,
     gu: "StackedQuantExperts", down: "StackedQuantExperts",
-    *, act: str, bm: int = 8, interpret: bool = False, nbuf: int = 3,
+    *, act: str, bm: int = 8, interpret: bool = False,
+    nbuf: int | None = None,
 ) -> jnp.ndarray:
     """Whole post-routing MoE layer: returns [N, D] f32 combined output."""
     from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
 
     N, D = x.shape
+    if nbuf is None:
+        nbuf = qmoe_e2e_nbuf(N)
     S = expert_ids.shape[0]
     M_pad = S * bm
     N8 = max(8, -(-N // 8) * 8)
