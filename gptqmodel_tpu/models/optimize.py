@@ -186,6 +186,10 @@ def enable_fused_mlp(spec: ModelSpec, params: dict) -> dict:
         if not (gu.rt_layout and down.rt_layout
                 and gu.zero_const >= 0 and down.zero_const >= 0):
             continue
+        if gu.bits in (3, 5, 6, 7) or down.bits in (3, 5, 6, 7):
+            # plane-split rt layout: the qmlp kernel reads 2/4/8-bit rt
+            # and the 8-group repack below would corrupt plane tiles
+            continue
         g = down.group_size if down.group_size > 0 else down.in_features
         bf = 8 * g
         if down.rt_block_k != bf:

@@ -418,6 +418,14 @@ class LazyCausalBias:
             ok = ok & (ki > qi - self.window)[None]
         return jnp.where(ok, 0.0, neg)[:, None]  # [B, 1, T, S]
 
+    def astype(self, dtype):
+        """Dense fallback for attention variants with no chunked handling
+        (MLA, opt/gpt2/bloom/neox/falcon lineages do ``logits +
+        attn_bias.astype(...)`` directly): materialize the [B, 1, T, S]
+        bias — the pre-chunked behavior, so long prompts still work there
+        (without the memory win)."""
+        return self.materialize().astype(dtype)
+
 
 def _chunked_causal_attention(
     spec, q, k, v, lb: LazyCausalBias, scale, rep, sinks=None, chunk=512
@@ -432,9 +440,15 @@ def _chunked_causal_attention(
     T, D = q.shape[2], q.shape[3]
     S = k.shape[2]
     ch = min(chunk, S)
-    while S % ch:
-        ch //= 2
-    nc = S // ch
+    Sp = -(-S // ch) * ch
+    if Sp != S:
+        # ragged tail: pad K/V to the chunk multiple — the ki masks below
+        # already exclude pad keys (ki >= S >= prompt_lens). Halving ch
+        # until it divides S degraded to tiny chunks at non-power-of-two
+        # lengths (S=1000 -> ch=8: a 125-step scan of sliver einsums).
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    nc = Sp // ch
     qg = q.reshape(B, Hkv, rep, T, D)
     qi = jnp.arange(T)[None, :]  # [1, T]
     neg = jnp.float32(-1e30)

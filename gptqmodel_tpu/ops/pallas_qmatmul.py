@@ -445,7 +445,8 @@ def _shape_map_lookup(env: str, K: int, N: int) -> int:
 
 
 def rt_block_k_for(
-    K: int, group_size: int, groups_per_tile: int = 0, N: int = 0
+    K: int, group_size: int, groups_per_tile: int = 0, N: int = 0,
+    bits: int = 0,
 ) -> int:
     """Repack/kernel K-tile: ``groups_per_tile`` groups (>= 8 for the Mosaic
     sublane rule on the scales block). Bigger tiles cut grid/DMA overhead —
@@ -461,12 +462,13 @@ def rt_block_k_for(
         or (_shape_map_lookup("GPTQ_TPU_GROUPS_MAP", K, N) if N else 0)
         or int(os.environ.get("GPTQ_TPU_RT_GROUPS", "16"))
     )
-    gpt = max(8, gpt)
-    while gpt > 8 and (K % (gpt * g) != 0):
+    floor = 16 if bits in (3, 5, 6, 7) else 8  # plane-split: 16-group tiles
+    gpt = max(floor, gpt)
+    while gpt > floor and (K % (gpt * g) != 0):
         gpt //= 2
-    gpt = max(8, gpt)
+    gpt = max(floor, gpt)
     if K % (gpt * g) != 0:
-        gpt = 8
+        gpt = floor
     return gpt * g
 
 

@@ -271,9 +271,12 @@ def qmoe_matmul(
 
 
 def _act_kernel(name: str):
+    # "gelu" must be the EXACT erf form (jax.nn.gelu defaults to the tanh
+    # approximation) — transformer._act's mapping, so the kernels match
+    # their own XLA fallback bit-for-bit in structure
     return {
         "silu": jax.nn.silu,
-        "gelu": jax.nn.gelu,
+        "gelu": lambda v: jax.nn.gelu(v, approximate=False),
         "gelu_pytorch_tanh": lambda v: jax.nn.gelu(v, approximate=True),
         "gelu_new": lambda v: jax.nn.gelu(v, approximate=True),
         "relu": lambda v: jnp.maximum(v, 0.0),

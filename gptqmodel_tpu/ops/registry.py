@@ -275,7 +275,7 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         and not (plane_bits and zero_const < 0.0)
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(
-            p.in_features, p.group_size, N=p.out_features
+            p.in_features, p.group_size, N=p.out_features, bits=p.bits
         )
         qw = np.asarray(p.qweight)
         if act_perm is not None:

@@ -386,3 +386,26 @@ def test_rt_planes_dequantize_weight_reverses_layout(bits):
     w0 = np.asarray(dequantize_weight(p0, dtype=jnp.float32))
     w1 = np.asarray(dequantize_weight(p1, dtype=jnp.float32))
     np.testing.assert_array_equal(w0, w1)
+
+
+def test_fused_mlp_optimize_skips_plane_bits():
+    """enable_fused_mlp must not repack plane-split (3/5/6/7-bit) rt
+    down projections with the stitched 8-group repack (review finding:
+    it corrupted the layout before qmlp_supported rejected the width)."""
+    from gptqmodel_tpu.models.optimize import enable_fused_mlp
+    from gptqmodel_tpu.models.spec import ModelSpec
+
+    p_gu = _sym_module(3, 2048, 512, 128)
+    p_down = _sym_module(3, 2048, 256, 128, seed=1)
+    assert p_gu.rt_layout and p_down.rt_layout
+    spec = ModelSpec(model_type="llama", vocab_size=128, hidden_size=2048,
+                     intermediate_size=1024, num_layers=1, num_heads=4,
+                     num_kv_heads=2, head_dim=64)
+    params = {"model": {"layers": [
+        {"mlp": {"gate_up_proj": p_gu, "down_proj": p_down}}
+    ]}}
+    before = np.asarray(p_down.qweight).copy()
+    enable_fused_mlp(spec, params)
+    after = params["model"]["layers"][0]["mlp"]["down_proj"]
+    assert after is p_down or np.array_equal(np.asarray(after.qweight), before)
+    assert after.rt_block_k == p_down.rt_block_k

@@ -498,3 +498,18 @@ def test_e2e_prefill_size_matches_dense_fallback():
     assert rel < 2e-2, rel
     # e2e really took the kernel path: bm raised, not the dense loop
     assert tokens * topk > tr._QMOE_MAX_TOKENS
+
+
+def test_e2e_gelu_exact_matches_reference_act():
+    """The kernels' "gelu" must be the EXACT erf form like transformer._act
+    (jax.nn.gelu defaults to tanh-approx — review finding)."""
+    import jax
+
+    from gptqmodel_tpu.ops.pallas_qmoe import _act_kernel
+
+    v = jnp.asarray(np.linspace(-4, 4, 257, dtype=np.float32))
+    got = np.asarray(_act_kernel("gelu")(v))
+    ref = np.asarray(jax.nn.gelu(v, approximate=False))
+    np.testing.assert_array_equal(got, ref)
+    approx = np.asarray(jax.nn.gelu(v, approximate=True))
+    assert not np.array_equal(got, approx)  # the bug this guards against
