@@ -190,6 +190,7 @@ def main():
     if on_tpu:
         layers = int(os.environ.get("BENCH_MOE_LAYERS", "32"))
         B, T, steps, max_len = 8, 64, 64, 192
+        B = int(os.environ.get("BENCH_MOE_BATCH", B))
     else:
         layers, B, T, steps, max_len = 2, 2, 8, 4, 32
         from gptqmodel_tpu.ops import registry

@@ -979,19 +979,37 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
             qmoe_mlp_forward_e2e,
         )
 
-        bm_e = 8 if M <= 512 else (16 if M <= 2048 else 32)
+        # token-chunked: routing is per-token, so slicing tokens through
+        # the kernel is EXACT — large prefills stay on the e2e path (the
+        # resident x/out buffers scale with the chunk, not N) instead of
+        # the dense all-expert fallback and its E/topk FLOP waste
+        NC = 512
+        nch = -(-N // NC)
+        n_eff = N if nch == 1 else NC
+        m_eff = n_eff * K
+        # rows per slot: larger batches put many rows on each routed
+        # expert — bigger bm halves the slot count (the per-slot cost is
+        # MXU weight-ingest, sessions Z5-Z9) and feeds the MXU more rows
+        bm_e = 8 if m_eff <= 128 else (16 if m_eff <= 1024 else 32)
         if qmoe_e2e_supported(
             bits=gu.bits, D=gu.in_features, F=gu.out_features // 2,
-            G_gu=gu.G, G_d=down.G, N=N, bm=bm_e, act=spec.hidden_act,
+            G_gu=gu.G, G_d=down.G, N=n_eff, bm=bm_e, act=spec.hidden_act,
         ):
-            S_e = -(-M // bm_e) + min(E, M)
-            ids, counts, row_pos = plan_rows_jit(flat_e, E, bm_e, S_e)
-            tok_flat = jnp.arange(M, dtype=jnp.int32) // K
-            w_flat = top_w.reshape(-1).astype(jnp.float32)
-            out = qmoe_mlp_forward_e2e(
-                x, row_pos, tok_flat, w_flat, ids, counts, gu, down,
-                act=spec.hidden_act, bm=bm_e, interpret=interpret,
-            )
+            outs = []
+            for n0 in range(0, N, NC):
+                n1 = min(n0 + NC, N)
+                mC = (n1 - n0) * K
+                fe = top_i[n0:n1].reshape(-1)
+                S_e = -(-mC // bm_e) + min(E, mC)
+                ids, counts, row_pos = plan_rows_jit(fe, E, bm_e, S_e)
+                tok_flat = jnp.arange(mC, dtype=jnp.int32) // K
+                w_flat = top_w[n0:n1].reshape(-1).astype(jnp.float32)
+                outs.append(qmoe_mlp_forward_e2e(
+                    x[n0:n1], row_pos, tok_flat, w_flat, ids, counts,
+                    gu, down, act=spec.hidden_act, bm=bm_e,
+                    interpret=interpret,
+                ))
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out.astype(x.dtype)
     if M > _QMOE_MAX_TOKENS:  # prefill-size: slot-grid VMEM would blow up
         return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)

@@ -465,7 +465,7 @@ def test_e2e_prefill_size_matches_dense_fallback():
 
     rng = np.random.default_rng(6)
     bits, g, E, D, F = 4, 128, 8, 256, 256
-    tokens, topk = 160, 8  # M = 1280 > _QMOE_MAX_TOKENS
+    tokens, topk = 700, 8  # M = 5600 > _QMOE_MAX_TOKENS, 2 token chunks
     gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
                       _stacked_random(rng, E, D, F, bits, g))
     down = _stacked_random(rng, E, F, D, bits, g)
