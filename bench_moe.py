@@ -117,7 +117,12 @@ def build_params(spec, bits=4, g=128):
             "input_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
             "post_attention_layernorm": {"weight": jnp.ones(h, jnp.bfloat16)},
             "self_attn": {
-                "q_proj": ql(q, h), "k_proj": ql(kv, h), "v_proj": ql(kv, h),
+                # fused qkv mirrors what optimize.fuse_projections produces
+                # for real loaded models; BENCH_MOE_FUSED_QKV=0 reverts
+                **({"qkv_proj": ql(q + 2 * kv, h)}
+                   if os.environ.get("BENCH_MOE_FUSED_QKV", "1") == "1"
+                   else {"q_proj": ql(q, h), "k_proj": ql(kv, h),
+                         "v_proj": ql(kv, h)}),
                 "o_proj": ql(h, q),
                 "q_norm": {"weight": jnp.ones(hd, jnp.bfloat16)},
                 "k_norm": {"weight": jnp.ones(hd, jnp.bfloat16)},
