@@ -9,8 +9,12 @@ here continuous batching is first-class (SURVEY §7 step 5 — new design work):
   reshaping anything — only TWO compiled programs run steady-state:
   ``prefill_slot`` (per prompt-length bucket) and ``decode_all``.
 - Prompts are padded up to power-of-two buckets to bound compile count.
-- Sampling (greedy / temperature / top-k / top-p) runs on host over [B, V]
-  logits — B is small; device-side sampling is a later optimization.
+- Sampling (greedy / temperature / top-k / top-p) runs ON DEVICE inside the
+  decode program (``inference.sampling.sample_tokens``) with per-slot knob
+  arrays, so heterogeneous requests share one compiled step and only the
+  sampled token ids [B] cross to host — the host keeps stop logic only.
+  (The reference inherits the same property from HF ``generate``,
+  reference gptqmodel/models/base.py:1464.)
 """
 
 from __future__ import annotations
@@ -84,7 +88,6 @@ class ContinuousBatchingEngine:
         self.L = max_len
         self.dtype = dtype
         self.eos_token_id = eos_token_id
-        self.rng = np.random.default_rng(seed)
 
         from gptqmodel_tpu.inference.engine import init_kv_cache
 
@@ -96,6 +99,13 @@ class ContinuousBatchingEngine:
         self.pos = np.zeros(self.B, np.int32)  # next write/query position
         self.slots: list[Optional[Request]] = [None] * self.B
         self.last_token = np.zeros(self.B, np.int32)
+        # per-slot sampler knobs (device-side sampling); empty slots stay
+        # greedy (temp 0) so they never pay the stochastic branch
+        self.temp = np.zeros(self.B, np.float32)
+        self.topk = np.zeros(self.B, np.int32)
+        self.topp = np.ones(self.B, np.float32)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._draws = 0  # folds into the key: one fresh subkey per sample
 
         self._queue: list[Request] = []
         self._lock = threading.Lock()
@@ -106,9 +116,11 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int):
         spec, L, dtype = self.spec, self.L, self.dtype
+        from gptqmodel_tpu.inference.sampling import sample_tokens
 
         @jax.jit
-        def prefill(params, caches, key_valid, ids, true_len, slot):
+        def prefill(params, caches, key_valid, ids, true_len, slot,
+                    base_key, draw, temp, topk, topp):
             # mini-cache view for the slot (generic over int8-KV scale keys)
             mini = []
             for c in caches:
@@ -147,15 +159,21 @@ class ContinuousBatchingEngine:
             key_valid = jax.lax.dynamic_update_slice(
                 key_valid, row[None, :], (slot, 0)
             )
-            return logits, caches, key_valid
+            tok = sample_tokens(
+                logits[None], jax.random.fold_in(base_key, draw),
+                temp[None], topk[None], topp[None],
+            )[0]
+            return tok, caches, key_valid
 
         return prefill
 
     def _make_decode(self):
         spec, dtype = self.spec, self.dtype
+        from gptqmodel_tpu.inference.sampling import sample_tokens
 
         @jax.jit
-        def decode(params, caches, key_valid, token, pos):
+        def decode(params, caches, key_valid, token, pos,
+                   base_key, draw, temp, topk, topp):
             B = token.shape[0]
             key_valid = key_valid.at[jnp.arange(B), pos].set(True)
             cos, sin = rope_cos_sin(spec, pos[:, None])
@@ -175,7 +193,10 @@ class ContinuousBatchingEngine:
                 new_caches.append({k_: v_ for k_, v_ in c.items() if k_ != "pos"})
             h = final_norm(spec, params, h)
             logits = lm_logits(spec, params, h)[:, 0]
-            return logits, new_caches, key_valid
+            toks = sample_tokens(
+                logits, jax.random.fold_in(base_key, draw), temp, topk, topp
+            )
+            return toks, new_caches, key_valid
 
         return decode
 
@@ -246,11 +267,18 @@ class ContinuousBatchingEngine:
         ids[0, :T_true] = req.prompt_ids
         if Tb not in self._prefill_cache:
             self._prefill_cache[Tb] = self._make_prefill(Tb)
-        logits, self.caches, self.key_valid = self._prefill_cache[Tb](
+        self.temp[slot] = req.temperature
+        self.topk[slot] = req.top_k
+        self.topp[slot] = req.top_p
+        tok_dev, self.caches, self.key_valid = self._prefill_cache[Tb](
             self.params, self.caches, self.key_valid, jnp.asarray(ids),
             jnp.int32(T_true), jnp.int32(slot),
+            self._base_key, jnp.uint32(self._draws),
+            jnp.float32(req.temperature), jnp.int32(req.top_k),
+            jnp.float32(req.top_p),
         )
-        tok = self._sample_one(np.asarray(logits, np.float32), req)
+        self._draws += 1
+        tok = int(tok_dev)
         self._emit(req, tok)
         self.slots[slot] = req
         self.pos[slot] = T_true
@@ -260,15 +288,19 @@ class ContinuousBatchingEngine:
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []
-        logits, self.caches, self.key_valid = self._decode_fn(
+        toks, self.caches, self.key_valid = self._decode_fn(
             self.params, self.caches, self.key_valid,
             jnp.asarray(self.last_token), jnp.asarray(self.pos),
+            self._base_key, jnp.uint32(self._draws),
+            jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp),
         )
-        logits = np.asarray(logits, np.float32)
+        self._draws += 1
+        toks = np.asarray(toks)  # [B] int32 — the only host transfer
         finished = []
         for i in active:
             req = self.slots[i]
-            tok = self._sample_one(logits[i], req)
+            tok = int(toks[i])
             self._emit(req, tok)
             self.pos[i] += 1
             self.last_token[i] = tok
@@ -280,29 +312,10 @@ class ContinuousBatchingEngine:
                 finished.append(req)
                 self.slots[i] = None
                 self.key_valid = self.key_valid.at[i].set(False)
+                self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
         return finished
 
     def _emit(self, req: Request, tok: int):
         req.output_ids.append(int(tok))
         if req.stream_cb:
             req.stream_cb(int(tok))
-
-    def _sample_one(self, logits: np.ndarray, req: Request) -> int:
-        if req.temperature <= 0.0:
-            return int(np.argmax(logits))
-        l = logits / req.temperature
-        if req.top_k > 0:
-            kth = np.partition(l, -req.top_k)[-req.top_k]
-            l = np.where(l < kth, -np.inf, l)
-        p = np.exp(l - l.max())
-        p /= p.sum()
-        if req.top_p < 1.0:
-            order = np.argsort(-p)
-            cum = np.cumsum(p[order])
-            cut = cum <= req.top_p
-            cut[0] = True
-            keep = order[cut]
-            mask = np.zeros_like(p)
-            mask[keep] = p[keep]
-            p = mask / mask.sum()
-        return int(self.rng.choice(len(p), p=p))

@@ -118,11 +118,14 @@ def evaluate_choice_task(
     length_normalized: bool = False,
     dtype=jnp.float32,
     encode: Optional[Callable[[str], list[int]]] = None,
+    return_picks: bool = False,
 ) -> dict:
     """Multiple-choice accuracy (acc and acc_norm in one pass).
 
     ``encode`` overrides the tokenizer (tests pass token lists directly via
-    dict samples with 'context_ids'/'choice_ids')."""
+    dict samples with 'context_ids'/'choice_ids'). ``return_picks`` adds the
+    per-sample argmax choice lists ("picks"/"picks_norm") so two models can
+    be compared sample-by-sample (the fp-vs-quant agreement floor)."""
     if model.params is None:
         model._load_params()
     enc = encode or (lambda s: tokenizer(s)["input_ids"])
@@ -147,18 +150,25 @@ def evaluate_choice_task(
     lls_flat = batched_logliks(model.spec, model.params, pairs, dtype)
 
     n, correct, correct_norm = 0, 0, 0
+    picks, picks_norm = [], []
     for start, k, answer in meta:
         lls = lls_flat[start : start + k]
         lens = [max(len(pairs[start + j][1]), 1) for j in range(k)]
         lls_norm = [ll / ln for ll, ln in zip(lls, lens)]
-        correct += int(np.argmax(lls) == answer)
-        correct_norm += int(np.argmax(lls_norm) == answer)
+        picks.append(int(np.argmax(lls)))
+        picks_norm.append(int(np.argmax(lls_norm)))
+        correct += int(picks[-1] == answer)
+        correct_norm += int(picks_norm[-1] == answer)
         n += 1
-    return {
+    out = {
         "acc": correct / max(n, 1),
         "acc_norm": correct_norm / max(n, 1),
         "n": n,
     }
+    if return_picks:
+        out["picks"] = picks
+        out["picks_norm"] = picks_norm
+    return out
 
 
 def assert_quality_floor(value: float, baseline: float, floor_pct: float = 4.0):
