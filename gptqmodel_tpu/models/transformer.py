@@ -983,7 +983,7 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
         # the kernel is EXACT — large prefills stay on the e2e path (the
         # resident x/out buffers scale with the chunk, not N) instead of
         # the dense all-expert fallback and its E/topk FLOP waste
-        NC = 512
+        NC = int(os.environ.get("GPTQ_TPU_QMOE_CHUNK", "512"))
         nch = -(-N // NC)
         n_eff = N if nch == 1 else NC
         m_eff = n_eff * K

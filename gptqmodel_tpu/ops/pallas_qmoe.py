@@ -27,6 +27,7 @@ loop (reference MoE quantization is sym by default).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -605,10 +606,12 @@ def _qmoe_mlp_e2e_kernel(
     perm_ref,  # inputs
     o_ref,  # output [N8, D] f32 VMEM (accumulated)
     gu_buf, sgu_buf, d_buf, sd_buf, sems,  # scratch (NBUF-deep buffers)
-    *, bits, F, G_gu, G_d, bm, zc, act, nbuf,
+    *, bits, F, G_gu, G_d, bm, zc, act, nbuf, unroll=1,
 ):
-    n = nused_ref[0]
+    n = nused_ref[0]  # caller pads to a multiple of ``unroll`` (w=0 slots)
     N8 = o_ref.shape[0]
+    U = unroll
+    assert nbuf >= 2 * U, (nbuf, U)
     o_ref[:] = jnp.zeros_like(o_ref)
 
     def dmas(slot, s):
@@ -626,46 +629,62 @@ def _qmoe_mlp_e2e_kernel(
 
     @pl.when(n > 0)
     def _():
-        # prefetch up to nbuf-1 slots ahead
-        for j in range(nbuf - 1):
+        # prefetch the first nbuf-U slots; each group then starts U more
+        for j in range(nbuf - U):
             @pl.when(j < n)
             def _(j=j):
                 for d in dmas(j, j):
                     d.start()
 
-        def body(i, carry):
-            cur = jax.lax.rem(i, nbuf)
+        def body(g, carry):
+            # At decode-iid routing (~52 routed experts, ~1.25 rows each)
+            # the per-slot cost is the SERIAL latency of the slot's 6-op
+            # dependency chain (~4 us) while its DMA is only ~3.4 us —
+            # round-3's session-Z "~4 us x used slots" term. Unrolling U
+            # independent slot chains per trip lets Mosaic's in-order
+            # scheduler interleave them, and the gather/combine dots batch
+            # U slots into one MXU op each (round-4, VERDICT #2).
+            base = g * U
+            for j in range(U):
+                s2 = base + (nbuf - U) + j
 
-            @pl.when(i + nbuf - 1 < n)
-            def _():
-                for d in dmas(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1):
-                    d.start()
+                @pl.when(s2 < n)
+                def _(s2=s2):
+                    for d in dmas(jax.lax.rem(s2, nbuf), s2):
+                        d.start()
 
-            for d in dmas(cur, i):
-                d.wait()
+            for j in range(U):
+                s = base + j
+                for d in dmas(jax.lax.rem(s, nbuf), s):
+                    d.wait()
 
-            r0 = i * bm
-            tokr = tok_ref[pl.ds(r0, bm), :]  # [bm, 1] int32 (-1 = padding)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (bm, N8), 1)
+            r0 = base * bm
+            tokr = tok_ref[pl.ds(r0, U * bm), :]  # [U*bm, 1] (-1 = padding)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (U * bm, N8), 1)
             sel = (cols == tokr).astype(jnp.bfloat16)  # exact 0/1 row select
             x = jnp.dot(
                 sel, x_ref[:], preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)  # [bm, D] permuted token rows
-            both = _ic_contract(
-                x, gu_buf[cur].astype(jnp.uint32), sgu_buf[cur],
-                bits=bits, G=G_gu, zero_const=zc,
-            )  # [bm, 2F] logical N order
-            g, u = both[:, :F], both[:, F:]
-            inner = (_act_kernel(act)(g) * u).astype(jnp.bfloat16)
-            inner_p = jnp.dot(
-                inner, perm_ref[:].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            y = _ic_contract(
-                inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
-                bits=bits, G=G_d, zero_const=zc,
-            )  # [bm, D] f32
-            wr = w_ref[pl.ds(r0, bm), :]  # [bm, 1] f32 (0 for padding)
+            ).astype(jnp.bfloat16)  # [U*bm, D] permuted token rows
+            ys = []
+            for j in range(U):
+                cur = jax.lax.rem(base + j, nbuf)
+                xj = x[j * bm:(j + 1) * bm] if U > 1 else x
+                both = _ic_contract(
+                    xj, gu_buf[cur].astype(jnp.uint32), sgu_buf[cur],
+                    bits=bits, G=G_gu, zero_const=zc,
+                )  # [bm, 2F] logical N order
+                gg, u = both[:, :F], both[:, F:]
+                inner = (_act_kernel(act)(gg) * u).astype(jnp.bfloat16)
+                inner_p = jnp.dot(
+                    inner, perm_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                ys.append(_ic_contract(
+                    inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
+                    bits=bits, G=G_d, zero_const=zc,
+                ))  # [bm, D] f32
+            y = ys[0] if U == 1 else jnp.concatenate(ys, axis=0)
+            wr = w_ref[pl.ds(r0, U * bm), :]  # [U*bm, 1] f32 (0 for padding)
             # sel^T . (y*w) via dot_general contracting dim 0 of both — the
             # lane-major tok slice a transpose would need is not Mosaic-
             # addressable (dynamic lane start must be 128-aligned)
@@ -676,13 +695,13 @@ def _qmoe_mlp_e2e_kernel(
             )
             return carry
 
-        jax.lax.fori_loop(0, n, body, 0)
+        jax.lax.fori_loop(0, jax.lax.div(n + U - 1, U), body, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
-                     "interpret", "nbuf"),
+                     "interpret", "nbuf", "unroll"),
 )
 def qmoe_mlp_e2e(
     xp: jnp.ndarray,  # [N8, D] bf16 token rows, PLANE-PERMUTED (gu order)
@@ -704,6 +723,7 @@ def qmoe_mlp_e2e(
     act: str = "silu",
     interpret: bool = False,
     nbuf: int = 3,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """out [N8, D] f32 = sum over used slots of one-hot-gathered expert MLP
     outputs, routing-weighted — the whole MoE layer after routing in ONE
@@ -712,11 +732,25 @@ def qmoe_mlp_e2e(
     E, Kpf, twoF = qw_gu.shape
     S = expert_ids.shape[0]
     assert twoF == 2 * F and tok_col.shape == (S * bm, 1)
+    if unroll > 1:
+        # the kernel runs whole groups of ``unroll`` slots with no per-slot
+        # guards; pad the plan arrays and round n_used up — extra slots
+        # carry tok=-1 (sel gathers nothing) and w=0 (combine adds nothing)
+        S_pad = -(-S // unroll) * unroll
+        if S_pad != S:
+            expert_ids = jnp.concatenate(
+                [expert_ids, jnp.zeros(S_pad - S, expert_ids.dtype)])
+            tok_col = jnp.concatenate(
+                [tok_col, jnp.full(((S_pad - S) * bm, 1), -1, tok_col.dtype)])
+            w_col = jnp.concatenate(
+                [w_col, jnp.zeros(((S_pad - S) * bm, 1), w_col.dtype)])
+            S = S_pad
+        n_used = -(-n_used // unroll) * unroll
     Gp, Gp_d = s_gu.shape[1], s_d.shape[1]
     Fpf = F // (32 // bits)
     kernel = functools.partial(
         _qmoe_mlp_e2e_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
-        zc=zc, act=act, nbuf=nbuf,
+        zc=zc, act=act, nbuf=nbuf, unroll=unroll,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -755,6 +789,19 @@ def qmoe_e2e_nbuf(N: int) -> int:
     return 3 if N <= 64 else 2
 
 
+def qmoe_e2e_unroll(N: int) -> int:
+    """Slot-loop unroll (GPTQ_TPU_QMOE_UNROLL): measured NEUTRAL on chip
+    (session Z10: U2 395.3 vs U1 394.2 us/layer at iid routing; U>=3
+    exceeds VMEM) — the per-slot cost is NOT chain latency but serialized
+    DMA+compute (6.7 us/slot = 3.4 DMA + 3.3 MXU, no overlap; the slot
+    sweep at fixed bytes is exactly linear). Kept opt-in as the recorded
+    negative; default 1."""
+    env = os.environ.get("GPTQ_TPU_QMOE_UNROLL")
+    if env is not None:
+        return max(1, int(env))
+    return 1
+
+
 def qmoe_e2e_supported(
     *, bits, D, F, G_gu, G_d, N, bm, act, nbuf: int | None = None,
     budget: int = _QMOE_E2E_VMEM_BUDGET,
@@ -777,7 +824,7 @@ def qmoe_e2e_supported(
     if rows_gu % G_gu or rows_d % G_d:
         return False
     if nbuf is None:
-        nbuf = qmoe_e2e_nbuf(N)
+        nbuf = max(qmoe_e2e_nbuf(N), 2 * qmoe_e2e_unroll(N))
     N8 = max(8, -(-N // 8) * 8)
     gu_tile = (D // pf) * 2 * F * 4
     d_tile = (F // pf) * D * 4
@@ -798,14 +845,16 @@ def qmoe_mlp_forward_e2e(
     expert_ids, row_count,
     gu: "StackedQuantExperts", down: "StackedQuantExperts",
     *, act: str, bm: int = 8, interpret: bool = False,
-    nbuf: int | None = None,
+    nbuf: int | None = None, unroll: int | None = None,
 ) -> jnp.ndarray:
     """Whole post-routing MoE layer: returns [N, D] f32 combined output."""
     from gptqmodel_tpu.ops.pallas_qmatmul import _plane_permute_x
 
     N, D = x.shape
+    if unroll is None:
+        unroll = qmoe_e2e_unroll(N)
     if nbuf is None:
-        nbuf = qmoe_e2e_nbuf(N)
+        nbuf = max(qmoe_e2e_nbuf(N), 2 * unroll)
     S = expert_ids.shape[0]
     M_pad = S * bm
     N8 = max(8, -(-N // 8) * 8)
@@ -824,6 +873,7 @@ def qmoe_mlp_forward_e2e(
         gu.qweight, gu.scales, down.qweight, down.scales,
         bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
         bm=bm, zc=gu.zero_const, act=act, interpret=interpret, nbuf=nbuf,
+        unroll=unroll,
     )
     return out[:N]
 

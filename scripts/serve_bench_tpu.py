@@ -1,0 +1,128 @@
+"""Server-level throughput + latency artifact (VERDICT r4 #5).
+
+Drives the ContinuousBatchingEngine (device-side sampling, r4) on the real
+chip with a synthetic llama-8B GPTQ-4 model under mixed request lengths and
+mixed samplers, and records REQUEST-level numbers the raw decode loop never
+shows: engine tok/s, per-request p50/p99 latency, and the host-dispatch
+share.
+
+Tunnel caveat (recorded alongside): continuous batching is host-driven —
+one RPC per decode step. Over the axon tunnel an RPC costs ~35 ms vs the
+~5.8 ms on-device step, so the throughput here is tunnel-bound; the
+decomposition row separates device step time (in-graph, from bench.py
+methodology) from per-step host+tunnel overhead so a locally-attached host
+can be projected.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+print("platform:", jax.devices(), flush=True)
+
+from bench import build_quant_params_on_device
+from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+from gptqmodel_tpu.utils.testing import llama8b_spec
+
+spec = llama8b_spec(layers=32)
+t0 = time.time()
+params = build_quant_params_on_device(spec)
+print(f"params built in {time.time()-t0:.0f}s", flush=True)
+
+eng = ContinuousBatchingEngine(
+    spec, params, max_slots=8, max_len=512, eos_token_id=None,
+    kv_quant="int8", seed=0)
+
+# mixed workload: 24 requests, prompts 16..256 tokens, outputs 32..96,
+# half greedy / half sampled (temp 0.8, top_k 40, top_p 0.95)
+rng = np.random.default_rng(0)
+reqs = []
+t_submit = {}
+lat = {}
+
+
+def warmup():
+    r = eng.submit(rng.integers(1, 32000, size=32).tolist(),
+                   max_new_tokens=4)
+    while not r.done:
+        eng.step()
+
+
+t0 = time.time()
+warmup()
+print(f"warmup (prefill-16/32 + decode compile) in {time.time()-t0:.0f}s",
+      flush=True)
+# compile remaining prompt buckets up front so the timed region is steady-
+# state serving, not compilation
+for blen in (64, 128, 256):
+    r = eng.submit(rng.integers(1, 32000, size=blen).tolist(),
+                   max_new_tokens=2)
+    while not r.done:
+        eng.step()
+print("buckets compiled", flush=True)
+
+t_start = time.time()
+for i in range(24):
+    plen = int(rng.choice([16, 32, 64, 128, 256]))
+    gen = int(rng.choice([32, 64, 96]))
+    kw = ({} if i % 2 == 0 else
+          dict(temperature=0.8, top_k=40, top_p=0.95))
+    r = eng.submit(rng.integers(1, 32000, size=plen).tolist(),
+                   max_new_tokens=gen, **kw)
+    t_submit[r.request_id] = time.time()
+    reqs.append(r)
+    # staggered arrivals: a burst of 8, then every other step
+    if i >= 8:
+        done = eng.step()
+        for d in done:
+            lat[d.request_id] = time.time() - t_submit[d.request_id]
+
+steps = 0
+t_decode0 = time.time()
+while eng.has_work():
+    done = eng.step()
+    steps += 1
+    now = time.time()
+    for d in done:
+        lat[d.request_id] = now - t_submit[d.request_id]
+wall = time.time() - t_start
+
+total_out = sum(len(r.output_ids) for r in reqs)
+total_in = sum(len(r.prompt_ids) for r in reqs)
+lats = sorted(lat.values())
+p50 = lats[len(lats) // 2]
+p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+
+# host+tunnel per-step overhead: time a single decode step repeatedly
+stimes = []
+eng.submit(rng.integers(1, 32000, size=16).tolist(), max_new_tokens=200)
+for _ in range(30):
+    t0 = time.time()
+    eng.step()
+    stimes.append(time.time() - t0)
+per_step = float(np.median(stimes))
+
+row = {
+    "metric": "llama3-8b-gptq4 served tok/s/chip (24 mixed reqs, 8 slots)",
+    "value": round(total_out / wall, 2),
+    "unit": "tok/s",
+    "total_output_tokens": total_out,
+    "total_input_tokens": total_in,
+    "wall_s": round(wall, 2),
+    "p50_latency_s": round(p50, 2),
+    "p99_latency_s": round(p99, 2),
+    "per_step_host_rpc_s": round(per_step, 4),
+    "note": ("host-driven scheduling pays one tunnel RPC (~35 ms) per "
+             "decode step in this environment; in-graph device step is "
+             "5.8 ms (bench.py) — a locally-attached host serves at "
+             "device rate"),
+}
+print(json.dumps(row), flush=True)
+Path("/root/repo/BENCH_SERVE_r04.json").write_text(json.dumps(row, indent=1))
+print("SERVE_BENCH_DONE", flush=True)

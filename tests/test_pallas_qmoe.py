@@ -513,3 +513,85 @@ def test_e2e_gelu_exact_matches_reference_act():
     np.testing.assert_array_equal(got, ref)
     approx = np.asarray(jax.nn.gelu(v, approximate=True))
     assert not np.array_equal(got, approx)  # the bug this guards against
+
+
+def test_e2e_multichunk_ragged_tail_matches_dense_fallback(monkeypatch):
+    """>=3 token chunks with a NON-multiple tail (VERDICT r4 #4): shrink the
+    chunk via GPTQ_TPU_QMOE_CHUNK so 700 tokens become 3x192 + 124, and the
+    chunked e2e kernel must still match the dense all-expert fallback
+    (chunk-boundary slicing is exact — routing is per-token). The on-chip
+    analog at real shapes is scripts/verify_moe_prefill_parity_tpu.py."""
+    import os
+
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.models.spec import ModelSpec
+    from gptqmodel_tpu.models import transformer as tr
+    from gptqmodel_tpu.ops import registry
+    from gptqmodel_tpu.ops.pallas_qmoe import fuse_gate_up
+
+    rng = np.random.default_rng(16)
+    bits, g, E, D, F = 4, 128, 8, 256, 256
+    tokens, topk = 700, 8
+    gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
+                      _stacked_random(rng, E, D, F, bits, g))
+    down = _stacked_random(rng, E, F, D, bits, g)
+    sq = {"gateup": gu, "down": down}
+    spec = ModelSpec(model_type="qwen3_moe", vocab_size=128, hidden_size=D,
+                     intermediate_size=F, num_layers=1, num_heads=4,
+                     num_kv_heads=2, head_dim=64, num_experts=E,
+                     num_experts_per_tok=topk, moe_intermediate_size=F)
+    x = jnp.asarray(rng.standard_normal((tokens, D)) * 0.5, jnp.bfloat16)
+    top_i = jnp.asarray(
+        np.stack([rng.permutation(E)[:topk] for _ in range(tokens)]),
+        jnp.int32)
+    top_w = jnp.asarray(
+        rng.uniform(0.1, 1.0, (tokens, topk)).astype(np.float32))
+
+    monkeypatch.setenv("GPTQ_TPU_QMOE_CHUNK", "192")
+    registry.set_backend("pallas_interpret")
+    try:
+        y_e2e = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq, x, top_w, top_i), np.float32)
+        monkeypatch.setenv("GPTQ_TPU_QMOE_E2E", "0")
+        y_dense = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq, x, top_w, top_i), np.float32)
+    finally:
+        registry.set_backend("auto")
+    rel = (np.linalg.norm(y_e2e - y_dense)
+           / (np.linalg.norm(y_dense) + 1e-9))
+    assert rel < 2e-2, rel
+
+
+@pytest.mark.parametrize("unroll", [2, 3, 4])
+def test_e2e_unroll_matches_unroll1(unroll):
+    """The unrolled slot loop (round 4, VERDICT #2) must reproduce the
+    U=1 kernel: same slots, same experts, U chains interleaved + batched
+    gather/combine dots. n_used NOT a multiple of U exercises the pad."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        fuse_gate_up, plan_rows_jit, qmoe_mlp_forward_e2e)
+
+    rng = np.random.default_rng(21)
+    bits, g, E, D, F = 4, 128, 16, 256, 256
+    tokens, topk, bm = 8, 4, 8
+    gu = fuse_gate_up(_stacked_random(rng, E, D, F, bits, g),
+                      _stacked_random(rng, E, D, F, bits, g))
+    down = _stacked_random(rng, E, F, D, bits, g)
+    x = jnp.asarray(rng.standard_normal((tokens, D)) * 0.5, jnp.bfloat16)
+    top_i = np.stack([rng.permutation(E)[:topk] for _ in range(tokens)])
+    flat_e = jnp.asarray(top_i.reshape(-1), jnp.int32)
+    M = tokens * topk
+    S = -(-M // bm) + min(E, M)
+    ids, counts, row_pos = plan_rows_jit(flat_e, E, bm, S)
+    tok_flat = jnp.arange(M, dtype=jnp.int32) // topk
+    w_flat = jnp.asarray(
+        rng.uniform(0.1, 1.0, (M,)).astype(np.float32))
+
+    outs = {}
+    for u in (1, unroll):
+        outs[u] = np.asarray(qmoe_mlp_forward_e2e(
+            x, row_pos, tok_flat, w_flat, ids, counts, gu, down,
+            act="silu", bm=bm, interpret=True, unroll=u), np.float32)
+    np.testing.assert_allclose(outs[unroll], outs[1], rtol=2e-5, atol=1e-5)

@@ -1,0 +1,73 @@
+"""Round-4 speed-band guards: MoE decode, MoE prefill, warm quant s/layer.
+
+Reference pattern: tests/inference_speed.py:44-46 — one RECORDED constant
+per surface, assert within a band. These three join the dense-decode band
+(tests/test_inference_speed.py); all run ONLY on the real chip (the CPU
+mesh suite skips), e.g. through the verify skill:
+
+    python -m pytest tests/test_speed_bands.py -q   # on TPU
+
+Band sources (documented per VERDICT r4 #6):
+- MoE decode/prefill: BENCH_MOE_r04.json (bench_moe.py on this tree,
+  diverse routing, min-min 64-step differential).
+- Warm quant s/layer: session X2 revalidation (scripts/tpu_session_x.py,
+  4x llama-8B-shaped layers, mega solver, solve total 228 s = 57 s/layer;
+  band guards the per-layer SOLVE mean which excludes compile noise).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+import jax
+
+BAND_LOW = 0.9
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _on_tpu(), reason="speed bands are recorded on TPU")
+
+# recorded r4 on v5e (BENCH_MOE_r04.json): qwen3-30B-A3B-shaped 4-bit,
+# B=8, 32L, diverse (iid-regime ~52-expert) routing
+RECORDED_MOE_DECODE_TOK_S = 579.7
+RECORDED_MOE_PREFILL_TOK_S = 5483.0
+# session X2 (scripts/tpu_session_x.py on the r3 final tree): mega-solver
+# warm solve seconds per llama-8B layer (gate|up + down + qkv + o)
+RECORDED_QUANT_S_PER_LAYER = 57.0
+
+
+def _run_bench_moe():
+    out = subprocess.run(
+        [sys.executable, "bench_moe.py"], capture_output=True, text=True,
+        env=dict(os.environ), timeout=3600, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1]), out.stderr
+
+
+def test_moe_decode_and_prefill_band():
+    row, stderr = _run_bench_moe()
+    assert row["value"] >= RECORDED_MOE_DECODE_TOK_S * BAND_LOW, row
+    # prefill tok/s is on stderr ("prefill: ... (NNNN tok/s)")
+    pf = [ln for ln in stderr.splitlines() if ln.startswith("prefill:")]
+    assert pf, stderr[-2000:]
+    tok_s = float(pf[-1].split("(")[1].split(" tok/s")[0])
+    assert tok_s >= RECORDED_MOE_PREFILL_TOK_S * BAND_LOW, pf[-1]
+
+
+def test_quant_throughput_band():
+    """Warm per-layer solve time at 8B shapes (2 layers to bound runtime;
+    the first layer absorbs compile, the second is the warm sample)."""
+    from scripts.quant_band_probe import run_probe  # lazy: TPU-only import
+
+    warm_s = run_probe(layers=2)
+    assert warm_s <= RECORDED_QUANT_S_PER_LAYER / BAND_LOW, warm_s
