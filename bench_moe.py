@@ -132,13 +132,19 @@ def build_params(spec, bits=4, g=128):
         )
 
     def stacked(K, N, zero_w=False):
+        from gptqmodel_tpu.ops.pallas_qmoe import stacked_rt_ok
+
         G = K // g
         G_pad = max(8, -(-G // 8) * 8)
         words = _zero_words if (zero_w and bits == 4) else _rand_words
+        # rt layout where the geometry allows (gate|up at K=2048): random
+        # codes are permutation-invariant and constant codes are layout-
+        # invariant, so flagging rt without physically permuting is exact
         return StackedQuantExperts(
             qweight=words((E, K // pf, N)),
             scales=jnp.full((E, G_pad, N), scale, jnp.bfloat16),
             bits=bits, G=G, zero_const=8.0, in_features=K, out_features=N,
+            rt=stacked_rt_ok(bits, K, g),
         )
 
     h = D

@@ -893,9 +893,14 @@ def gated_mlp(
 
 def _moe_dequant_stacked(st, e):
     """Dequantize ONE stacked expert [in, out] to bf16 (jittable, fori-safe)."""
-    from gptqmodel_tpu.ops.pack import unpack_qweight_jnp
+    from gptqmodel_tpu.ops.pack import rt_row_permutation, unpack_qweight_jnp
 
     q = unpack_qweight_jnp(st.qweight[e], st.bits)  # [in, out]
+    if getattr(st, "rt", False):  # whole-K rt rows -> logical order
+        import numpy as _np
+
+        perm = rt_row_permutation(st.in_features, st.bits, st.in_features)
+        q = q[jnp.asarray(_np.argsort(perm))]
     G = st.G
     g = st.in_features // G
     sc = st.scales[e][:G].astype(jnp.float32)  # [G, out]
@@ -1011,6 +1016,12 @@ def _moe_ragged_apply_q(spec: ModelSpec, sq: dict, x, top_w, top_i, bm: int = 8)
                 ))
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
             return out.astype(x.dtype)
+    if any(s is not None and getattr(s, "rt", False)
+           for s in (gu, gate, up, down)):
+        # rt-packed stacked weights serve the e2e kernel only; the slot-grid
+        # kernels below expect the interchange layout — correctness fallback
+        # for geometries the e2e eligibility check rejects (rare)
+        return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
     if M > _QMOE_MAX_TOKENS:  # prefill-size: slot-grid VMEM would blow up
         return _moe_packed_dense_fallback(spec, sq, x, top_w, top_i)
     S = -(-M // bm) + min(E, M)  # static slot bound (aligned layout)

@@ -182,6 +182,11 @@ def _flatten_stacked_experts(st: dict, mlp_prefix: str, out: dict,
     def emit_packed(sq: StackedQuantExperts, e: int, name: str,
                     col0: int, ncols: int):
         qw = np.asarray(sq.qweight[e])[:, col0 : col0 + ncols]
+        if getattr(sq, "rt", False):
+            # whole-K-tile rt runtime layout -> interchange before export
+            # (runtime layouts never leak into checkpoints; the row perm is
+            # column-independent so slicing first is exact)
+            qw = packing.unrepack_rt(qw, sq.bits, sq.in_features)
         sc = np.asarray(sq.scales[e], np.float32)[: sq.G, col0 : col0 + ncols]
         zeros = np.full((sq.G, ncols), int(sq.zero_const), np.int64)
         ql = QuantLinear(

@@ -128,6 +128,76 @@ def _ic_contract(x, u, s_full, *, bits, G, zero_const):
     return acc
 
 
+def _rt_contract(x, u, s_full, *, bits, G, zero_const):
+    """rt-layout dequant-matmul: ``x [m, K]`` in LOGICAL column order
+    against per-expert rt-packed words ``u [K/pf, nt]`` (whole-K tile,
+    pack.rt_row_permutation(block_k=K)). Magic part ``a`` extracts the
+    contiguous logical rows [a*rpp, (a+1)*rpp) covering WHOLE groups, so
+    scales apply to per-group partial dots (the _qmm_rt_sym_kernel
+    formulation) — per-weight VPU work is only the 3-op magic build.
+    Session Z11 measured the per-element (w-z)*s of the interchange
+    ``_ic_contract`` as the e2e kernel's compute wall (7 us/slot with the
+    DMA fully hidden under it); this removes it. Returns [m, nt] f32."""
+    R, nt = u.shape
+    pf = 32 // bits
+    kt = R * pf
+    m = x.shape[0]
+    g = kt // G
+    sf = s_full[:G].astype(jnp.float32)  # [G, nt]
+    acc = jnp.zeros((m, nt), jnp.float32)
+    if bits == 8:
+        rpp = R  # rows per extraction part
+        gpp = rpp // g
+        assert gpp * g == rpp, (rpp, g)
+        zs = jnp.float32(zero_const) * sf
+        for a in range(pf):
+            t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
+                0x4B000000
+            )
+            wf = pltpu.bitcast(t.astype(jnp.int32), jnp.float32) - jnp.float32(
+                8388608.0
+            )
+            wa = wf.astype(jnp.bfloat16)
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g:(g_abs + 1) * g]
+                P = jnp.dot(xg, wa[gi * g:(gi + 1) * g],
+                            preferred_element_type=jnp.float32)
+                X1 = jnp.sum(xg.astype(jnp.float32), axis=1)
+                acc += P * sf[g_abs][None, :] - X1[:, None] * zs[g_abs][None, :]
+    else:
+        rpp = 2 * R
+        gpp = rpp // g
+        assert gpp * g == rpp, (rpp, g)
+        fmask, magic = _MAGIC_BF16[bits]
+        zs = (jnp.float32(zero_const) + _MAGIC_OFFSET) * sf
+        for a in range(pf // 2):
+            t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(
+                magic
+            )
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
+            for gi in range(gpp):
+                g_abs = a * gpp + gi
+                xg = x[:, g_abs * g:(g_abs + 1) * g]  # lane slice (g | 128)
+                P = jnp.dot(xg, wa[gi * g:(gi + 1) * g],
+                            preferred_element_type=jnp.float32)
+                X1 = jnp.sum(xg.astype(jnp.float32), axis=1)
+                acc += P * sf[g_abs][None, :] - X1[:, None] * zs[g_abs][None, :]
+    return acc
+
+
+def stacked_rt_ok(bits: int, K: int, g: int) -> bool:
+    """Whole groups per magic part at block_k == K (and 128-aligned lane
+    slices for the in-kernel x column cuts)."""
+    if bits not in (2, 4, 8):
+        return False
+    pf = 32 // bits
+    if K % pf:
+        return False
+    rpp = (K // pf) if bits == 8 else (2 * K // pf)
+    return g % 128 == 0 and rpp % g == 0
+
+
 def _plane_perm_matrix(K: int, bits: int) -> np.ndarray:
     """0/1 matrix P [K, K] such that ``x @ P`` reorders columns of
     ``x [m, K]`` (logical order) into the plane extraction order consumed by
@@ -606,7 +676,7 @@ def _qmoe_mlp_e2e_kernel(
     perm_ref,  # inputs
     o_ref,  # output [N8, D] f32 VMEM (accumulated)
     gu_buf, sgu_buf, d_buf, sd_buf, sems,  # scratch (NBUF-deep buffers)
-    *, bits, F, G_gu, G_d, bm, zc, act, nbuf, unroll=1,
+    *, bits, F, G_gu, G_d, bm, zc, act, nbuf, unroll=1, rt_gu=False,
 ):
     n = nused_ref[0]  # caller pads to a multiple of ``unroll`` (w=0 slots)
     N8 = o_ref.shape[0]
@@ -669,7 +739,8 @@ def _qmoe_mlp_e2e_kernel(
             for j in range(U):
                 cur = jax.lax.rem(base + j, nbuf)
                 xj = x[j * bm:(j + 1) * bm] if U > 1 else x
-                both = _ic_contract(
+                gu_fn = _rt_contract if rt_gu else _ic_contract
+                both = gu_fn(
                     xj, gu_buf[cur].astype(jnp.uint32), sgu_buf[cur],
                     bits=bits, G=G_gu, zero_const=zc,
                 )  # [bm, 2F] logical N order
@@ -701,7 +772,7 @@ def _qmoe_mlp_e2e_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
-                     "interpret", "nbuf", "unroll"),
+                     "interpret", "nbuf", "unroll", "rt_gu"),
 )
 def qmoe_mlp_e2e(
     xp: jnp.ndarray,  # [N8, D] bf16 token rows, PLANE-PERMUTED (gu order)
@@ -724,10 +795,12 @@ def qmoe_mlp_e2e(
     interpret: bool = False,
     nbuf: int = 3,
     unroll: int = 1,
+    rt_gu: bool = False,
 ) -> jnp.ndarray:
     """out [N8, D] f32 = sum over used slots of one-hot-gathered expert MLP
     outputs, routing-weighted — the whole MoE layer after routing in ONE
-    kernel instance."""
+    kernel instance. ``rt_gu``: gate|up words are rt-packed (whole-K tile)
+    and ``xp`` is in LOGICAL column order."""
     N8, D = xp.shape
     E, Kpf, twoF = qw_gu.shape
     S = expert_ids.shape[0]
@@ -750,7 +823,7 @@ def qmoe_mlp_e2e(
     Fpf = F // (32 // bits)
     kernel = functools.partial(
         _qmoe_mlp_e2e_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
-        zc=zc, act=act, nbuf=nbuf, unroll=unroll,
+        zc=zc, act=act, nbuf=nbuf, unroll=unroll, rt_gu=rt_gu,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -859,8 +932,9 @@ def qmoe_mlp_forward_e2e(
     M_pad = S * bm
     N8 = max(8, -(-N // 8) * 8)
     xp8 = jnp.zeros((N8, D), jnp.bfloat16).at[:N].set(x.astype(jnp.bfloat16))
-    pf = 32 // gu.bits
-    xp8 = _plane_permute_x(xp8, gu.in_features, pf, gu.bits)
+    if not gu.rt:  # rt gate|up consumes x in logical column order
+        pf = 32 // gu.bits
+        xp8 = _plane_permute_x(xp8, gu.in_features, pf, gu.bits)
     tok_col = jnp.full((M_pad, 1), -1, jnp.int32).at[pos, 0].set(
         tok.astype(jnp.int32)
     )
@@ -873,7 +947,7 @@ def qmoe_mlp_forward_e2e(
         gu.qweight, gu.scales, down.qweight, down.scales,
         bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
         bm=bm, zc=gu.zero_const, act=act, interpret=interpret, nbuf=nbuf,
-        unroll=unroll,
+        unroll=unroll, rt_gu=gu.rt,
     )
     return out[:N]
 
@@ -922,7 +996,8 @@ import dataclasses
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "scales"],
-    meta_fields=["bits", "G", "zero_const", "in_features", "out_features"],
+    meta_fields=["bits", "G", "zero_const", "in_features", "out_features",
+                 "rt"],
 )
 @dataclasses.dataclass
 class StackedQuantExperts:
@@ -939,6 +1014,14 @@ class StackedQuantExperts:
     zero_const: float = 8.0
     in_features: int = 0
     out_features: int = 0
+    # rt=True: per-expert words hold the whole-K-tile rt layout
+    # (pack.rt_row_permutation with block_k == K): magic part ``a`` then
+    # extracts a CONTIGUOUS logical row range covering whole groups, so the
+    # kernel contracts per-group PARTIAL DOTS with no per-element scale
+    # work (the dense _qmm_rt_sym_kernel formulation) and consumes x in
+    # LOGICAL order (no plane permute). Round 4: this is what took the e2e
+    # MoE kernel from compute-bound 7 us/slot to DMA-bound (session Z11/12).
+    rt: bool = False
 
 
 def plan_slots_jit(flat_e: jnp.ndarray, E: int, bm: int, S: int):
@@ -1018,8 +1101,8 @@ def fuse_gate_up(sq_g: "StackedQuantExperts", sq_u: "StackedQuantExperts"):
     """Concatenate gate and up stacked experts along the out axis so the
     dispatch streams xs once and launches ONE grouped kernel for both
     projections. Requires identical quant geometry."""
-    if (sq_g.bits, sq_g.G, sq_g.zero_const, sq_g.in_features) != (
-        sq_u.bits, sq_u.G, sq_u.zero_const, sq_u.in_features
+    if (sq_g.bits, sq_g.G, sq_g.zero_const, sq_g.in_features, sq_g.rt) != (
+        sq_u.bits, sq_u.G, sq_u.zero_const, sq_u.in_features, sq_u.rt
     ):
         return None
     return StackedQuantExperts(
@@ -1028,6 +1111,7 @@ def fuse_gate_up(sq_g: "StackedQuantExperts", sq_u: "StackedQuantExperts"):
         bits=sq_g.bits, G=sq_g.G, zero_const=sq_g.zero_const,
         in_features=sq_g.in_features,
         out_features=sq_g.out_features + sq_u.out_features,
+        rt=sq_g.rt,
     )
 
 
@@ -1059,11 +1143,21 @@ def stack_packed_experts(experts: list) -> dict | None:
         return None
     G = p0.in_features // g
     G_pad = max(8, -(-G // 8) * 8)
+    # whole-K-tile rt layout when the geometry allows it: the e2e kernel
+    # then contracts group-aligned partial dots (no per-element scale work,
+    # session Z11/12) and consumes x unpermuted. GPTQ_TPU_QMOE_RT=0 reverts.
+    rt = (stacked_rt_ok(p0.bits, p0.in_features, g)
+          and os.environ.get("GPTQ_TPU_QMOE_RT", "1") == "1")
+    rt_perm = (packing.rt_row_permutation(p0.in_features, p0.bits,
+                                          p0.in_features) if rt else None)
     qws, ss = [], []
     for e in experts:
         qw = np.asarray(e.qweight)
         if e.rt_layout:  # back to interchange layout for the stacked kernel
             qw = packing.unrepack_rt(qw, e.bits, e.rt_block_k)
+        if rt:  # whole-K tile rt repack (block_k == in_features)
+            codes = packing._unpack_axis0_np(qw, p0.bits)
+            qw = packing._pack_axis0_np(codes[rt_perm], p0.bits)
         qws.append(qw)
         s = np.zeros((G_pad, p0.out_features), np.float32)
         s[:G] = np.asarray(e.scales, np.float32)
@@ -1076,4 +1170,5 @@ def stack_packed_experts(experts: list) -> dict | None:
         zero_const=float(p0.zero_const),
         in_features=p0.in_features,
         out_features=p0.out_features,
+        rt=rt,
     )

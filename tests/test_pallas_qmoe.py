@@ -595,3 +595,84 @@ def test_e2e_unroll_matches_unroll1(unroll):
             x, row_pos, tok_flat, w_flat, ids, counts, gu, down,
             act="silu", bm=bm, interpret=True, unroll=u), np.float32)
     np.testing.assert_allclose(outs[unroll], outs[1], rtol=2e-5, atol=1e-5)
+
+
+def _tiny_ql(rng, out_f, in_f, bits=4, g=128):
+    from gptqmodel_tpu.ops.qlinear import make_quant_linear
+    from gptqmodel_tpu.ops.registry import post_init_module
+
+    G = in_f // g
+    Q = rng.integers(0, 2 ** bits, size=(out_f, in_f), dtype=np.int64)
+    scales = (rng.random((G, out_f)) * 0.02 + 0.005).astype(np.float32)
+    zeros = np.full((G, out_f), 2 ** (bits - 1), np.int64)
+    return post_init_module(make_quant_linear(
+        Q=Q, scales=scales, zeros=zeros, g_idx=None, bias=None,
+        bits=bits, group_size=g, sym=True, v1=False))
+
+
+def test_stacked_rt_e2e_matches_interchange(monkeypatch):
+    """Round-4 rt stacked experts (whole-K-tile rt gate|up, session Z12):
+    the e2e kernel with rt gu must match (a) the interchange e2e kernel and
+    (b) the dense fallback, through the REAL stack_packed_experts path.
+    D=512 makes rt eligible (2K/pf % g == 0); down (K=256) stays
+    interchange automatically."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.models.spec import ModelSpec
+    from gptqmodel_tpu.models import transformer as tr
+    from gptqmodel_tpu.ops import registry
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        fuse_gate_up, stack_packed_experts)
+
+    rng = np.random.default_rng(31)
+    E, D, F, g, topk, tokens = 4, 512, 256, 128, 2, 6
+    gates = [_tiny_ql(rng, F, D) for _ in range(E)]
+    ups = [_tiny_ql(rng, F, D) for _ in range(E)]
+    downs = [_tiny_ql(rng, D, F) for _ in range(E)]
+
+    def build(rt_env):
+        monkeypatch.setenv("GPTQ_TPU_QMOE_RT", rt_env)
+        sq = {"gateup": fuse_gate_up(stack_packed_experts(gates),
+                                     stack_packed_experts(ups)),
+              "down": stack_packed_experts(downs)}
+        return sq
+
+    sq_rt = build("1")
+    sq_ic = build("0")
+    assert sq_rt["gateup"].rt and not sq_ic["gateup"].rt
+    assert not sq_rt["down"].rt  # K=256: parts don't cover whole groups
+
+    spec = ModelSpec(model_type="qwen3_moe", vocab_size=128, hidden_size=D,
+                     intermediate_size=F, num_layers=1, num_heads=4,
+                     num_kv_heads=2, head_dim=64, num_experts=E,
+                     num_experts_per_tok=topk, moe_intermediate_size=F)
+    x = jnp.asarray(rng.standard_normal((tokens, D)) * 0.5, jnp.bfloat16)
+    top_i = jnp.asarray(
+        np.stack([rng.permutation(E)[:topk] for _ in range(tokens)]),
+        jnp.int32)
+    top_w = jnp.asarray(
+        rng.uniform(0.1, 1.0, (tokens, topk)).astype(np.float32))
+
+    registry.set_backend("pallas_interpret")
+    try:
+        y_rt = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_rt, x, top_w, top_i), np.float32)
+        y_ic = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_ic, x, top_w, top_i), np.float32)
+        monkeypatch.setenv("GPTQ_TPU_QMOE_E2E", "0")
+        monkeypatch.setattr(tr, "_QMOE_MAX_TOKENS", 0)
+        y_dense = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_ic, x, top_w, top_i), np.float32)
+        # rt stacked on a non-e2e path must fall back to dense (correctness)
+        y_rt_fb = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_rt, x, top_w, top_i), np.float32)
+    finally:
+        registry.set_backend("auto")
+    for name, y in (("ic", y_ic), ("dense", y_dense), ("rt_fb", y_rt_fb)):
+        rel = np.linalg.norm(y_rt - y) / (np.linalg.norm(y) + 1e-9)
+        assert rel < 2e-2, (name, rel)
+
+    # the dense-fallback dequant reverses the rt rows exactly
+    w_rt = np.asarray(tr._moe_dequant_stacked(sq_rt["gateup"], 1), np.float32)
+    w_ic = np.asarray(tr._moe_dequant_stacked(sq_ic["gateup"], 1), np.float32)
+    np.testing.assert_array_equal(w_rt, w_ic)

@@ -39,8 +39,8 @@ pytestmark = pytest.mark.skipif(
 
 # recorded r4 on v5e (BENCH_MOE_r04.json): qwen3-30B-A3B-shaped 4-bit,
 # B=8, 32L, diverse (iid-regime ~52-expert) routing
-RECORDED_MOE_DECODE_TOK_S = 579.7
-RECORDED_MOE_PREFILL_TOK_S = 5483.0
+RECORDED_MOE_DECODE_TOK_S = 961.6
+RECORDED_MOE_PREFILL_TOK_S = 6594.0
 # session X2 (scripts/tpu_session_x.py on the r3 final tree): mega-solver
 # warm solve seconds per llama-8B layer (gate|up + down + qkv + o)
 RECORDED_QUANT_S_PER_LAYER = 57.0
