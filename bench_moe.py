@@ -144,7 +144,7 @@ def build_params(spec, bits=4, g=128):
             qweight=words((E, K // pf, N)),
             scales=jnp.full((E, G_pad, N), scale, jnp.bfloat16),
             bits=bits, G=G, zero_const=8.0, in_features=K, out_features=N,
-            rt=stacked_rt_ok(bits, K, g),
+            rt=stacked_rt_ok(bits, K, g, subgroup=True),
         )
 
     h = D

@@ -916,7 +916,11 @@ def _moe_packed_dense_fallback(spec: ModelSpec, sq: dict, x, top_w, top_i):
     N, D = x.shape
     E = (sq.get("gateup") or sq["gate"]).qweight.shape[0]
     w_full = jnp.zeros((N, E), jnp.float32)
-    w_full = jax.vmap(lambda w, i, row: row.at[i].set(w))(
+    # ADD, not set: duplicate expert ids per row must sum like the ragged
+    # paths do — EP's masked remote picks alias expert 0 with w=0, and a
+    # .set would let the 0 overwrite a real expert-0 weight (r4 bug found
+    # by test_ep_packed_matches_single_device once rt routed EP here)
+    w_full = jax.vmap(lambda w, i, row: row.at[i].add(w))(
         top_w.astype(jnp.float32), top_i, w_full
     )
     xb = x.astype(jnp.bfloat16)

@@ -146,11 +146,15 @@ def _rt_contract(x, u, s_full, *, bits, G, zero_const):
     sf = s_full[:G].astype(jnp.float32)  # [G, nt]
     acc = jnp.zeros((m, nt), jnp.float32)
     if bits == 8:
-        rpp = R  # rows per extraction part
-        gpp = rpp // g
-        assert gpp * g == rpp, (rpp, g)
-        zs = jnp.float32(zero_const) * sf
-        for a in range(pf):
+        parts, rpp = pf, R
+        zbase = jnp.float32(zero_const)
+    else:
+        parts, rpp = pf // 2, 2 * R
+        zbase = jnp.float32(zero_const) + _MAGIC_OFFSET
+        fmask, magic = _MAGIC_BF16[bits]
+    zs = zbase * sf
+    for a in range(parts):
+        if bits == 8:
             t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
                 0x4B000000
             )
@@ -158,43 +162,44 @@ def _rt_contract(x, u, s_full, *, bits, G, zero_const):
                 8388608.0
             )
             wa = wf.astype(jnp.bfloat16)
-            for gi in range(gpp):
-                g_abs = a * gpp + gi
-                xg = x[:, g_abs * g:(g_abs + 1) * g]
-                P = jnp.dot(xg, wa[gi * g:(gi + 1) * g],
-                            preferred_element_type=jnp.float32)
-                X1 = jnp.sum(xg.astype(jnp.float32), axis=1)
-                acc += P * sf[g_abs][None, :] - X1[:, None] * zs[g_abs][None, :]
-    else:
-        rpp = 2 * R
-        gpp = rpp // g
-        assert gpp * g == rpp, (rpp, g)
-        fmask, magic = _MAGIC_BF16[bits]
-        zs = (jnp.float32(zero_const) + _MAGIC_OFFSET) * sf
-        for a in range(pf // 2):
+        else:
             t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(
                 magic
             )
-            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
-            for gi in range(gpp):
-                g_abs = a * gpp + gi
-                xg = x[:, g_abs * g:(g_abs + 1) * g]  # lane slice (g | 128)
-                P = jnp.dot(xg, wa[gi * g:(gi + 1) * g],
-                            preferred_element_type=jnp.float32)
-                X1 = jnp.sum(xg.astype(jnp.float32), axis=1)
-                acc += P * sf[g_abs][None, :] - X1[:, None] * zs[g_abs][None, :]
+            wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [rpp, nt]
+        # walk the part's contiguous logical range [a*rpp, (a+1)*rpp) in
+        # group-aligned SEGMENTS: whole groups when rpp % g == 0 (gate|up),
+        # sub-group cuts at gcd(rpp, g) lanes otherwise (down at K=768:
+        # 128+64 per part) — each segment's scale is still a single s_g
+        lo = a * rpp
+        seg = lo
+        while seg < lo + rpp:
+            g_abs = seg // g
+            seg_end = min((g_abs + 1) * g, lo + rpp)
+            xg = x[:, seg:seg_end]
+            P = jnp.dot(xg, wa[seg - lo:seg_end - lo],
+                        preferred_element_type=jnp.float32)
+            X1 = jnp.sum(xg.astype(jnp.float32), axis=1)
+            acc += P * sf[g_abs][None, :] - X1[:, None] * zs[g_abs][None, :]
+            seg = seg_end
     return acc
 
 
-def stacked_rt_ok(bits: int, K: int, g: int) -> bool:
-    """Whole groups per magic part at block_k == K (and 128-aligned lane
-    slices for the in-kernel x column cuts)."""
+def stacked_rt_ok(bits: int, K: int, g: int, subgroup: bool = False) -> bool:
+    """rt eligibility at block_k == K. ``subgroup=False``: whole groups per
+    magic part and 128-aligned in-kernel x lane cuts (always safe).
+    ``subgroup=True``: allows sub-group segments at gcd(rpp, g) lanes —
+    64-lane static slices, used for the down projection (measured fine on
+    v5e Mosaic, session Z13)."""
     if bits not in (2, 4, 8):
         return False
     pf = 32 // bits
     if K % pf:
         return False
     rpp = (K // pf) if bits == 8 else (2 * K // pf)
+    if subgroup:
+        cut = np.gcd(rpp, g)
+        return g % 64 == 0 and cut % 64 == 0
     return g % 128 == 0 and rpp % g == 0
 
 
@@ -677,6 +682,7 @@ def _qmoe_mlp_e2e_kernel(
     o_ref,  # output [N8, D] f32 VMEM (accumulated)
     gu_buf, sgu_buf, d_buf, sd_buf, sems,  # scratch (NBUF-deep buffers)
     *, bits, F, G_gu, G_d, bm, zc, act, nbuf, unroll=1, rt_gu=False,
+    rt_d=False,
 ):
     n = nused_ref[0]  # caller pads to a multiple of ``unroll`` (w=0 slots)
     N8 = o_ref.shape[0]
@@ -746,14 +752,20 @@ def _qmoe_mlp_e2e_kernel(
                 )  # [bm, 2F] logical N order
                 gg, u = both[:, :F], both[:, F:]
                 inner = (_act_kernel(act)(gg) * u).astype(jnp.bfloat16)
-                inner_p = jnp.dot(
-                    inner, perm_ref[:].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-                ys.append(_ic_contract(
-                    inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
-                    bits=bits, G=G_d, zero_const=zc,
-                ))  # [bm, D] f32
+                if rt_d:  # rt down consumes logical inner: no perm dot
+                    ys.append(_rt_contract(
+                        inner, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
+                        bits=bits, G=G_d, zero_const=zc,
+                    ))  # [bm, D] f32
+                else:
+                    inner_p = jnp.dot(
+                        inner, perm_ref[:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                    ys.append(_ic_contract(
+                        inner_p, d_buf[cur].astype(jnp.uint32), sd_buf[cur],
+                        bits=bits, G=G_d, zero_const=zc,
+                    ))  # [bm, D] f32
             y = ys[0] if U == 1 else jnp.concatenate(ys, axis=0)
             wr = w_ref[pl.ds(r0, U * bm), :]  # [U*bm, 1] f32 (0 for padding)
             # sel^T . (y*w) via dot_general contracting dim 0 of both — the
@@ -772,7 +784,7 @@ def _qmoe_mlp_e2e_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "G_gu", "G_d", "F", "bm", "zc", "act",
-                     "interpret", "nbuf", "unroll", "rt_gu"),
+                     "interpret", "nbuf", "unroll", "rt_gu", "rt_d"),
 )
 def qmoe_mlp_e2e(
     xp: jnp.ndarray,  # [N8, D] bf16 token rows, PLANE-PERMUTED (gu order)
@@ -796,11 +808,13 @@ def qmoe_mlp_e2e(
     nbuf: int = 3,
     unroll: int = 1,
     rt_gu: bool = False,
+    rt_d: bool = False,
 ) -> jnp.ndarray:
     """out [N8, D] f32 = sum over used slots of one-hot-gathered expert MLP
     outputs, routing-weighted — the whole MoE layer after routing in ONE
     kernel instance. ``rt_gu``: gate|up words are rt-packed (whole-K tile)
-    and ``xp`` is in LOGICAL column order."""
+    and ``xp`` is in LOGICAL column order. ``rt_d``: down is rt-packed —
+    it consumes the logical-order inner directly (the perm dot drops)."""
     N8, D = xp.shape
     E, Kpf, twoF = qw_gu.shape
     S = expert_ids.shape[0]
@@ -823,7 +837,7 @@ def qmoe_mlp_e2e(
     Fpf = F // (32 // bits)
     kernel = functools.partial(
         _qmoe_mlp_e2e_kernel, bits=bits, F=F, G_gu=G_gu, G_d=G_d, bm=bm,
-        zc=zc, act=act, nbuf=nbuf, unroll=unroll, rt_gu=rt_gu,
+        zc=zc, act=act, nbuf=nbuf, unroll=unroll, rt_gu=rt_gu, rt_d=rt_d,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -947,7 +961,7 @@ def qmoe_mlp_forward_e2e(
         gu.qweight, gu.scales, down.qweight, down.scales,
         bits=gu.bits, G_gu=gu.G, G_d=down.G, F=gu.out_features // 2,
         bm=bm, zc=gu.zero_const, act=act, interpret=interpret, nbuf=nbuf,
-        unroll=unroll, rt_gu=gu.rt,
+        unroll=unroll, rt_gu=gu.rt, rt_d=down.rt,
     )
     return out[:N]
 
@@ -1146,7 +1160,12 @@ def stack_packed_experts(experts: list) -> dict | None:
     # whole-K-tile rt layout when the geometry allows it: the e2e kernel
     # then contracts group-aligned partial dots (no per-element scale work,
     # session Z11/12) and consumes x unpermuted. GPTQ_TPU_QMOE_RT=0 reverts.
-    rt = (stacked_rt_ok(p0.bits, p0.in_features, g)
+    # subgroup segments default ON: 64-lane static slices compile + win on
+    # v5e Mosaic (session Z13: down-rt 205 -> 175.7 us/layer at iid routing)
+    rt = (stacked_rt_ok(
+              p0.bits, p0.in_features, g,
+              subgroup=os.environ.get("GPTQ_TPU_QMOE_RT_SUBGROUP",
+                                      "1") == "1")
           and os.environ.get("GPTQ_TPU_QMOE_RT", "1") == "1")
     rt_perm = (packing.rt_row_permutation(p0.in_features, p0.bits,
                                           p0.in_features) if rt else None)

@@ -16,7 +16,19 @@ Two compute paths:
   path; the per-call cost is one MXU matmul plus two FHTs.
 * decode-on-the-fly (``trellis_dequantize``): jit-safe lax.scan window
   reconstruction + table gather, used at load/export and as the executable
-  reference the future Pallas in-kernel decoder is validated against.
+  reference.
+
+A packed-STREAMING Pallas decode kernel (the exl3_gemm.cu analog, K
+bits/weight off HBM) was resolved as a measured CUT in round 4
+(scripts/tpu_session_exl3.py): the per-weight ring-window extraction +
+procedural mcg codebook + m16n16 de-permutation sequence consumes packed
+words at 46 GB/s on the v5e VPU = 92 Gweight/s, 0.26x the convert path's
+350 Gweight/s (dense bf16 at the 700 GB/s wall). Unlike GPTQ's 1.5-op
+magic unpack, trellis decode is ~13 VPU ops/weight — VPU-bound at ~7% of
+the DMA wall, so on TPU the bandwidth saving can never be realized. The
+dense convert path IS the fast path on this hardware (the CUDA kernel wins
+on GPUs because lop3/XOR-shift pipelines decode in tensor-core-adjacent
+ALUs at far higher integer throughput per byte of bandwidth).
 """
 
 from __future__ import annotations

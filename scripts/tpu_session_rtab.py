@@ -40,7 +40,7 @@ for K, N in SHAPES:
     Q = rng.integers(0, 16, size=(K, N), dtype=np.int32)
     qw = packing.pack_qweight(Q, bits)
     bkr = rt_block_k_for(K, g, N=N)
-    qw_rt = packing.repack_rt(qw, bits, K, bkr)
+    qw_rt = packing.repack_rt(qw, bits, bkr)
     scales = (rng.random((G, N), np.float32) * 0.01 + 0.005).astype(np.float32)
     zv = np.full((G, N), 8.0, np.float32)
     x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.bfloat16)

@@ -632,6 +632,10 @@ def test_stacked_rt_e2e_matches_interchange(monkeypatch):
 
     def build(rt_env):
         monkeypatch.setenv("GPTQ_TPU_QMOE_RT", rt_env)
+        # pin the whole-group-only mode: this test exercises the MIXED
+        # kernel (rt gu + interchange down + perm dot); the subgroup-rt
+        # down is covered by test_stacked_rt_subgroup_down
+        monkeypatch.setenv("GPTQ_TPU_QMOE_RT_SUBGROUP", "0")
         sq = {"gateup": fuse_gate_up(stack_packed_experts(gates),
                                      stack_packed_experts(ups)),
               "down": stack_packed_experts(downs)}
@@ -640,7 +644,7 @@ def test_stacked_rt_e2e_matches_interchange(monkeypatch):
     sq_rt = build("1")
     sq_ic = build("0")
     assert sq_rt["gateup"].rt and not sq_ic["gateup"].rt
-    assert not sq_rt["down"].rt  # K=256: parts don't cover whole groups
+    assert not sq_rt["down"].rt  # whole-group mode: K=256 parts misalign
 
     spec = ModelSpec(model_type="qwen3_moe", vocab_size=128, hidden_size=D,
                      intermediate_size=F, num_layers=1, num_heads=4,
@@ -676,3 +680,61 @@ def test_stacked_rt_e2e_matches_interchange(monkeypatch):
     w_rt = np.asarray(tr._moe_dequant_stacked(sq_rt["gateup"], 1), np.float32)
     w_ic = np.asarray(tr._moe_dequant_stacked(sq_ic["gateup"], 1), np.float32)
     np.testing.assert_array_equal(w_rt, w_ic)
+
+
+def test_stacked_rt_subgroup_down(monkeypatch):
+    """Sub-group rt segments (GPTQ_TPU_QMOE_RT_SUBGROUP=1): down's magic
+    parts don't cover whole groups (K=256, g=128 -> 64-row parts), so the
+    contract cuts segments at gcd(rpp, g) lanes — outputs must match the
+    interchange path and the dense fallback."""
+    import jax.numpy as jnp
+
+    from gptqmodel_tpu.models.spec import ModelSpec
+    from gptqmodel_tpu.models import transformer as tr
+    from gptqmodel_tpu.ops import registry
+    from gptqmodel_tpu.ops.pallas_qmoe import (
+        fuse_gate_up, stack_packed_experts)
+
+    rng = np.random.default_rng(47)
+    E, D, F, g, topk, tokens = 4, 512, 256, 128, 2, 6
+    gates = [_tiny_ql(rng, F, D) for _ in range(E)]
+    ups = [_tiny_ql(rng, F, D) for _ in range(E)]
+    downs = [_tiny_ql(rng, D, F) for _ in range(E)]
+
+    monkeypatch.setenv("GPTQ_TPU_QMOE_RT_SUBGROUP", "1")
+    sq_rt = {"gateup": fuse_gate_up(stack_packed_experts(gates),
+                                    stack_packed_experts(ups)),
+             "down": stack_packed_experts(downs)}
+    assert sq_rt["gateup"].rt and sq_rt["down"].rt
+    monkeypatch.setenv("GPTQ_TPU_QMOE_RT", "0")
+    sq_ic = {"gateup": fuse_gate_up(stack_packed_experts(gates),
+                                    stack_packed_experts(ups)),
+             "down": stack_packed_experts(downs)}
+    monkeypatch.delenv("GPTQ_TPU_QMOE_RT")
+
+    spec = ModelSpec(model_type="qwen3_moe", vocab_size=128, hidden_size=D,
+                     intermediate_size=F, num_layers=1, num_heads=4,
+                     num_kv_heads=2, head_dim=64, num_experts=E,
+                     num_experts_per_tok=topk, moe_intermediate_size=F)
+    x = jnp.asarray(rng.standard_normal((tokens, D)) * 0.5, jnp.bfloat16)
+    top_i = jnp.asarray(
+        np.stack([rng.permutation(E)[:topk] for _ in range(tokens)]),
+        jnp.int32)
+    top_w = jnp.asarray(
+        rng.uniform(0.1, 1.0, (tokens, topk)).astype(np.float32))
+
+    registry.set_backend("pallas_interpret")
+    try:
+        y_rt = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_rt, x, top_w, top_i), np.float32)
+        y_ic = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_ic, x, top_w, top_i), np.float32)
+        monkeypatch.setenv("GPTQ_TPU_QMOE_E2E", "0")
+        monkeypatch.setattr(tr, "_QMOE_MAX_TOKENS", 0)
+        y_dense = np.asarray(
+            tr._moe_ragged_apply_q(spec, sq_rt, x, top_w, top_i), np.float32)
+    finally:
+        registry.set_backend("auto")
+    for name, y in (("ic", y_ic), ("dense", y_dense)):
+        rel = np.linalg.norm(y_rt - y) / (np.linalg.norm(y) + 1e-9)
+        assert rel < 2e-2, (name, rel)

@@ -39,11 +39,12 @@ pytestmark = pytest.mark.skipif(
 
 # recorded r4 on v5e (BENCH_MOE_r04.json): qwen3-30B-A3B-shaped 4-bit,
 # B=8, 32L, diverse (iid-regime ~52-expert) routing
-RECORDED_MOE_DECODE_TOK_S = 961.6
-RECORDED_MOE_PREFILL_TOK_S = 6594.0
-# session X2 (scripts/tpu_session_x.py on the r3 final tree): mega-solver
-# warm solve seconds per llama-8B layer (gate|up + down + qkv + o)
-RECORDED_QUANT_S_PER_LAYER = 57.0
+RECORDED_MOE_DECODE_TOK_S = 1083.1
+RECORDED_MOE_PREFILL_TOK_S = 6834.0
+# scripts/quant_band_probe.py measured on this tree (r4): mega-solver warm
+# layer-1 module-time sum at llama-8B shapes, 2-layer probe config (the
+# 4-layer session-X2 config measured 57 s/layer with deeper replay)
+RECORDED_QUANT_S_PER_LAYER = 35.7
 
 
 def _run_bench_moe():
