@@ -9,6 +9,12 @@ generate. Endpoints:
 - POST /v1/completions        (raw prompt)
 - GET  /v1/models
 
+Both POST endpoints honor ``"stream": true`` with OpenAI-protocol SSE
+(``data: {chunk}\n\n`` ... ``data: [DONE]``): the engine's per-token
+``stream_cb`` feeds a queue the handler drains, emitting incremental text
+deltas (full-prefix re-decode per token so multi-byte tokenizer merges
+stay correct).
+
 A single background thread drives ``engine.step()``; HTTP handler threads
 submit requests and block on their completion events, so many concurrent
 clients share the decode batch.
@@ -71,16 +77,33 @@ class OpenAiServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _sse(self, chunks):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for payload in chunks:
+                    self.wfile.write(
+                        b"data: " + json.dumps(payload).encode() + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    if self.path == "/v1/chat/completions":
-                        self._json(200, server._chat(req))
-                    elif self.path == "/v1/completions":
-                        self._json(200, server._completion(req))
-                    else:
+                    chat = self.path == "/v1/chat/completions"
+                    if self.path not in ("/v1/chat/completions",
+                                         "/v1/completions"):
                         self._json(404, {"error": "not found"})
+                        return
+                    if req.get("stream"):
+                        self._sse(server._stream(req, chat=chat))
+                    elif chat:
+                        self._json(200, server._chat(req))
+                    else:
+                        self._json(200, server._completion(req))
                 except Exception as e:  # surface errors as API errors
                     self._json(500, {"error": {"message": str(e)}})
 
@@ -119,6 +142,70 @@ class OpenAiServer:
             ids = ids[:-1]
         text = self.tokenizer.decode(ids, skip_special_tokens=True)
         return text, r.finish_reason, len(r.output_ids)
+
+    def _stream(self, req: dict, chat: bool):
+        """Generator of OpenAI stream chunks (the SSE payloads)."""
+        import queue
+
+        if chat:
+            ids = self.tokenizer.apply_chat_template(
+                req.get("messages", []), add_generation_prompt=True,
+                tokenize=True)
+        else:
+            ids = self.tokenizer(req.get("prompt", ""))["input_ids"]
+        q: queue.Queue = queue.Queue()
+        r = self.engine.submit(
+            ids,
+            max_new_tokens=int(req.get("max_tokens", 128)),
+            temperature=float(req.get("temperature", 0.0)),
+            top_k=int(req.get("top_k", 0)),
+            top_p=float(req.get("top_p", 1.0)),
+            stream_cb=q.put,
+        )
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        rid = "chatcmpl-0" if chat else "cmpl-0"
+        created = int(time.time())
+        if chat:  # role preamble chunk (OpenAI protocol)
+            yield {
+                "id": rid, "object": obj, "created": created,
+                "model": self.model_name,
+                "choices": [{"index": 0,
+                             "delta": {"role": "assistant", "content": ""},
+                             "finish_reason": None}],
+            }
+        out_ids: list[int] = []
+        sent = ""
+        while True:
+            try:
+                tok = q.get(timeout=0.1)
+            except queue.Empty:
+                if r.done and q.empty():
+                    break
+                continue
+            if (self.engine.eos_token_id is not None
+                    and tok == self.engine.eos_token_id):
+                continue
+            out_ids.append(int(tok))
+            # full-prefix re-decode: the delta is whatever text appeared
+            # (multi-byte/multi-token merges emit nothing until complete)
+            text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+            delta, sent = text[len(sent):], text
+            if not delta:
+                continue
+            body = ({"delta": {"content": delta}} if chat
+                    else {"text": delta})
+            yield {
+                "id": rid, "object": obj, "created": created,
+                "model": self.model_name,
+                "choices": [dict(body, index=0, finish_reason=None)],
+            }
+        yield {
+            "id": rid, "object": obj, "created": created,
+            "model": self.model_name,
+            "choices": [{"index": 0,
+                         **({"delta": {}} if chat else {"text": ""}),
+                         "finish_reason": r.finish_reason or "stop"}],
+        }
 
     def _chat(self, req: dict) -> dict:
         msgs = req.get("messages", [])

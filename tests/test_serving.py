@@ -149,3 +149,53 @@ def test_openai_server_endpoints():
         assert len(results) == 4
     finally:
         srv.shutdown()
+
+
+def test_openai_server_streaming():
+    """SSE streaming (stream: true): chunked deltas concatenate to the
+    non-streamed completion, protocol framing intact (data:/[DONE])."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+    from gptqmodel_tpu.inference.server import OpenAiServer
+
+    spec = tiny_spec(hidden=64, layers=1, heads=4, kv_heads=2, inter=128,
+                     vocab=128)
+    params = random_dense_params(spec, seed=4)
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=128, dtype=jnp.float32)
+    srv = OpenAiServer(eng, _FakeTokenizer())
+    port = _free_port()
+    srv.start(port=port, block=False)
+    try:
+        def post_raw(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.read().decode(), r.headers.get("Content-Type")
+
+        plain = json.loads(post_raw(
+            "/v1/completions", {"prompt": "hello", "max_tokens": 6})[0])
+        body, ctype = post_raw(
+            "/v1/completions",
+            {"prompt": "hello", "max_tokens": 6, "stream": True})
+        assert ctype.startswith("text/event-stream")
+        lines = [ln for ln in body.split("\n\n") if ln.startswith("data: ")]
+        assert lines[-1] == "data: [DONE]"
+        chunks = [json.loads(ln[len("data: "):]) for ln in lines[:-1]]
+        text = "".join(c["choices"][0].get("text", "") for c in chunks)
+        assert text == plain["choices"][0]["text"]
+        assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+        body, _ = post_raw(
+            "/v1/chat/completions",
+            {"messages": [{"role": "user", "content": "hi"}],
+             "max_tokens": 4, "stream": True})
+        lines = [ln for ln in body.split("\n\n") if ln.startswith("data: ")]
+        chunks = [json.loads(ln[len("data: "):]) for ln in lines[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[0]["object"] == "chat.completion.chunk"
+        assert any(c["choices"][0].get("delta", {}).get("content")
+                   for c in chunks[1:])
+    finally:
+        srv.shutdown()
