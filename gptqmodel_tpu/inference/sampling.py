@@ -35,8 +35,13 @@ def sample_tokens(
     temperature: jnp.ndarray,  # [B] float; <= 0 means greedy for that row
     top_k: jnp.ndarray,  # [B] int32; 0 disables the top-k cut
     top_p: jnp.ndarray,  # [B] float; 1.0 disables the nucleus cut
+    min_p: jnp.ndarray | None = None,  # [B] float; 0.0 disables
 ) -> jnp.ndarray:
-    """Sampled token ids [B] (int32). Jit-safe, no host sync."""
+    """Sampled token ids [B] (int32). Jit-safe, no host sync.
+
+    ``min_p`` (HF GenerationConfig semantics): drop tokens whose
+    probability is below ``min_p * max_prob`` (applied after temperature,
+    before top-k/top-p, like transformers' MinPLogitsWarper order)."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -46,6 +51,12 @@ def sample_tokens(
         scaled = logits / t
         # one full descending sort; all cuts happen in sorted space
         sl, si = jax.lax.top_k(scaled, V)  # [B, V] values desc, indices
+        if min_p is not None:
+            p_full = jax.nn.softmax(sl, axis=-1)
+            thresh = min_p.astype(jnp.float32)[:, None] * p_full[:, :1]
+            sl = jnp.where(
+                (min_p.astype(jnp.float32)[:, None] > 0.0)
+                & (p_full < thresh), _NEG, sl)
         pos = jnp.arange(V, dtype=jnp.int32)[None, :]
         k = top_k.astype(jnp.int32)[:, None]
         sl = jnp.where((k > 0) & (pos >= k), _NEG, sl)

@@ -50,6 +50,7 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
     eos_token_id: Optional[int] = None
     stream_cb: Optional[Callable[[int], None]] = None
     # filled during processing
@@ -104,6 +105,7 @@ class ContinuousBatchingEngine:
         self.temp = np.zeros(self.B, np.float32)
         self.topk = np.zeros(self.B, np.int32)
         self.topp = np.ones(self.B, np.float32)
+        self.minp = np.zeros(self.B, np.float32)
         self._base_key = jax.random.PRNGKey(seed)
         self._draws = 0  # folds into the key: one fresh subkey per sample
 
@@ -120,7 +122,7 @@ class ContinuousBatchingEngine:
 
         @jax.jit
         def prefill(params, caches, key_valid, ids, true_len, slot,
-                    base_key, draw, temp, topk, topp):
+                    base_key, draw, temp, topk, topp, minp):
             # mini-cache view for the slot (generic over int8-KV scale keys)
             mini = []
             for c in caches:
@@ -161,7 +163,7 @@ class ContinuousBatchingEngine:
             )
             tok = sample_tokens(
                 logits[None], jax.random.fold_in(base_key, draw),
-                temp[None], topk[None], topp[None],
+                temp[None], topk[None], topp[None], minp[None],
             )[0]
             return tok, caches, key_valid
 
@@ -173,7 +175,7 @@ class ContinuousBatchingEngine:
 
         @jax.jit
         def decode(params, caches, key_valid, token, pos,
-                   base_key, draw, temp, topk, topp):
+                   base_key, draw, temp, topk, topp, minp):
             B = token.shape[0]
             key_valid = key_valid.at[jnp.arange(B), pos].set(True)
             cos, sin = rope_cos_sin(spec, pos[:, None])
@@ -194,7 +196,8 @@ class ContinuousBatchingEngine:
             h = final_norm(spec, params, h)
             logits = lm_logits(spec, params, h)[:, 0]
             toks = sample_tokens(
-                logits, jax.random.fold_in(base_key, draw), temp, topk, topp
+                logits, jax.random.fold_in(base_key, draw), temp, topk, topp,
+                minp,
             )
             return toks, new_caches, key_valid
 
@@ -208,6 +211,7 @@ class ContinuousBatchingEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         stream_cb=None,
     ) -> Request:
         with self._lock:
@@ -218,6 +222,7 @@ class ContinuousBatchingEngine:
                 temperature=temperature,
                 top_k=top_k,
                 top_p=top_p,
+                min_p=min_p,
                 eos_token_id=self.eos_token_id,
                 stream_cb=stream_cb,
             )
@@ -270,12 +275,13 @@ class ContinuousBatchingEngine:
         self.temp[slot] = req.temperature
         self.topk[slot] = req.top_k
         self.topp[slot] = req.top_p
+        self.minp[slot] = req.min_p
         tok_dev, self.caches, self.key_valid = self._prefill_cache[Tb](
             self.params, self.caches, self.key_valid, jnp.asarray(ids),
             jnp.int32(T_true), jnp.int32(slot),
             self._base_key, jnp.uint32(self._draws),
             jnp.float32(req.temperature), jnp.int32(req.top_k),
-            jnp.float32(req.top_p),
+            jnp.float32(req.top_p), jnp.float32(req.min_p),
         )
         self._draws += 1
         tok = int(tok_dev)
@@ -293,7 +299,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(self.last_token), jnp.asarray(self.pos),
             self._base_key, jnp.uint32(self._draws),
             jnp.asarray(self.temp), jnp.asarray(self.topk),
-            jnp.asarray(self.topp),
+            jnp.asarray(self.topp), jnp.asarray(self.minp),
         )
         self._draws += 1
         toks = np.asarray(toks)  # [B] int32 — the only host transfer
@@ -313,6 +319,7 @@ class ContinuousBatchingEngine:
                 self.slots[i] = None
                 self.key_valid = self.key_valid.at[i].set(False)
                 self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
+                self.minp[i] = 0.0
         return finished
 
     def _emit(self, req: Request, tok: int):

@@ -135,6 +135,7 @@ class OpenAiServer:
             temperature=float(req.get("temperature", 0.0)),
             top_k=int(req.get("top_k", 0)),
             top_p=float(req.get("top_p", 1.0)),
+            min_p=float(req.get("min_p", 0.0)),
         )
         r.wait()
         ids = r.output_ids
@@ -160,6 +161,7 @@ class OpenAiServer:
             temperature=float(req.get("temperature", 0.0)),
             top_k=int(req.get("top_k", 0)),
             top_p=float(req.get("top_p", 1.0)),
+            min_p=float(req.get("min_p", 0.0)),
             stream_cb=q.put,
         )
         obj = "chat.completion.chunk" if chat else "text_completion"

@@ -118,3 +118,27 @@ def test_engine_device_sampling_deterministic_and_plausible():
     greedy = eng.generate([5, 6, 7], max_new_tokens=8)
     assert all(0 <= t < spec.vocab_size for t in outs[0])
     assert outs[0] != greedy  # stochastic at temp 1.2 on a random model
+
+
+def test_min_p_support():
+    # probs 0.6/0.25/0.1/0.05; min_p=0.3 keeps p >= 0.3*0.6=0.18 -> {0, 1}
+    probs = np.array([0.6, 0.25, 0.1, 0.05])
+    logits = jnp.asarray(np.log(probs)[None], jnp.float32)
+    f = jax.jit(sample_tokens)
+    toks = []
+    for i in range(300):
+        toks.append(int(f(
+            logits, jax.random.fold_in(jax.random.PRNGKey(3), i),
+            jnp.asarray([1.0], jnp.float32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([1.0], jnp.float32),
+            jnp.asarray([0.3], jnp.float32))[0]))
+    assert set(toks) <= {0, 1} and len(set(toks)) == 2
+    # min_p=0 disables the cut (all four reachable at temp 2)
+    toks = []
+    for i in range(600):
+        toks.append(int(f(
+            logits * 0.5, jax.random.fold_in(jax.random.PRNGKey(4), i),
+            jnp.asarray([1.0], jnp.float32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([1.0], jnp.float32),
+            jnp.asarray([0.0], jnp.float32))[0]))
+    assert set(toks) == {0, 1, 2, 3}
