@@ -74,3 +74,12 @@ def sample_tokens(
     # skip the [B, V] sort entirely when the whole batch is greedy
     toks = jax.lax.cond(any_stochastic, sampled, lambda _: greedy, None)
     return jnp.where(temperature > 0.0, toks, greedy).astype(jnp.int32)
+
+
+def chosen_logprobs(logits: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
+    """log P(tok) under the model's raw distribution [B] (OpenAI logprobs
+    semantics: natural log-softmax of the unmodified logits, independent of
+    the sampler's temperature/cuts)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, toks[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]

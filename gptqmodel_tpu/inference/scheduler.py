@@ -55,6 +55,7 @@ class Request:
     stream_cb: Optional[Callable[[int], None]] = None
     # filled during processing
     output_ids: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)  # chosen-token log P
     done: bool = False
     finish_reason: str = ""
     _event: threading.Event = field(default_factory=threading.Event)
@@ -118,7 +119,8 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int):
         spec, L, dtype = self.spec, self.L, self.dtype
-        from gptqmodel_tpu.inference.sampling import sample_tokens
+        from gptqmodel_tpu.inference.sampling import (
+            chosen_logprobs, sample_tokens)
 
         @jax.jit
         def prefill(params, caches, key_valid, ids, true_len, slot,
@@ -165,13 +167,15 @@ class ContinuousBatchingEngine:
                 logits[None], jax.random.fold_in(base_key, draw),
                 temp[None], topk[None], topp[None], minp[None],
             )[0]
-            return tok, caches, key_valid
+            lp = chosen_logprobs(logits[None], tok[None])[0]
+            return tok, lp, caches, key_valid
 
         return prefill
 
     def _make_decode(self):
         spec, dtype = self.spec, self.dtype
-        from gptqmodel_tpu.inference.sampling import sample_tokens
+        from gptqmodel_tpu.inference.sampling import (
+            chosen_logprobs, sample_tokens)
 
         @jax.jit
         def decode(params, caches, key_valid, token, pos,
@@ -199,7 +203,8 @@ class ContinuousBatchingEngine:
                 logits, jax.random.fold_in(base_key, draw), temp, topk, topp,
                 minp,
             )
-            return toks, new_caches, key_valid
+            lps = chosen_logprobs(logits, toks)
+            return toks, lps, new_caches, key_valid
 
         return decode
 
@@ -276,7 +281,7 @@ class ContinuousBatchingEngine:
         self.topk[slot] = req.top_k
         self.topp[slot] = req.top_p
         self.minp[slot] = req.min_p
-        tok_dev, self.caches, self.key_valid = self._prefill_cache[Tb](
+        tok_dev, lp_dev, self.caches, self.key_valid = self._prefill_cache[Tb](
             self.params, self.caches, self.key_valid, jnp.asarray(ids),
             jnp.int32(T_true), jnp.int32(slot),
             self._base_key, jnp.uint32(self._draws),
@@ -285,6 +290,7 @@ class ContinuousBatchingEngine:
         )
         self._draws += 1
         tok = int(tok_dev)
+        req.logprobs.append(float(lp_dev))
         self._emit(req, tok)
         self.slots[slot] = req
         self.pos[slot] = T_true
@@ -294,7 +300,7 @@ class ContinuousBatchingEngine:
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []
-        toks, self.caches, self.key_valid = self._decode_fn(
+        toks, lps, self.caches, self.key_valid = self._decode_fn(
             self.params, self.caches, self.key_valid,
             jnp.asarray(self.last_token), jnp.asarray(self.pos),
             self._base_key, jnp.uint32(self._draws),
@@ -302,11 +308,13 @@ class ContinuousBatchingEngine:
             jnp.asarray(self.topp), jnp.asarray(self.minp),
         )
         self._draws += 1
-        toks = np.asarray(toks)  # [B] int32 — the only host transfer
+        toks = np.asarray(toks)  # [B] int32 + [B] f32 logprobs to host
+        lps = np.asarray(lps)
         finished = []
         for i in active:
             req = self.slots[i]
             tok = int(toks[i])
+            req.logprobs.append(float(lps[i]))
             self._emit(req, tok)
             self.pos[i] += 1
             self.last_token[i] = tok

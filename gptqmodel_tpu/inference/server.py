@@ -128,7 +128,7 @@ class OpenAiServer:
             self._httpd.shutdown()
 
     # ----------------------------------------------------------- handlers
-    def _gen(self, prompt_ids, req: dict) -> tuple[str, str, int]:
+    def _gen(self, prompt_ids, req: dict):
         r = self.engine.submit(
             prompt_ids,
             max_new_tokens=int(req.get("max_tokens", 128)),
@@ -142,7 +142,7 @@ class OpenAiServer:
         if self.engine.eos_token_id is not None and ids and ids[-1] == self.engine.eos_token_id:
             ids = ids[:-1]
         text = self.tokenizer.decode(ids, skip_special_tokens=True)
-        return text, r.finish_reason, len(r.output_ids)
+        return text, r.finish_reason, len(r.output_ids), r
 
     def _stream(self, req: dict, chat: bool):
         """Generator of OpenAI stream chunks (the SSE payloads)."""
@@ -214,7 +214,7 @@ class OpenAiServer:
         ids = self.tokenizer.apply_chat_template(
             msgs, add_generation_prompt=True, tokenize=True
         )
-        text, reason, n_out = self._gen(ids, req)
+        text, reason, n_out, _r = self._gen(ids, req)
         return {
             "id": "chatcmpl-0",
             "object": "chat.completion",
@@ -235,13 +235,19 @@ class OpenAiServer:
     def _completion(self, req: dict) -> dict:
         prompt = req.get("prompt", "")
         ids = self.tokenizer(prompt)["input_ids"]
-        text, reason, n_out = self._gen(ids, req)
+        text, reason, n_out, r = self._gen(ids, req)
+        choice = {"index": 0, "text": text, "finish_reason": reason or "stop"}
+        if req.get("logprobs"):
+            choice["logprobs"] = {
+                "tokens": [self.tokenizer.decode([t]) for t in r.output_ids],
+                "token_logprobs": [round(v, 6) for v in r.logprobs],
+            }
         return {
             "id": "cmpl-0",
             "object": "text_completion",
             "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{"index": 0, "text": text, "finish_reason": reason or "stop"}],
+            "choices": [choice],
             "usage": {
                 "prompt_tokens": len(ids),
                 "completion_tokens": n_out,

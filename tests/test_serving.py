@@ -199,3 +199,50 @@ def test_openai_server_streaming():
                    for c in chunks[1:])
     finally:
         srv.shutdown()
+
+
+def test_completions_logprobs():
+    """OpenAI completions `logprobs`: chosen-token log P of the RAW model
+    distribution (greedy => each logprob is the max log-softmax entry)."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+    from gptqmodel_tpu.inference.server import OpenAiServer
+    from gptqmodel_tpu.models.transformer import forward_logits
+
+    spec = tiny_spec(hidden=64, layers=1, heads=4, kv_heads=2, inter=128,
+                     vocab=128)
+    params = random_dense_params(spec, seed=6)
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=1, max_len=64, dtype=jnp.float32)
+    r = eng.submit([5, 6, 7], max_new_tokens=4)
+    while not r.done:
+        eng.step()
+    assert len(r.logprobs) == 4
+    # oracle: greedy token's logprob from a full forward
+    seq = [5, 6, 7]
+    for t, lp in zip(r.output_ids, r.logprobs):
+        logits = np.asarray(forward_logits(
+            spec, params, jnp.asarray([seq], dtype=jnp.int32)))[0, -1]
+        ref = logits - (np.log(np.exp(logits - logits.max()).sum())
+                        + logits.max())
+        assert t == int(np.argmax(logits))
+        assert abs(lp - ref[t]) < 5e-4, (lp, ref[t])
+        seq.append(t)
+
+    srv = OpenAiServer(eng, _FakeTokenizer())
+    port = _free_port()
+    srv.start(port=port, block=False)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "abc", "max_tokens": 3,
+                             "logprobs": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["token_logprobs"]) == 3
+        assert all(isinstance(v, float) and v <= 0.0
+                   for v in lp["token_logprobs"])
+        assert len(lp["tokens"]) == 3
+    finally:
+        srv.shutdown()
