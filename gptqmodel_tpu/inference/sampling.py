@@ -40,8 +40,10 @@ def sample_tokens(
     """Sampled token ids [B] (int32). Jit-safe, no host sync.
 
     ``min_p`` (HF GenerationConfig semantics): drop tokens whose
-    probability is below ``min_p * max_prob`` (applied after temperature,
-    before top-k/top-p, like transformers' MinPLogitsWarper order)."""
+    probability is below ``min_p * max_prob``. Warper order matches
+    transformers' _get_logits_processor: Temperature -> TopK -> TopP ->
+    MinP (min_p is scale-invariant, so it reads the post-top-p masked
+    distribution exactly like HF's chained warpers)."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -51,12 +53,6 @@ def sample_tokens(
         scaled = logits / t
         # one full descending sort; all cuts happen in sorted space
         sl, si = jax.lax.top_k(scaled, V)  # [B, V] values desc, indices
-        if min_p is not None:
-            p_full = jax.nn.softmax(sl, axis=-1)
-            thresh = min_p.astype(jnp.float32)[:, None] * p_full[:, :1]
-            sl = jnp.where(
-                (min_p.astype(jnp.float32)[:, None] > 0.0)
-                & (p_full < thresh), _NEG, sl)
         pos = jnp.arange(V, dtype=jnp.int32)[None, :]
         k = top_k.astype(jnp.int32)[:, None]
         sl = jnp.where((k > 0) & (pos >= k), _NEG, sl)
@@ -66,6 +62,12 @@ def sample_tokens(
         cum = jnp.cumsum(p, axis=-1)
         keep = (cum - p) < top_p.astype(jnp.float32)[:, None]
         sl = jnp.where(keep, sl, _NEG)
+        if min_p is not None:  # HF order: MinP runs AFTER TopK/TopP
+            p2 = jax.nn.softmax(sl, axis=-1)
+            thresh = min_p.astype(jnp.float32)[:, None] * p2[:, :1]
+            sl = jnp.where(
+                (min_p.astype(jnp.float32)[:, None] > 0.0)
+                & (p2 < thresh), _NEG, sl)
         # categorical renormalizes internally (softmax over masked logits)
         idx = jax.random.categorical(key, sl, axis=-1)
         return jnp.take_along_axis(si, idx[:, None], axis=-1)[:, 0]

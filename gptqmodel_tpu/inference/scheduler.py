@@ -292,6 +292,17 @@ class ContinuousBatchingEngine:
         tok = int(tok_dev)
         req.logprobs.append(float(lp_dev))
         self._emit(req, tok)
+        # the prefill-sampled token must honor stop conditions too (eos as
+        # FIRST token, or max_new_tokens == 1) — review finding r4
+        eos = req.eos_token_id is not None and tok == req.eos_token_id
+        if eos or len(req.output_ids) >= req.max_new_tokens:
+            req.done = True
+            req.finish_reason = "stop" if eos else "length"
+            req._event.set()
+            self.temp[slot], self.topk[slot], self.topp[slot] = 0.0, 0, 1.0
+            self.minp[slot] = 0.0
+            self.key_valid = self.key_valid.at[slot].set(False)
+            return
         self.slots[slot] = req
         self.pos[slot] = T_true
         self.last_token[slot] = tok

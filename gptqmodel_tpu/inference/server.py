@@ -82,12 +82,29 @@ class OpenAiServer:
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
-                for payload in chunks:
-                    self.wfile.write(
-                        b"data: " + json.dumps(payload).encode() + b"\n\n")
+                # after this point the response is COMMITTED: errors must
+                # not fall through to a second status line (review finding
+                # r4) — at most emit a best-effort SSE error event
+                try:
+                    for payload in chunks:
+                        self.wfile.write(
+                            b"data: " + json.dumps(payload).encode()
+                            + b"\n\n")
+                        self.wfile.flush()
+                    self.wfile.write(b"data: [DONE]\n\n")
                     self.wfile.flush()
-                self.wfile.write(b"data: [DONE]\n\n")
-                self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    log.debug("SSE client disconnected")
+                except Exception as e:
+                    log.warning("SSE stream error: %s", e)
+                    try:
+                        self.wfile.write(
+                            b"data: " + json.dumps(
+                                {"error": {"message": str(e)}}).encode()
+                            + b"\n\n")
+                        self.wfile.flush()
+                    except OSError:
+                        pass
 
             def do_POST(self):
                 try:
@@ -100,6 +117,7 @@ class OpenAiServer:
                         return
                     if req.get("stream"):
                         self._sse(server._stream(req, chat=chat))
+                        return
                     elif chat:
                         self._json(200, server._chat(req))
                     else:
@@ -189,13 +207,29 @@ class OpenAiServer:
                 continue
             out_ids.append(int(tok))
             # full-prefix re-decode: the delta is whatever text appeared
-            # (multi-byte/multi-token merges emit nothing until complete)
+            # (multi-byte/multi-token merges emit nothing until complete).
+            # Hold back while the tail is an INCOMPLETE UTF-8 sequence
+            # (U+FFFD): emitting it would stream a replacement char that a
+            # later token retroactively changes (review finding r4)
             text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+            if text.endswith("\ufffd"):
+                continue
             delta, sent = text[len(sent):], text
             if not delta:
                 continue
             body = ({"delta": {"content": delta}} if chat
                     else {"text": delta})
+            yield {
+                "id": rid, "object": obj, "created": created,
+                "model": self.model_name,
+                "choices": [dict(body, index=0, finish_reason=None)],
+            }
+        # flush any held-back tail (even a genuinely invalid sequence is
+        # emitted once generation is over)
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        if text[len(sent):]:
+            body = ({"delta": {"content": text[len(sent):]}} if chat
+                    else {"text": text[len(sent):]})
             yield {
                 "id": rid, "object": obj, "created": created,
                 "model": self.model_name,

@@ -891,7 +891,7 @@ def qmoe_e2e_unroll(N: int) -> int:
 
 def qmoe_e2e_supported(
     *, bits, D, F, G_gu, G_d, N, bm, act, nbuf: int | None = None,
-    budget: int = _QMOE_E2E_VMEM_BUDGET,
+    unroll: int | None = None, budget: int = _QMOE_E2E_VMEM_BUDGET,
 ) -> bool:
     """Eligibility + VMEM estimate for the e2e layer kernel. Unlike the
     slot-grid kernel, the resident buffers scale with the TOKEN count N
@@ -910,17 +910,25 @@ def qmoe_e2e_supported(
     rows_d = (2 * F // pf) if bits != 8 else (F // pf)
     if rows_gu % G_gu or rows_d % G_d:
         return False
+    if unroll is None:
+        unroll = qmoe_e2e_unroll(N)
     if nbuf is None:
-        nbuf = max(qmoe_e2e_nbuf(N), 2 * qmoe_e2e_unroll(N))
+        nbuf = max(qmoe_e2e_nbuf(N), 2 * unroll)
+    U = max(1, unroll)
     N8 = max(8, -(-N // 8) * 8)
     gu_tile = (D // pf) * 2 * F * 4
     d_tile = (F // pf) * D * 4
     x_o = N8 * D * (2 + 4)  # bf16 x + f32 accumulated out
-    wa = rows_gu * 2 * F * 2  # widest dequant temporary
-    inner = bm * (2 * F * 4 + F * 2)
-    sel = bm * N8 * 4
+    # per-chain temporaries coexist across the U unrolled slots (review
+    # finding r4: the estimate must scale with unroll or GPTQ_TPU_QMOE_
+    # UNROLL>=2 under-budgets and hits a Mosaic VMEM failure on chip)
+    wa = U * rows_gu * 2 * F * 2  # widest dequant temporary
+    inner = U * bm * (2 * F * 4 + F * 2)
+    sel = U * bm * N8 * 4
+    xg = U * bm * D * 2  # gathered rows
     perm_p = F * F * 2
-    est = nbuf * (gu_tile + d_tile) + x_o + wa + inner + sel + perm_p
+    est = (nbuf * (gu_tile + d_tile) + x_o + wa + inner + sel + xg
+           + perm_p)
     return est <= budget
 
 
