@@ -142,3 +142,23 @@ def test_min_p_support():
             jnp.asarray([1.0], jnp.float32),
             jnp.asarray([0.0], jnp.float32))[0]))
     assert set(toks) == {0, 1, 2, 3}
+
+
+def test_min_p_runs_after_top_p_like_hf():
+    """Warper ORDER matters (review finding): with sorted probs
+    [0.35, 0.30, 0.20, 0.15], top_p=0.72, min_p=0.5 — HF's chain
+    (TopP first: keeps {0,1,2} since cum-before = 0.65 < 0.72; then MinP
+    on the masked dist: max renorm p = 0.412, cut 0.5*0.412 = 0.206 ->
+    drops p2=0.235? no: 0.235 >= 0.206 keeps {0,1,2}) — min_p-first
+    would instead drop token 2. Assert token 2 IS sampled."""
+    probs = np.array([0.35, 0.30, 0.20, 0.15])
+    logits = jnp.asarray(np.log(probs)[None], jnp.float32)
+    f = jax.jit(sample_tokens)
+    toks = set()
+    for i in range(500):
+        toks.add(int(f(
+            logits, jax.random.fold_in(jax.random.PRNGKey(9), i),
+            jnp.asarray([1.0], jnp.float32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([0.72], jnp.float32),
+            jnp.asarray([0.5], jnp.float32))[0]))
+    assert toks == {0, 1, 2}, toks
