@@ -334,8 +334,15 @@ class BaseQModel:
         prompts,
         max_new_tokens: int = 32,
         dtype=jnp.bfloat16,
+        prompt_lookup_k: int = 0,
     ):
-        """Greedy generation. ``prompts``: str | list[str] | int array."""
+        """Greedy generation. ``prompts``: str | list[str] | int array.
+
+        ``prompt_lookup_k`` > 0 enables prompt-lookup speculative decoding
+        (inference/speculative.py): k n-gram-continuation drafts verified
+        per step — token-identical output, fewer weight-streaming passes
+        on repetitive text (TPU decode is weight-bound, so verifying k+1
+        tokens costs ~one decode step)."""
         from gptqmodel_tpu.inference.engine import greedy_generate
 
         if self.params is None:
@@ -354,6 +361,17 @@ class BaseQModel:
         else:
             ids = np.asarray(prompts, dtype=np.int32)
             lens = np.full((ids.shape[0],), ids.shape[1], dtype=np.int32)
+        if prompt_lookup_k > 0:
+            from gptqmodel_tpu.inference.speculative import (
+                speculative_generate)
+
+            out, _stats = speculative_generate(
+                self.spec, self.params, ids, lens,
+                max_new_tokens=max_new_tokens, k=prompt_lookup_k,
+                eos_token_id=self.hf_config.get("eos_token_id"),
+                dtype=dtype,
+            )
+            return out
         out = greedy_generate(
             self.spec, self.params, ids, lens,
             max_new_tokens=max_new_tokens,

@@ -1,0 +1,80 @@
+"""Prompt-lookup speculative decoding: exactness + acceptance.
+
+Greedy speculation must be token-identical to plain greedy decode (the
+drafts only ever shortcut steps the model would have taken anyway)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gptqmodel_tpu.inference.engine import greedy_generate
+from gptqmodel_tpu.inference.speculative import (
+    propose_lookup, speculative_generate)
+from gptqmodel_tpu.utils.testing import random_dense_params, tiny_spec
+
+
+def test_propose_lookup_ngram():
+    h = [5, 6, 7, 8, 5, 6]
+    # tail [5, 6] matched at position 0 -> continuation [7, 8]
+    assert propose_lookup(h, 2) == [7, 8]
+    assert propose_lookup(h, 4) == [7, 8, 5, 6]
+    # no match for the tail anywhere -> pads
+    assert propose_lookup([1, 2, 3], 2) == [0, 0]
+
+
+@pytest.mark.parametrize("kind", ["random", "repetitive"])
+def test_speculative_matches_greedy(kind):
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128,
+                     vocab=96)
+    params = random_dense_params(spec, seed=3)
+    rng = np.random.default_rng(0)
+    if kind == "random":
+        ids = rng.integers(1, 90, size=(3, 12))
+    else:
+        base = rng.integers(1, 90, size=4)
+        ids = np.tile(base, (3, 4))  # strongly repetitive prompts
+    lens = np.array([12, 10, 16 if kind == "repetitive" else 12])
+    lens = np.minimum(lens, ids.shape[1])
+
+    ref = greedy_generate(
+        spec, params, ids, prompt_lens=lens, max_new_tokens=16,
+        dtype=jnp.float32)
+    got, stats = speculative_generate(
+        spec, params, ids, prompt_lens=lens, max_new_tokens=16, k=4,
+        dtype=jnp.float32)
+    np.testing.assert_array_equal(got, np.asarray(ref))
+    assert stats["verify_steps"] >= 1
+    assert stats["tokens_per_step"] >= 1.0
+    if kind == "repetitive":
+        # the model's own greedy output on a random net isn't necessarily
+        # repetitive, but the PROMPT repeats, so early drafts should land
+        # at least sometimes; at minimum the machinery produced >1
+        # token/step on some verify or degraded gracefully to 1
+        assert stats["tokens_per_step"] >= 1.0
+
+
+def test_speculative_accepts_on_forced_repetition():
+    """A model whose argmax continuation IS periodic (tie-broken by a
+    biased lm_head) must show acceptance > 0."""
+    spec = tiny_spec(hidden=32, layers=1, heads=2, kv_heads=1, inter=64,
+                     vocab=16)
+    params = random_dense_params(spec, seed=9)
+    # bias the lm_head so the argmax sequence cycles through a short orbit
+    lm = np.asarray(params["lm_head"]["weight"], np.float32)
+    lm[:, :] = 0.0
+    for v in range(16):
+        lm[(v + 1) % 8, :] += np.asarray(
+            params["model"]["embed_tokens"]["weight"], np.float32)[v] * 0.5
+    params["lm_head"]["weight"] = jnp.asarray(lm)
+
+    ids = np.asarray([[1, 2, 3, 4, 5, 6, 7, 0]])  # orbit prompt
+    ref = greedy_generate(spec, params, ids,
+                          prompt_lens=np.array([8]), max_new_tokens=20,
+                          dtype=jnp.float32)
+    got, stats = speculative_generate(
+        spec, params, ids, prompt_lens=np.array([8]), max_new_tokens=20,
+        k=4, dtype=jnp.float32)
+    np.testing.assert_array_equal(got, np.asarray(ref))
+    assert stats["accept_rate"] > 0.5, stats  # periodic => drafts land
+    assert stats["verify_steps"] < 20  # strictly fewer steps than tokens
