@@ -117,6 +117,7 @@ def speculative_generate(
     eos_token_id: Optional[int] = None,
     dtype=jnp.bfloat16,
     max_len: Optional[int] = None,
+    kv_quant: bool | str = False,
 ) -> tuple[np.ndarray, dict]:
     """Greedy decode with prompt-lookup speculation.
 
@@ -131,7 +132,7 @@ def speculative_generate(
     # physical headroom: every verify advances the pointer by up to k+1
     # regardless of per-row acceptance
     max_len = max_len or (T + (max_new_tokens + 1) * (k + 1))
-    caches = init_kv_cache(spec, B, max_len, dtype, kv_quant=False)
+    caches = init_kv_cache(spec, B, max_len, dtype, kv_quant=kv_quant)
     prefill = make_prefill_fn(spec, dtype)
     verify = make_verify_fn(spec, dtype)
 

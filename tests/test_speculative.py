@@ -78,3 +78,19 @@ def test_speculative_accepts_on_forced_repetition():
     np.testing.assert_array_equal(got, np.asarray(ref))
     assert stats["accept_rate"] > 0.5, stats  # periodic => drafts land
     assert stats["verify_steps"] < 20  # strictly fewer steps than tokens
+
+
+def test_speculative_matches_greedy_int8_kv():
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128,
+                     vocab=96)
+    params = random_dense_params(spec, seed=5)
+    rng = np.random.default_rng(2)
+    base = rng.integers(1, 90, size=5)
+    ids = np.tile(base, (2, 3))
+    ref = greedy_generate(spec, params, ids, max_new_tokens=12,
+                          dtype=jnp.float32, kv_quant="int8",
+                          max_len=ids.shape[1] + 13 * 5)
+    got, _ = speculative_generate(
+        spec, params, ids, max_new_tokens=12, k=4, dtype=jnp.float32,
+        kv_quant="int8")
+    np.testing.assert_array_equal(got, np.asarray(ref))
