@@ -83,7 +83,16 @@ class ContinuousBatchingEngine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         kv_quant: bool = False,
+        spec_k: int = 0,
     ):
+        """``spec_k`` > 0 enables prompt-lookup speculative decode steps
+        (inference/speculative.py rationale: the k+1-token verify forward
+        is ~free on weight-bound TPU decode). Used whenever every ACTIVE
+        request is greedy; batches containing sampled requests fall back
+        to the normal 1-token step, so outputs never change — only the
+        number of weight-streaming passes does. Per-slot write pointers
+        reclaim rejected-draft cache slots automatically (no max_len
+        headroom needed, unlike the standalone speculative_generate)."""
         self.spec = spec
         self.params = params
         self.B = max_slots
@@ -115,6 +124,14 @@ class ContinuousBatchingEngine:
         self._next_id = 0
         self._prefill_cache: dict[int, Any] = {}
         self._decode_fn = self._make_decode()
+        self.spec_k = int(spec_k)
+        if self.spec_k > 0 and any("k" not in c for c in self.caches):
+            # recurrent blocks (mamba/linear/conv) have no positional KV to
+            # roll back — speculation requires pure-attention caches
+            self.spec_k = 0
+        self.history: list[Optional[list]] = [None] * self.B
+        self._verify_fn = (self._make_verify(self.spec_k + 1)
+                           if self.spec_k > 0 else None)
 
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int):
@@ -207,6 +224,110 @@ class ContinuousBatchingEngine:
             return toks, lps, new_caches, key_valid
 
         return decode
+
+    def _make_verify(self, K1: int):
+        """Speculative verify: per-slot (k+1)-token block forward. Returns
+        (preds [B, K1] argmax, logprobs [B, K1], caches, key_valid) —
+        key_valid marks only each row's committed slot; the host marks
+        accepted draft slots after comparing."""
+        spec, dtype = self.spec, self.dtype
+        from gptqmodel_tpu.inference.sampling import chosen_logprobs
+
+        @jax.jit
+        def verify(params, caches, key_valid, tokens, pos, active):
+            B = tokens.shape[0]
+            L = key_valid.shape[1]
+            positions = pos[:, None] + jnp.arange(K1)[None, :]
+            cos, sin = rope_cos_sin(spec, positions)
+            ki = jnp.arange(L)[None, None, :]
+            qj = jnp.arange(K1)[None, :, None]
+            new_blk = (ki >= pos[:, None, None]) & (
+                ki <= pos[:, None, None] + qj)
+            ok = key_valid[:, None, :] | new_blk  # [B, K1, L]
+            ctx = {"cos": cos, "sin": sin,
+                   "bias": jnp.where(ok, 0.0, _NEG)[:, None]}
+            if has_sliding_layers(spec):
+                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
+                    spec, positions, local=True)
+                ok_l = ok & (ki > pos[:, None, None] + qj
+                             - spec.sliding_window)
+                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
+            h = embed(spec, params, tokens, dtype, positions)
+            new_caches = []
+            for i, lp in enumerate(model_layers(spec, params)):
+                c = dict(caches[i], pos=pos)
+                cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+                h, c = any_decoder_layer(spec, lp, h, cos_i, sin_i, bias_i, c)
+                new_caches.append(
+                    {k_: v_ for k_, v_ in c.items() if k_ != "pos"})
+            h = final_norm(spec, params, h)
+            logits = lm_logits(spec, params, h)  # [B, K1, V]
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lps = jax.vmap(chosen_logprobs)(logits, preds)
+            # mark the committed-token slot valid for ACTIVE rows only —
+            # free slots must keep an all-False mask
+            B_ = jnp.arange(B)
+            key_valid = key_valid.at[B_, pos].set(
+                key_valid[B_, pos] | active)
+            return preds, lps, new_caches, key_valid
+
+        return verify
+
+    def _verify_step(self, active: list[int]) -> list["Request"]:
+        from gptqmodel_tpu.inference.speculative import propose_lookup
+
+        k = self.spec_k
+        drafts = np.zeros((self.B, k), np.int32)
+        for i in active:
+            drafts[i] = propose_lookup(self.history[i], k)
+        tokens = np.concatenate(
+            [self.last_token[:, None], drafts], axis=1)
+        act_mask = np.zeros(self.B, bool)
+        act_mask[active] = True
+        preds, lps, self.caches, self.key_valid = self._verify_fn(
+            self.params, self.caches, self.key_valid,
+            jnp.asarray(tokens), jnp.asarray(self.pos),
+            jnp.asarray(act_mask))
+        preds = np.asarray(preds)
+        lps = np.asarray(lps)
+        finished = []
+        acc_rows = np.zeros((self.B, self.key_valid.shape[1]), bool)
+        for i in active:
+            req = self.slots[i]
+            a = 0
+            while a < k and drafts[i, a] == preds[i, a]:
+                a += 1
+            # mark accepted draft KV slots valid; rejected slots will be
+            # overwritten (the per-slot pointer moves back over them)
+            acc_rows[i, self.pos[i] + 1:self.pos[i] + 1 + a] = True
+            stop_at = None
+            for j in range(a + 1):  # a accepted drafts + 1 bonus token
+                tok = int(preds[i, j])
+                req.logprobs.append(float(lps[i, j]))
+                self._emit(req, tok)
+                self.history[i].append(tok)
+                eos = (req.eos_token_id is not None
+                       and tok == req.eos_token_id)
+                if eos or len(req.output_ids) >= req.max_new_tokens:
+                    req.done = True
+                    req.finish_reason = "stop" if eos else "length"
+                    stop_at = j
+                    break
+            if stop_at is not None:
+                req._event.set()
+                finished.append(req)
+                self.slots[i] = None
+                self.history[i] = None
+                self.key_valid = self.key_valid.at[i].set(False)
+                acc_rows[i] = False
+                self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
+                self.minp[i] = 0.0
+                continue
+            self.pos[i] += a + 1
+            self.last_token[i] = int(preds[i, a])
+        self.key_valid = jnp.logical_or(
+            self.key_valid, jnp.asarray(acc_rows))
+        return finished
 
     # ------------------------------------------------------------ user API
     def submit(
@@ -304,6 +425,7 @@ class ContinuousBatchingEngine:
             self.key_valid = self.key_valid.at[slot].set(False)
             return
         self.slots[slot] = req
+        self.history[slot] = [int(x) for x in req.prompt_ids] + [tok]
         self.pos[slot] = T_true
         self.last_token[slot] = tok
 
@@ -311,6 +433,9 @@ class ContinuousBatchingEngine:
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []
+        if (self.spec_k > 0
+                and all(self.slots[i].temperature <= 0.0 for i in active)):
+            return self._verify_step(active)
         toks, lps, self.caches, self.key_valid = self._decode_fn(
             self.params, self.caches, self.key_valid,
             jnp.asarray(self.last_token), jnp.asarray(self.pos),
@@ -327,6 +452,8 @@ class ContinuousBatchingEngine:
             tok = int(toks[i])
             req.logprobs.append(float(lps[i]))
             self._emit(req, tok)
+            if self.history[i] is not None:
+                self.history[i].append(tok)
             self.pos[i] += 1
             self.last_token[i] = tok
             eos = req.eos_token_id is not None and tok == req.eos_token_id
@@ -336,6 +463,7 @@ class ContinuousBatchingEngine:
                 req._event.set()
                 finished.append(req)
                 self.slots[i] = None
+                self.history[i] = None
                 self.key_valid = self.key_valid.at[i].set(False)
                 self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
                 self.minp[i] = 0.0

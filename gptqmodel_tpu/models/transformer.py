@@ -370,13 +370,26 @@ def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
         if kv_q:
             cache["k_s"] = upd(cache["k_s"], k_sc)
             cache["v_s"] = upd(cache["v_s"], v_sc)
-    else:  # per-slot write positions (continuous batching), T == 1
+    elif T == 1:  # per-slot write positions (continuous batching)
         bidx = jnp.arange(B)
         upd = lambda buf, val: buf.at[bidx, :, pos].set(
             val[:, :, 0].astype(buf.dtype)
         )
         cache = dict(cache, k=upd(cache["k"], k_store),
                      v=upd(cache["v"], v_store), pos=pos + 1)
+        if kv_q:
+            cache["k_s"] = upd(cache["k_s"], k_sc)
+            cache["v_s"] = upd(cache["v_s"], v_sc)
+    else:  # per-slot positions, T-token block (speculative verify step):
+        # advanced indices around the ":" put the advanced axes first, so
+        # the value arrives as [B, T, H, ...]
+        bidx = jnp.arange(B)[:, None]
+        tidx = pos[:, None] + jnp.arange(T)[None, :]
+        upd = lambda buf, val: buf.at[bidx, :, tidx].set(
+            jnp.moveaxis(val, 2, 1).astype(buf.dtype)
+        )
+        cache = dict(cache, k=upd(cache["k"], k_store),
+                     v=upd(cache["v"], v_store), pos=pos + T)
         if kv_q:
             cache["k_s"] = upd(cache["k_s"], k_sc)
             cache["v_s"] = upd(cache["v_s"], v_sc)

@@ -94,3 +94,92 @@ def test_speculative_matches_greedy_int8_kv():
         spec, params, ids, max_new_tokens=12, k=4, dtype=jnp.float32,
         kv_quant="int8")
     np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_engine_spec_k_matches_plain_engine():
+    """Continuous batching with spec_k: greedy outputs identical to the
+    plain engine under staggered admission; sampled requests in the batch
+    force the fallback 1-token step (still identical)."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128,
+                     vocab=96)
+    params = random_dense_params(spec, seed=3)
+    rng = np.random.default_rng(1)
+    base = rng.integers(1, 90, size=4)
+    p1 = np.tile(base, 3).tolist()  # repetitive -> drafts land
+    p2 = rng.integers(1, 90, size=9).tolist()
+    p3 = np.tile(base, 2).tolist()
+
+    def run(spec_k):
+        eng = ContinuousBatchingEngine(
+            spec, params, max_slots=2, max_len=128, dtype=jnp.float32,
+            seed=7, spec_k=spec_k)
+        r1 = eng.submit(p1, max_new_tokens=10)
+        eng.step()
+        r2 = eng.submit(p2, max_new_tokens=8)
+        r3 = eng.submit(p3, max_new_tokens=6)
+        steps = 0
+        while eng.has_work():
+            eng.step()
+            steps += 1
+        return (r1.output_ids, r2.output_ids, r3.output_ids,
+                r1.logprobs, steps)
+
+    plain = run(0)
+    spec_out = run(4)
+    assert spec_out[:3] == plain[:3]
+    np.testing.assert_allclose(spec_out[3], plain[3], atol=5e-4)
+    assert spec_out[4] <= plain[4]  # never more steps
+
+    # mixed batch with a sampled request: falls back, still correct
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=128, dtype=jnp.float32,
+        seed=7, spec_k=4)
+    rg = eng.submit(p1, max_new_tokens=8)
+    rs = eng.submit(p2, max_new_tokens=8, temperature=0.9, top_k=10)
+    while eng.has_work():
+        eng.step()
+    eng2 = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=128, dtype=jnp.float32,
+        seed=7, spec_k=0)
+    rg2 = eng2.submit(p1, max_new_tokens=8)
+    rs2 = eng2.submit(p2, max_new_tokens=8, temperature=0.9, top_k=10)
+    while eng2.has_work():
+        eng2.step()
+    assert rg.output_ids == rg2.output_ids
+    # the stochastic request's DRAW SEQUENCE differs once verify steps
+    # enter the schedule, so only shape/validity is comparable
+    assert len(rs.output_ids) == 8
+    assert all(0 <= t < spec.vocab_size for t in rs.output_ids)
+
+
+def test_engine_spec_k_periodic_fewer_steps():
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=32, layers=1, heads=2, kv_heads=1, inter=64,
+                     vocab=16)
+    params = random_dense_params(spec, seed=9)
+    lm = np.asarray(params["lm_head"]["weight"], np.float32)
+    lm[:, :] = 0.0
+    for v in range(16):
+        lm[(v + 1) % 8, :] += np.asarray(
+            params["model"]["embed_tokens"]["weight"], np.float32)[v] * 0.5
+    params["lm_head"]["weight"] = jnp.asarray(lm)
+    prompt = [1, 2, 3, 4, 5, 6, 7, 0]
+
+    def run(spec_k):
+        eng = ContinuousBatchingEngine(
+            spec, params, max_slots=1, max_len=96, dtype=jnp.float32,
+            spec_k=spec_k)
+        r = eng.submit(prompt, max_new_tokens=24)
+        steps = 0
+        while eng.has_work():
+            eng.step()
+            steps += 1
+        return r.output_ids, steps
+
+    out0, steps0 = run(0)
+    out4, steps4 = run(4)
+    assert out4 == out0
+    assert steps4 < steps0 // 2, (steps4, steps0)  # periodic: big win
