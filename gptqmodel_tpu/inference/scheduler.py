@@ -84,6 +84,7 @@ class ContinuousBatchingEngine:
         seed: int = 0,
         kv_quant: bool = False,
         spec_k: int = 0,
+        decode_block: int = 1,
     ):
         """``spec_k`` > 0 enables prompt-lookup speculative decode steps
         (inference/speculative.py rationale: the k+1-token verify forward
@@ -92,7 +93,17 @@ class ContinuousBatchingEngine:
         to the normal 1-token step, so outputs never change — only the
         number of weight-streaming passes does. Per-slot write pointers
         reclaim rejected-draft cache slots automatically (no max_len
-        headroom needed, unlike the standalone speculative_generate)."""
+        headroom needed, unlike the standalone speculative_generate).
+
+        ``decode_block`` > 1 fuses that many decode steps into ONE jitted
+        ``lax.scan`` program, so the host pays one dispatch RPC per block
+        instead of per token (BENCH_SERVE_r04 measured ~35 ms tunnel RPC
+        vs a 5.8 ms device step — block=8 cuts the host-RPC share 8x).
+        Stop logic stays on host, applied post-hoc: tokens a request
+        emits after its EOS/max_new point are discarded, and the slot's
+        stale KV writes are reclaimed on release exactly like the
+        speculative path's rejected drafts. Admission happens at block
+        boundaries (worst-case added queueing latency = one block)."""
         self.spec = spec
         self.params = params
         self.B = max_slots
@@ -132,6 +143,11 @@ class ContinuousBatchingEngine:
         self.history: list[Optional[list]] = [None] * self.B
         self._verify_fn = (self._make_verify(self.spec_k + 1)
                            if self.spec_k > 0 else None)
+        self.decode_block = max(1, int(decode_block))
+        if self.decode_block > 1 and any("k" not in c for c in self.caches):
+            # recurrent state can't discard post-stop writes post-hoc
+            self.decode_block = 1
+        self._decode_multi_cache: dict[int, Any] = {}
 
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int):
@@ -224,6 +240,123 @@ class ContinuousBatchingEngine:
             return toks, lps, new_caches, key_valid
 
         return decode
+
+    def _make_decode_multi(self, n: int):
+        """``n`` fused decode steps in one compiled program (lax.scan).
+
+        Identical per-step math to ``_make_decode`` — same sampler, same
+        key folding sequence (``fold_in(base_key, draw + s)``) — so
+        outputs are token-identical to ``n`` single steps. Returns
+        ([n, B] tokens, [n, B] logprobs, caches, key_valid); one host
+        RPC total. Rows whose request stops mid-block keep stepping on
+        garbage; the host discards those tokens and the slot's stale KV
+        is reclaimed on release (key_valid row cleared / prefill row
+        overwrite), the same tolerance the 1-step path already relies on
+        for free slots."""
+        spec, dtype = self.spec, self.dtype
+        from gptqmodel_tpu.inference.sampling import (
+            chosen_logprobs, sample_tokens)
+
+        @jax.jit
+        def decode_n(params, caches, key_valid, token, pos,
+                     base_key, draw, temp, topk, topp, minp):
+            B = token.shape[0]
+            L = key_valid.shape[1]
+
+            def body(carry, s):
+                token, pos, key_valid, caches = carry
+                key_valid = key_valid.at[jnp.arange(B), pos].set(True)
+                cos, sin = rope_cos_sin(spec, pos[:, None])
+                ctx = {"cos": cos, "sin": sin,
+                       "bias": jnp.where(
+                           key_valid, 0.0, _NEG)[:, None, None, :]}
+                if has_sliding_layers(spec):
+                    ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
+                        spec, pos[:, None], local=True)
+                    ki = jnp.arange(L)[None, :]
+                    ok_l = key_valid & (
+                        ki > pos[:, None] - spec.sliding_window)
+                    ctx["bias_l"] = jnp.where(
+                        ok_l, 0.0, _NEG)[:, None, None, :]
+                h = embed(spec, params, token[:, None], dtype, pos[:, None])
+                new_caches = []
+                for i, lp in enumerate(model_layers(spec, params)):
+                    c = dict(caches[i], pos=pos)
+                    cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+                    h, c = any_decoder_layer(
+                        spec, lp, h, cos_i, sin_i, bias_i, c)
+                    new_caches.append(
+                        {k_: v_ for k_, v_ in c.items() if k_ != "pos"})
+                h = final_norm(spec, params, h)
+                logits = lm_logits(spec, params, h)[:, 0]
+                toks = sample_tokens(
+                    logits, jax.random.fold_in(base_key, draw + s),
+                    temp, topk, topp, minp)
+                lps = chosen_logprobs(logits, toks)
+                # free/finished rows may march past L; clamp so their
+                # (discarded) scatter targets stay in range — active rows
+                # never reach the clamp (the host caps n at L - max(pos))
+                pos = jnp.minimum(pos + 1, L - 1)
+                return (toks, pos, key_valid, new_caches), (toks, lps)
+
+            carry, (toks_all, lps_all) = jax.lax.scan(
+                body, (token, pos, key_valid, caches),
+                jnp.arange(n, dtype=jnp.uint32))
+            _, _, key_valid, caches = carry
+            return toks_all, lps_all, caches, key_valid
+
+        return decode_n
+
+    def _decode_multi_step(self, active: list[int]) -> list["Request"]:
+        # largest power-of-two block that (a) fits the configured block,
+        # (b) cannot push an ACTIVE row's write pointer past max_len
+        # (pow2 rounding bounds the compile count at log2(block) variants)
+        room = self.L - int(self.pos[np.asarray(active)].max())
+        n = 1
+        while n * 2 <= min(self.decode_block, room):
+            n *= 2
+        if n <= 1:
+            return self._decode_single_step(active)
+        if n not in self._decode_multi_cache:
+            self._decode_multi_cache[n] = self._make_decode_multi(n)
+        toks, lps, self.caches, self.key_valid = self._decode_multi_cache[n](
+            self.params, self.caches, self.key_valid,
+            jnp.asarray(self.last_token), jnp.asarray(self.pos),
+            self._base_key, jnp.uint32(self._draws),
+            jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), jnp.asarray(self.minp),
+        )
+        self._draws += n
+        toks = np.asarray(toks)  # [n, B]
+        lps = np.asarray(lps)
+        finished = []
+        for i in active:
+            req = self.slots[i]
+            stopped = False
+            for j in range(n):
+                tok = int(toks[j, i])
+                req.logprobs.append(float(lps[j, i]))
+                self._emit(req, tok)
+                if self.history[i] is not None:
+                    self.history[i].append(tok)
+                eos = (req.eos_token_id is not None
+                       and tok == req.eos_token_id)
+                if eos or len(req.output_ids) >= req.max_new_tokens:
+                    req.done = True
+                    req.finish_reason = "stop" if eos else "length"
+                    req._event.set()
+                    finished.append(req)
+                    self.slots[i] = None
+                    self.history[i] = None
+                    self.key_valid = self.key_valid.at[i].set(False)
+                    self.temp[i], self.topk[i] = 0.0, 0
+                    self.topp[i], self.minp[i] = 1.0, 0.0
+                    stopped = True
+                    break  # tokens past the stop point are discarded
+            if not stopped:
+                self.pos[i] += n
+                self.last_token[i] = int(toks[n - 1, i])
+        return finished
 
     def _make_verify(self, K1: int):
         """Speculative verify: per-slot (k+1)-token block forward. Returns
@@ -436,6 +569,11 @@ class ContinuousBatchingEngine:
         if (self.spec_k > 0
                 and all(self.slots[i].temperature <= 0.0 for i in active)):
             return self._verify_step(active)
+        if self.decode_block > 1:
+            return self._decode_multi_step(active)
+        return self._decode_single_step(active)
+
+    def _decode_single_step(self, active: list[int]) -> list[Request]:
         toks, lps, self.caches, self.key_valid = self._decode_fn(
             self.params, self.caches, self.key_valid,
             jnp.asarray(self.last_token), jnp.asarray(self.pos),

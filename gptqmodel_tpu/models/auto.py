@@ -442,9 +442,12 @@ class BaseQModel:
 
     # --------------------------------------------------------------- serve
     def engine(self, max_slots: int = 8, max_len: int = 2048, dtype=jnp.bfloat16,
-               optimize: bool = False, kv_quant: bool = False):
+               optimize: bool = False, kv_quant: bool = False,
+               spec_k: int = 0, decode_block: int = 1):
         """Continuous-batching engine over this model (analog of reference
-        base.py:1798 serve stack)."""
+        base.py:1798 serve stack). ``decode_block`` fuses that many decode
+        steps per host dispatch (remote-host serving); ``spec_k`` enables
+        prompt-lookup speculative decoding for all-greedy batches."""
         from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
 
         if self.params is None:
@@ -454,7 +457,7 @@ class BaseQModel:
         return ContinuousBatchingEngine(
             self.spec, self.params, max_slots=max_slots, max_len=max_len,
             dtype=dtype, eos_token_id=self.hf_config.get("eos_token_id"),
-            kv_quant=kv_quant,
+            kv_quant=kv_quant, spec_k=spec_k, decode_block=decode_block,
         )
 
     def serve(

@@ -246,3 +246,71 @@ def test_completions_logprobs():
         assert len(lp["tokens"]) == 3
     finally:
         srv.shutdown()
+
+
+def test_decode_block_matches_single_step():
+    """decode_block>1 fuses n steps per dispatch but must emit exactly the
+    tokens n single steps would: greedy vs the full-forward oracle
+    (mid-block EOS-free), sampled vs the block=1 engine under the SAME
+    seed/draw sequence (one request => identical fold_in order)."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128,
+                     vocab=128)
+    params = random_dense_params(spec, seed=3)
+    rng = np.random.default_rng(1)
+    p1 = rng.integers(1, 120, size=9).tolist()
+    p2 = rng.integers(1, 120, size=17).tolist()
+
+    # greedy, staggered admission, outputs not multiples of the block
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=96, dtype=jnp.float32,
+        decode_block=4)
+    r1 = eng.submit(p1, max_new_tokens=7)
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=5)
+    eng.run_until_idle()
+    assert r1.output_ids == _oracle_greedy(spec, params, p1, 7)
+    assert r2.output_ids == _oracle_greedy(spec, params, p2, 5)
+    assert len(r1.logprobs) == 7 and len(r2.logprobs) == 5
+
+    # sampled: same seed, single request -> identical draw sequence
+    outs = {}
+    for blk in (1, 4):
+        eng = ContinuousBatchingEngine(
+            spec, params, max_slots=2, max_len=96, dtype=jnp.float32,
+            decode_block=blk, seed=11)
+        r = eng.submit(p1, max_new_tokens=9, temperature=0.9, top_k=20,
+                       top_p=0.9)
+        while not r.done:
+            eng.step()
+        outs[blk] = (list(r.output_ids), list(r.logprobs))
+    assert outs[1][0] == outs[4][0]
+    np.testing.assert_allclose(outs[1][1], outs[4][1], rtol=1e-5)
+
+
+def test_decode_block_eos_mid_block():
+    """A request hitting EOS mid-block stops there; post-stop tokens are
+    discarded and the freed slot serves the next request correctly."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(hidden=64, layers=2, heads=4, kv_heads=2, inter=128,
+                     vocab=128)
+    params = random_dense_params(spec, seed=3)
+    rng = np.random.default_rng(2)
+    p1 = rng.integers(1, 120, size=9).tolist()
+    p2 = rng.integers(1, 120, size=5).tolist()
+    ref = _oracle_greedy(spec, params, p1, 12)
+    eos = ref[3]  # force a stop at the 4th token (mid-block for block=8)
+
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=1, max_len=96, dtype=jnp.float32,
+        decode_block=8, eos_token_id=eos)
+    r1 = eng.submit(p1, max_new_tokens=12)
+    r2 = eng.submit(p2, max_new_tokens=4)  # queued behind the single slot
+    eng.run_until_idle()
+    assert r1.output_ids == ref[:4]
+    assert r1.finish_reason == "stop"
+    ref2 = _oracle_greedy(spec, params, p2, 12)
+    stop2 = (ref2.index(eos) + 1) if eos in ref2 else 4
+    assert r2.output_ids == ref2[:min(stop2, 4)]
