@@ -338,35 +338,12 @@ def _qmm_rt_sym_fused_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _qmm_rtp_sym_kernel(
-    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, kt, nt, gpk, zero_const, planes
-):
-    """Plane-split rt kernel (sym) for non-power-of-two bits: the qweight
-    block holds one rt-permuted sub-array per bit plane (pack._PLANAR_PLANES
-    decomposition — 3 = 2+1, 5 = 4+1, 6 = 4+2, 7 = 4+2+1; streams EXACTLY
-    ``bits``/weight). Codes recombine via DISTRIBUTED per-plane partial
-    dots — y = Σ_planes 2^off Σ_g s_g (x_g @ (plane_g + 128))
-            − Σ_g X1_g (z + 128·Σ 2^off) s_g —
-    a combined-tile variant (sublane concat + fma) measured 4× slower on
-    chip (session: 3-bit rt). First-plane parts cover whole groups (16-group
-    tiles enforced), later planes' parts subdivide groups but never cross a
-    boundary. Reference 3/5/6/7-bit lineage: exllama q3 shift tables and
-    the gptq_p planar dequant zoo — here the layout dissolves at repack
-    time and one kernel serves every width."""
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+def _rtp_accumulate(x, qw_ref, sf, zs, acc, *, kt, gpk, planes):
+    """Shared plane-split accumulation (see _qmm_rtp_sym_kernel doc):
+    per-plane magic extraction + group-aligned partial dots; ``zs``
+    ([gpk, nt] f32, zero+magic-offset times scale) folds into the first
+    (widest) plane, whose parts cover whole groups."""
     g = kt // gpk
-    x = x_ref[:].astype(jnp.bfloat16)
-    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
-
-    mult_sum = sum(1 << off for _, off in planes)
-    zs = jnp.float32(zero_const + mult_sum * _MAGIC_OFFSET) * sf
-    acc = acc_ref[:]
     r0 = 0
     first = True
     for w, off in planes:
@@ -398,7 +375,69 @@ def _qmm_rtp_sym_kernel(
                     acc -= X1g[:, None] * zs[gi][None, :]
                 s0 += ln
         first = False
-    acc_ref[:] = acc
+    return acc
+
+
+def _qmm_rtp_sym_kernel(
+    x_ref, qw_ref, s_ref, o_ref, acc_ref, *, kt, nt, gpk, zero_const, planes
+):
+    """Plane-split rt kernel (sym) for non-power-of-two bits: the qweight
+    block holds one rt-permuted sub-array per bit plane (pack._PLANAR_PLANES
+    decomposition — 3 = 2+1, 5 = 4+1, 6 = 4+2, 7 = 4+2+1; streams EXACTLY
+    ``bits``/weight). Codes recombine via DISTRIBUTED per-plane partial
+    dots — y = Σ_planes 2^off Σ_g s_g (x_g @ (plane_g + 128))
+            − Σ_g X1_g (z + 128·Σ 2^off) s_g —
+    a combined-tile variant (sublane concat + fma) measured 4× slower on
+    chip (session: 3-bit rt). First-plane parts cover whole groups (16-group
+    tiles enforced), later planes' parts subdivide groups but never cross a
+    boundary. Reference 3/5/6/7-bit lineage: exllama q3 shift tables and
+    the gptq_p planar dequant zoo — here the layout dissolves at repack
+    time and one kernel serves every width."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
+
+    mult_sum = sum(1 << off for _, off in planes)
+    zs = jnp.float32(zero_const + mult_sum * _MAGIC_OFFSET) * sf
+    acc_ref[:] = _rtp_accumulate(
+        x, qw_ref, sf, zs, acc_ref[:], kt=kt, gpk=gpk, planes=planes
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _qmm_rtp_kernel(
+    x_ref, qw_ref, s_ref, zb_ref, o_ref, acc_ref, *, kt, nt, gpk, planes
+):
+    """Asym plane-split rt kernel: per-group zero points ride as a
+    [gpk, nt] f32 zvals block (raw zeros; the 128·Σ2^off magic offset is
+    added in-kernel), everything else identical to _qmm_rtp_sym_kernel.
+    The reference has NO asym fast kernel at these widths (Marlin is
+    sym-only, nn_modules/qlinear/marlin.py:56-74); session Z14 measured
+    the XLA fallback at 9-16 GB/s vs the rt kernels' 528-743 — this
+    variant closes that 52x gap for asym 3/5/6/7-bit checkpoints."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    sf = s_ref[:]  # [gpk, nt] f32
+    mult_sum = sum(1 << off for _, off in planes)
+    zs = (zb_ref[:] + jnp.float32(mult_sum * _MAGIC_OFFSET)) * sf
+    acc_ref[:] = _rtp_accumulate(
+        x, qw_ref, sf, zs, acc_ref[:], kt=kt, gpk=gpk, planes=planes
+    )
 
     @pl.when(k == nk - 1)
     def _():
@@ -531,8 +570,7 @@ def qmatmul(
     G = scales.shape[0]
     g = group_size if group_size > 0 else K
     if bits in (3, 5, 6, 7):  # plane-split rt layout: no integral pf
-        assert rt and zero_const >= 0.0, \
-            "3/5/6/7-bit fast path is rt + sym only"
+        assert rt, "3/5/6/7-bit fast path is rt only"
         assert qweight.shape[0] * 32 == bits * K, (qweight.shape, K, bits)
         gp_ = group_size if group_size > 0 else K
         bkp = rt_block_k or rt_block_k_for(K, group_size)
@@ -592,20 +630,32 @@ def qmatmul(
 
     if rt:
         assert rt_supported(bits, group_size, K), (bits, group_size, K)
-        if bits in (3, 5, 6, 7):  # plane-split sym kernel
+        if bits in (3, 5, 6, 7):  # plane-split kernels
             from gptqmodel_tpu.ops.pack import _PLANAR_PLANES
 
+            if zero_const >= 0.0:  # sym: zvals-free, bf16 scales
+                kernel = functools.partial(
+                    _qmm_rtp_sym_kernel, kt=bk, nt=bn, gpk=gpk,
+                    zero_const=float(zero_const),
+                    planes=tuple(_PLANAR_PLANES[bits]),
+                )
+                return pl.pallas_call(
+                    kernel,
+                    grid=grid,
+                    in_specs=[x_spec, qw_spec, sz_spec],
+                    **common,
+                )(x, qweight, scales.astype(jnp.bfloat16))
             kernel = functools.partial(
-                _qmm_rtp_sym_kernel, kt=bk, nt=bn, gpk=gpk,
-                zero_const=float(zero_const),
+                _qmm_rtp_kernel, kt=bk, nt=bn, gpk=gpk,
                 planes=tuple(_PLANAR_PLANES[bits]),
             )
             return pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=[x_spec, qw_spec, sz_spec],
+                in_specs=[x_spec, qw_spec, sz_spec, sz_spec],
                 **common,
-            )(x, qweight, scales.astype(jnp.bfloat16))
+            )(x, qweight, scales.astype(jnp.float32),
+              zvals.astype(jnp.float32))
         if zero_const >= 0.0:  # sym fast path: no zvals input, bf16 scales
             sym_impl = (
                 _qmm_rt_sym_fused_kernel

@@ -99,9 +99,9 @@ def select_kernel(p: QuantLinear) -> str:
             p.g_idx is None or p.act_perm is not None,
         ))
         # 3/5/6/7-bit have no interchange-layout kernel: eligible only
-        # once post_init has produced the plane-split rt layout (sym) —
-        # this clause also admits the planar-sourced widths
-        or (p.bits in (3, 5, 6, 7) and p.rt_layout and p.zero_const >= 0.0)
+        # once post_init has produced the plane-split rt layout (sym OR
+        # asym-zvals, r4) — this clause also admits the planar widths
+        or (p.bits in (3, 5, 6, 7) and p.rt_layout)
     )
     if _BACKEND in ("pallas", "pallas_interpret"):
         if not eligible:
@@ -270,9 +270,6 @@ def post_init_module(p: QuantLinear) -> QuantLinear:
         # widths keep the XLA path
         and (not p.planar or plane_bits)
         and pallas_qmatmul.rt_supported(p.bits, p.group_size, p.in_features)
-        # 3/5/6/7-bit fast path is sym-only (plane-split kernel); asym
-        # stays on the XLA path
-        and not (plane_bits and zero_const < 0.0)
     ):
         rt_bk = pallas_qmatmul.rt_block_k_for(
             p.in_features, p.group_size, N=p.out_features, bits=p.bits

@@ -14,6 +14,7 @@ methodology) from per-step host+tunnel overhead so a locally-attached host
 can be projected.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -35,9 +36,10 @@ t0 = time.time()
 params = build_quant_params_on_device(spec)
 print(f"params built in {time.time()-t0:.0f}s", flush=True)
 
+BLOCK = int(os.environ.get("SERVE_DECODE_BLOCK", "1"))
 eng = ContinuousBatchingEngine(
     spec, params, max_slots=8, max_len=512, eos_token_id=None,
-    kv_quant="int8", seed=0)
+    kv_quant="int8", seed=0, decode_block=BLOCK)
 
 # mixed workload: 24 requests, prompts 16..256 tokens, outputs 32..96,
 # half greedy / half sampled (temp 0.8, top_k 40, top_p 0.95)
@@ -109,7 +111,8 @@ for _ in range(30):
 per_step = float(np.median(stimes))
 
 row = {
-    "metric": "llama3-8b-gptq4 served tok/s/chip (24 mixed reqs, 8 slots)",
+    "metric": "llama3-8b-gptq4 served tok/s/chip (24 mixed reqs, 8 slots)"
+              + (f", decode_block={BLOCK}" if BLOCK > 1 else ""),
     "value": round(total_out / wall, 2),
     "unit": "tok/s",
     "total_output_tokens": total_out,
@@ -124,5 +127,5 @@ row = {
              "device rate"),
 }
 print(json.dumps(row), flush=True)
-Path("/root/repo/BENCH_SERVE_r04.json").write_text(json.dumps(row, indent=1))
+Path("/root/repo/BENCH_SERVE_r04.json" if BLOCK <= 1 else "/root/repo/BENCH_SERVE_BLOCK_r04.json").write_text(json.dumps(row, indent=1))
 print("SERVE_BENCH_DONE", flush=True)

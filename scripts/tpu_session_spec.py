@@ -49,6 +49,9 @@ ids = jnp.asarray(rng.integers(1, 32000, size=(B, T)), jnp.int32)
 lens = jnp.full((B,), T, jnp.int32)
 logits, caches, key_valid = prefill(params, ids, lens, caches)
 token = jnp.argmax(logits, -1)
+# verify strips the threaded "pos" key from its cache output; normalize the
+# prefill-produced caches to the same structure for the scan carry
+caches = [{k: v for k, v in c.items() if k != "pos"} for c in caches]
 
 for K1 in (1, 5, 9):
     toks0 = jnp.asarray(rng.integers(1, 32000, size=(B, K1)), jnp.int32)

@@ -354,19 +354,45 @@ def test_rt_planes_exact_with_pow2_scales(bits):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
-@pytest.mark.parametrize("bits", [3, 5])
-def test_rt_planes_asym_stays_on_xla(bits):
-    """Non-uniform zeros have no plane-split fast kernel: post_init must
-    NOT repack, select_kernel must resolve to xla, and the forward must
-    still be correct through the XLA path."""
-    p = _random_module(bits, 128, 2048, 128)  # random zeros -> asym
-    assert not p.rt_layout and p.zero_const < 0
-    assert registry.select_kernel(p) == "xla"
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_rt_planes_asym_kernel_matches_xla(bits):
+    """Asym plane-split fast path (r4): per-group zvals ride as a kernel
+    input (_qmm_rtp_kernel); post_init must repack asym planar widths too
+    (session Z14 measured the old XLA fallback at 9-16 GB/s = 52x off the
+    sym rt kernels; reference Marlin is sym-only — this is beyond-parity)."""
+    p = _random_module(bits, 128, 2048, 256)  # random zeros -> asym
+    assert p.rt_layout and p.zero_const < 0
     rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.standard_normal((4, 2048)), dtype=jnp.float32)
+    for M in (1, 8):
+        x = jnp.asarray(rng.standard_normal((M, 2048)), dtype=jnp.float32)
+        ref = np.asarray(qlinear_forward_xla(p, x))
+        registry.set_backend("pallas_interpret")
+        try:
+            got = np.asarray(registry.qlinear_forward(p, x))
+        finally:
+            registry.set_backend("auto")
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 8e-3, (M, rel)
+
+
+@pytest.mark.parametrize("bits", [3, 5, 6, 7])
+def test_rt_planes_asym_exact_with_pow2_scales(bits):
+    """pow2 scales + integer activations + integer zeros: the asym
+    plane-split kernel's zero correction (X1g * (z + 128*mult)*s) is
+    exact in f32 — guards the zvals-block layout mapping."""
+    p = _random_module(bits, 128, 2048, 128, pow2_scales=True)
+    assert p.rt_layout and p.zero_const < 0
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.integers(-4, 5, size=(4, 2048)).astype(np.float32)
+    )
     ref = np.asarray(qlinear_forward_xla(p, x))
-    got = np.asarray(registry.qlinear_forward(p, x))
-    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+    registry.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(registry.qlinear_forward(p, x), dtype=np.float32)
+    finally:
+        registry.set_backend("auto")
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
 @pytest.mark.parametrize("bits", [3, 5, 6, 7])
