@@ -493,9 +493,13 @@ class ContinuousBatchingEngine:
         return bool(self._queue) or any(s is not None for s in self.slots)
 
     def step(self) -> list[Request]:
-        """One scheduler iteration: admit one pending request, then decode
-        all active slots. Returns requests finished this step."""
-        self._admit()
+        """One scheduler iteration: admit pending requests into every free
+        slot (FIFO), then decode all active slots. Returns requests
+        finished this step. Filling all slots per step matters most with
+        ``decode_block``: one-admission-per-step would leave slots idle a
+        whole block per queued request."""
+        while self._admit():
+            pass
         return self._decode_step()
 
     def run_until_idle(self) -> None:
@@ -509,13 +513,16 @@ class ContinuousBatchingEngine:
         return req.output_ids
 
     # ------------------------------------------------------------ internals
-    def _admit(self):
+    def _admit(self) -> bool:
+        """Admit ONE queued request (prefill + slot fill). Returns True if
+        it made progress (a request was admitted or finished at prefill),
+        False when the queue is empty or no slot is free."""
         with self._lock:
             if not self._queue:
-                return
+                return False
             free = [i for i, s in enumerate(self.slots) if s is None]
             if not free:
-                return
+                return False
             req = self._queue.pop(0)
         slot = free[0]
         T_true = len(req.prompt_ids)
@@ -523,7 +530,7 @@ class ContinuousBatchingEngine:
             req.done = True
             req.finish_reason = "length_exceeded"
             req._event.set()
-            return
+            return True
         Tb = _bucket(T_true)
         if Tb > self.L:
             Tb = self.L
@@ -556,11 +563,12 @@ class ContinuousBatchingEngine:
             self.temp[slot], self.topk[slot], self.topp[slot] = 0.0, 0, 1.0
             self.minp[slot] = 0.0
             self.key_valid = self.key_valid.at[slot].set(False)
-            return
+            return True
         self.slots[slot] = req
         self.history[slot] = [int(x) for x in req.prompt_ids] + [tok]
         self.pos[slot] = T_true
         self.last_token[slot] = tok
+        return True
 
     def _decode_step(self) -> list[Request]:
         active = [i for i, s in enumerate(self.slots) if s is not None]

@@ -432,9 +432,14 @@ def _qmm_rtp_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.bfloat16)
-    sf = s_ref[:]  # [gpk, nt] f32
+    # bf16 inputs (like the sym kernel's scales): zeros <= 127 are bf16-
+    # exact and scale rounding (~0.4% rel) matches the dequant path's own
+    # bf16 precision — halves the non-code HBM bytes (17% of packed at
+    # 3-bit in f32)
+    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
     mult_sum = sum(1 << off for _, off in planes)
-    zs = (zb_ref[:] + jnp.float32(mult_sum * _MAGIC_OFFSET)) * sf
+    zs = (zb_ref[:].astype(jnp.float32)
+          + jnp.float32(mult_sum * _MAGIC_OFFSET)) * sf
     acc_ref[:] = _rtp_accumulate(
         x, qw_ref, sf, zs, acc_ref[:], kt=kt, gpk=gpk, planes=planes
     )
@@ -654,8 +659,8 @@ def qmatmul(
                 grid=grid,
                 in_specs=[x_spec, qw_spec, sz_spec, sz_spec],
                 **common,
-            )(x, qweight, scales.astype(jnp.float32),
-              zvals.astype(jnp.float32))
+            )(x, qweight, scales.astype(jnp.bfloat16),
+              zvals.astype(jnp.bfloat16))
         if zero_const >= 0.0:  # sym fast path: no zvals input, bf16 scales
             sym_impl = (
                 _qmm_rt_sym_fused_kernel

@@ -62,7 +62,7 @@ print(f"warmup (prefill-16/32 + decode compile) in {time.time()-t0:.0f}s",
       flush=True)
 # compile remaining prompt buckets up front so the timed region is steady-
 # state serving, not compilation
-for blen in (64, 128, 256):
+for blen in (16, 64, 128, 256):  # 16 too: plen=16 occurs in the timed mix
     r = eng.submit(rng.integers(1, 32000, size=blen).tolist(),
                    max_new_tokens=2)
     while not r.done:
@@ -94,6 +94,7 @@ while eng.has_work():
     for d in done:
         lat[d.request_id] = now - t_submit[d.request_id]
 wall = time.time() - t_start
+print(f"drain steps: {steps}", flush=True)
 
 total_out = sum(len(r.output_ids) for r in reqs)
 total_in = sum(len(r.prompt_ids) for r in reqs)

@@ -10,16 +10,24 @@ bench.py / __graft_entry__.py, never pytest.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# GPTQ_TPU_REAL_CHIP=1 opts a pytest invocation onto the real device for
+# the on-chip-only band/speed tests (tests/test_speed_bands.py,
+# tests/test_inference_speed.py) — select those files explicitly; the rest
+# of the suite is written for the virtual CPU mesh.
+_REAL_CHIP = os.environ.get("GPTQ_TPU_REAL_CHIP", "0") == "1"
+
+if not _REAL_CHIP:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
