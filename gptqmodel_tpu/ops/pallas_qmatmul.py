@@ -145,12 +145,16 @@ def _qmm_rt_kernel(
     g = kt // gpk
     u = qw_ref[:].astype(jnp.uint32)
     x = x_ref[:].astype(jnp.bfloat16)
-    sf = s_ref[:]  # [gpk, nt] f32
+    # bf16 operand blocks (zeros <= 255 and pow2 scales are bf16-exact;
+    # zs math stays f32 in-kernel): f32 input blocks measured a lane-
+    # handling penalty far beyond their bytes on the plane-split variant
+    # (423 -> 542+ GB/s, session ASYM-RT-bf16)
+    sf = s_ref[:].astype(jnp.float32)  # [gpk, nt] from bf16
 
     acc = acc_ref[:]
     if bits == 8:
         gpp = R // g  # whole groups per plane
-        zs = zb_ref[:] * sf  # no magic offset: it cancels pre-dot
+        zs = zb_ref[:].astype(jnp.float32) * sf  # offset cancels pre-dot
         for a in range(pf):
             t = ((u >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)) | jnp.uint32(
                 0x4B000000
@@ -172,7 +176,7 @@ def _qmm_rt_kernel(
     else:
         gpp = (2 * R) // g  # whole groups per magic part
         fmask, magic = _MAGIC_BF16[bits]
-        zs = (zb_ref[:] + _MAGIC_OFFSET) * sf  # [gpk, nt] f32
+        zs = (zb_ref[:].astype(jnp.float32) + _MAGIC_OFFSET) * sf
         for a in range(pf // 2):
             t = ((u >> jnp.uint32(bits * a)) & jnp.uint32(fmask)) | jnp.uint32(magic)
             wa = pltpu.bitcast(t.astype(jnp.int32), jnp.bfloat16)  # [2R, nt]
@@ -685,7 +689,8 @@ def qmatmul(
             grid=grid,
             in_specs=[x_spec, qw_spec, sz_spec, sz_spec],
             **common,
-        )(x, qweight, scales.astype(jnp.float32), zvals.astype(jnp.float32))
+        )(x, qweight, scales.astype(jnp.bfloat16),
+          zvals.astype(jnp.bfloat16))
 
     xp = _plane_permute_x(x, bk, pf, bits)
     kernel = functools.partial(_qmm_kernel, bits=bits, kt=bk, nt=bn, gpk=gpk)
