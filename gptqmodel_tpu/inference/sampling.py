@@ -78,6 +78,57 @@ def sample_tokens(
     return jnp.where(temperature > 0.0, toks, greedy).astype(jnp.int32)
 
 
+def warped_probs(
+    logits: jnp.ndarray,  # [N, V] float
+    temperature: jnp.ndarray,  # [N] float; <= 0 means greedy for that row
+    top_k: jnp.ndarray,  # [N] int32; 0 disables
+    top_p: jnp.ndarray,  # [N] float; 1.0 disables
+    min_p: jnp.ndarray | None = None,  # [N] float; 0.0 disables
+) -> jnp.ndarray:
+    """The sampler's per-row TARGET DISTRIBUTION as explicit probabilities
+    [N, V] (sum 1 per row), in original index space.
+
+    Exactly the distribution :func:`sample_tokens` draws from — same
+    warper chain (Temperature -> TopK -> TopP -> MinP, HF order), same
+    sorted-space masking — materialized so speculative rejection sampling
+    can evaluate p(draft) for arbitrary draft tokens. Rows with
+    ``temperature <= 0`` get a one-hot at the raw argmax, which reduces
+    speculative acceptance to exact argmax match (greedy exactness).
+
+    Masked entries are exactly 0: ``exp(_NEG - max)`` underflows in f32,
+    so ``u < p(d)`` with ``u ~ U[0,1)`` never accepts a masked draft."""
+    N, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    onehot = jax.nn.one_hot(
+        jnp.argmax(logits, axis=-1), V, dtype=jnp.float32)
+
+    def warped(_):
+        t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+        scaled = logits / t
+        sl, si = jax.lax.top_k(scaled, V)
+        pos = jnp.arange(V, dtype=jnp.int32)[None, :]
+        k = top_k.astype(jnp.int32)[:, None]
+        sl = jnp.where((k > 0) & (pos >= k), _NEG, sl)
+        p = jax.nn.softmax(sl, axis=-1)
+        cum = jnp.cumsum(p, axis=-1)
+        keep = (cum - p) < top_p.astype(jnp.float32)[:, None]
+        sl = jnp.where(keep, sl, _NEG)
+        if min_p is not None:
+            p2 = jax.nn.softmax(sl, axis=-1)
+            thresh = min_p.astype(jnp.float32)[:, None] * p2[:, :1]
+            sl = jnp.where(
+                (min_p.astype(jnp.float32)[:, None] > 0.0)
+                & (p2 < thresh), _NEG, sl)
+        p_sorted = jax.nn.softmax(sl, axis=-1)
+        # scatter back to original vocab order
+        return jnp.zeros((N, V), jnp.float32).at[
+            jnp.arange(N)[:, None], si].set(p_sorted)
+
+    any_stochastic = jnp.any(temperature > 0.0)
+    p = jax.lax.cond(any_stochastic, warped, lambda _: onehot, None)
+    return jnp.where(temperature[:, None] > 0.0, p, onehot)
+
+
 def chosen_logprobs(logits: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
     """log P(tok) under the model's raw distribution [B] (OpenAI logprobs
     semantics: natural log-softmax of the unmodified logits, independent of

@@ -1,20 +1,37 @@
-"""Continuous batching engine: slot-based scheduler over jitted step fns.
+"""Continuous batching engine: pipelined slot scheduler over jitted step fns.
 
 The reference delegates serving to vLLM/SGLang (gptqmodel/utils/vllm.py:139);
 here continuous batching is first-class (SURVEY §7 step 5 — new design work):
 
 - A fixed pool of B slots shares one static KV cache [B, Hkv, L, D] per
-  layer; each slot has its own logical/physical position (per-row scatter
-  writes in ``attention``), so sequences join and leave mid-flight without
-  reshaping anything — only TWO compiled programs run steady-state:
-  ``prefill_slot`` (per prompt-length bucket) and ``decode_all``.
-- Prompts are padded up to power-of-two buckets to bound compile count.
-- Sampling (greedy / temperature / top-k / top-p) runs ON DEVICE inside the
-  decode program (``inference.sampling.sample_tokens``) with per-slot knob
-  arrays, so heterogeneous requests share one compiled step and only the
-  sampled token ids [B] cross to host — the host keeps stop logic only.
-  (The reference inherits the same property from HF ``generate``,
-  reference gptqmodel/models/base.py:1464.)
+  layer; each slot has its own write position (per-row scatter writes in
+  ``attention``), so sequences join and leave mid-flight without reshaping
+  anything — steady state runs two compiled programs: ``prefill_slot`` (per
+  prompt-length bucket) and a fused multi-step decode (or speculative
+  verify) block.
+- **The host is off the critical path** (round-5 redesign): the decode
+  carries — ``token``/``pos``/``key_valid``/KV/``tokbuf`` — stay
+  DEVICE-RESIDENT between blocks, and block *n+1* is dispatched BEFORE
+  block *n*'s tokens are synced to the host (JAX async dispatch), so host
+  stop-logic and admission lag exactly one block while the device never
+  waits on the host. Tokens a request emits after its stop point are
+  discarded and the slot's stale KV writes are reclaimed on release
+  (key_valid row clear / prefill row overwrite) — per-row scatter writes
+  past ``max_len`` are DROPPED by JAX scatter semantics, so overshoot is
+  harmless by construction.
+- Sampling (greedy / temperature / top-k / top-p / min_p) runs ON DEVICE
+  inside the decode program (``inference.sampling.sample_tokens``) with
+  per-slot knob arrays; only the sampled token ids cross to host.
+- Speculative decoding (``spec_k``) uses in-graph prompt-lookup drafts
+  (device-resident token history buffer) and REJECTION SAMPLING, so it
+  composes with stochastic requests exactly: a draft ``d`` is accepted with
+  probability ``p_target(d)`` (the draft proposal is a point mass, so the
+  standard ``min(1, p/q)`` rule reduces to ``u < p(d)``); on rejection the
+  emitted token is drawn from the renormalized residual ``p`` with ``d``
+  zeroed. Greedy rows reduce to exact argmax-match acceptance (p one-hot),
+  so greedy outputs stay bit-identical to plain decode. ``spec_k``
+  composes with ``decode_block``: that many verify steps run inside ONE
+  fused ``lax.scan`` program, one host RPC per block.
 """
 
 from __future__ import annotations
@@ -53,16 +70,37 @@ class Request:
     min_p: float = 0.0
     eos_token_id: Optional[int] = None
     stream_cb: Optional[Callable[[int], None]] = None
+    stop: Optional[list] = None  # decoded-text stop strings (server-side)
     # filled during processing
     output_ids: list = field(default_factory=list)
     logprobs: list = field(default_factory=list)  # chosen-token log P
     done: bool = False
     finish_reason: str = ""
+    cancelled: bool = False
     _event: threading.Event = field(default_factory=threading.Event)
 
     def wait(self, timeout=None) -> "Request":
         self._event.wait(timeout)
         return self
+
+    def cancel(self):
+        """Request early termination (e.g. a server-side stop string was
+        matched on the decoded text). Thread-safe: the engine releases the
+        slot at its next collect; tokens already emitted stay emitted (the
+        caller truncates its decoded text itself)."""
+        self.cancelled = True
+
+
+@dataclass
+class _Inflight:
+    """A dispatched-but-unsynced decode/verify block (device futures)."""
+
+    kind: str  # "decode" | "spec"
+    n: int  # scan steps in the block
+    rows: list  # [(slot, Request)] active at dispatch time
+    toks: Any  # [n, B] (decode) or [n, B, K1] (spec)
+    lps: Any
+    counts: Any = None  # [n, B] emitted-token counts (spec only)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -70,6 +108,48 @@ def _bucket(n: int, lo: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _pow2ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _pow2floor(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
+def _lookup_drafts(buf: jnp.ndarray, hist_len: jnp.ndarray, k: int,
+                   max_ngram: int = 3) -> jnp.ndarray:
+    """In-graph prompt lookup for ONE row (vmapped by the caller).
+
+    Same semantics as :func:`inference.speculative.propose_lookup`
+    (transformers' prompt_lookup_num_tokens idea): find the most recent
+    earlier occurrence of the longest matching tail n-gram (n<=max_ngram)
+    in ``buf[:hist_len]`` and propose the ``k`` tokens that followed it.
+    Tokens sliced past ``hist_len`` are whatever the buffer holds —
+    acceptance decides, so draft quality only affects speed, never
+    outputs."""
+    L = buf.shape[0]
+    t = jnp.arange(L, dtype=jnp.int32)
+    drafts = jnp.zeros((k,), jnp.int32)
+    for n in range(1, max_ngram + 1):  # ascending: larger n overrides
+        tail = jax.lax.dynamic_slice(
+            buf, (jnp.maximum(hist_len - n, 0),), (n,))
+        m = t <= hist_len - n - 1  # continuation must start inside history
+        for j in range(n):
+            m = m & jnp.roll(buf == tail[j], -j)
+        pos_t = jnp.max(jnp.where(m, t, -1))
+        ok = (pos_t >= 0) & (hist_len > n)
+        start = jnp.clip(pos_t + n, 0, L - k)
+        d_n = jax.lax.dynamic_slice(buf, (start,), (k,))
+        drafts = jnp.where(ok, d_n, drafts)
+    return drafts
 
 
 class ContinuousBatchingEngine:
@@ -88,22 +168,12 @@ class ContinuousBatchingEngine:
     ):
         """``spec_k`` > 0 enables prompt-lookup speculative decode steps
         (inference/speculative.py rationale: the k+1-token verify forward
-        is ~free on weight-bound TPU decode). Used whenever every ACTIVE
-        request is greedy; batches containing sampled requests fall back
-        to the normal 1-token step, so outputs never change — only the
-        number of weight-streaming passes does. Per-slot write pointers
-        reclaim rejected-draft cache slots automatically (no max_len
-        headroom needed, unlike the standalone speculative_generate).
-
-        ``decode_block`` > 1 fuses that many decode steps into ONE jitted
-        ``lax.scan`` program, so the host pays one dispatch RPC per block
-        instead of per token (BENCH_SERVE_r04 measured ~35 ms tunnel RPC
-        vs a 5.8 ms device step — block=8 cuts the host-RPC share 8x).
-        Stop logic stays on host, applied post-hoc: tokens a request
-        emits after its EOS/max_new point are discarded, and the slot's
-        stale KV writes are reclaimed on release exactly like the
-        speculative path's rejected drafts. Admission happens at block
-        boundaries (worst-case added queueing latency = one block)."""
+        is ~free on weight-bound TPU decode). Rejection sampling makes it
+        exact for stochastic requests too, so mixed greedy/sampled batches
+        all ride the verify path. ``decode_block`` > 1 fuses that many
+        decode (or verify) steps into ONE jitted ``lax.scan`` program —
+        one host RPC per block. Independent of both, the engine pipelines
+        host work against the device: see the module docstring."""
         self.spec = spec
         self.params = params
         self.B = max_slots
@@ -117,10 +187,12 @@ class ContinuousBatchingEngine:
             {k: v for k, v in c.items() if k != "pos"}
             for c in init_kv_cache(spec, self.B, max_len, dtype, kv_quant)
         ]
+        # device-resident decode carries (never synced on the hot path)
         self.key_valid = jnp.zeros((self.B, max_len), bool)
-        self.pos = np.zeros(self.B, np.int32)  # next write/query position
+        self.token = jnp.zeros(self.B, jnp.int32)  # last sampled token
+        self.pos = jnp.zeros(self.B, jnp.int32)  # next write/query position
+        self.tokbuf = jnp.zeros((self.B, max_len), jnp.int32)  # id history
         self.slots: list[Optional[Request]] = [None] * self.B
-        self.last_token = np.zeros(self.B, np.int32)
         # per-slot sampler knobs (device-side sampling); empty slots stay
         # greedy (temp 0) so they never pay the stochastic branch
         self.temp = np.zeros(self.B, np.float32)
@@ -134,20 +206,20 @@ class ContinuousBatchingEngine:
         self._lock = threading.Lock()
         self._next_id = 0
         self._prefill_cache: dict[int, Any] = {}
-        self._decode_fn = self._make_decode()
+        self._decode_multi_cache: dict[int, Any] = {}
+        self._spec_multi_cache: dict[int, Any] = {}
+        self._inflight: Optional[_Inflight] = None
+        self._pending_first: list = []  # (slot, req, tok_fut, lp_fut)
+        self._dispatches = 0  # RPC-count telemetry (serve bench artifact)
         self.spec_k = int(spec_k)
         if self.spec_k > 0 and any("k" not in c for c in self.caches):
             # recurrent blocks (mamba/linear/conv) have no positional KV to
             # roll back — speculation requires pure-attention caches
             self.spec_k = 0
-        self.history: list[Optional[list]] = [None] * self.B
-        self._verify_fn = (self._make_verify(self.spec_k + 1)
-                           if self.spec_k > 0 else None)
         self.decode_block = max(1, int(decode_block))
         if self.decode_block > 1 and any("k" not in c for c in self.caches):
             # recurrent state can't discard post-stop writes post-hoc
             self.decode_block = 1
-        self._decode_multi_cache: dict[int, Any] = {}
 
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int):
@@ -156,8 +228,8 @@ class ContinuousBatchingEngine:
             chosen_logprobs, sample_tokens)
 
         @jax.jit
-        def prefill(params, caches, key_valid, ids, true_len, slot,
-                    base_key, draw, temp, topk, topp, minp):
+        def prefill(params, caches, key_valid, token, pos, tokbuf, ids,
+                    true_len, slot, base_key, draw, temp, topk, topp, minp):
             # mini-cache view for the slot (generic over int8-KV scale keys)
             mini = []
             for c in caches:
@@ -201,70 +273,42 @@ class ContinuousBatchingEngine:
                 temp[None], topk[None], topp[None], minp[None],
             )[0]
             lp = chosen_logprobs(logits[None], tok[None])[0]
-            return tok, lp, caches, key_valid
+            # device-resident carries: seed the slot's decode state + the
+            # id-history row (prompt then the sampled token at true_len)
+            token = token.at[slot].set(tok)
+            pos = pos.at[slot].set(true_len)
+            hist = jnp.zeros((L,), jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, ids[0], (0,))
+            hist = hist.at[true_len].set(tok)
+            tokbuf = jax.lax.dynamic_update_slice(tokbuf, hist[None], (slot, 0))
+            return tok, lp, caches, key_valid, token, pos, tokbuf
 
         return prefill
-
-    def _make_decode(self):
-        spec, dtype = self.spec, self.dtype
-        from gptqmodel_tpu.inference.sampling import (
-            chosen_logprobs, sample_tokens)
-
-        @jax.jit
-        def decode(params, caches, key_valid, token, pos,
-                   base_key, draw, temp, topk, topp, minp):
-            B = token.shape[0]
-            key_valid = key_valid.at[jnp.arange(B), pos].set(True)
-            cos, sin = rope_cos_sin(spec, pos[:, None])
-            ctx = {"cos": cos, "sin": sin,
-                   "bias": jnp.where(key_valid, 0.0, _NEG)[:, None, None, :]}
-            if has_sliding_layers(spec):
-                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, pos[:, None], local=True)
-                ki = jnp.arange(key_valid.shape[1])[None, :]
-                ok_l = key_valid & (ki > pos[:, None] - spec.sliding_window)
-                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None, None, :]
-            h = embed(spec, params, token[:, None], dtype, pos[:, None])
-            new_caches = []
-            for i, lp in enumerate(model_layers(spec, params)):
-                c = dict(caches[i], pos=pos)
-                cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
-                h, c = any_decoder_layer(spec, lp, h, cos_i, sin_i, bias_i, c)
-                new_caches.append({k_: v_ for k_, v_ in c.items() if k_ != "pos"})
-            h = final_norm(spec, params, h)
-            logits = lm_logits(spec, params, h)[:, 0]
-            toks = sample_tokens(
-                logits, jax.random.fold_in(base_key, draw), temp, topk, topp,
-                minp,
-            )
-            lps = chosen_logprobs(logits, toks)
-            return toks, lps, new_caches, key_valid
-
-        return decode
 
     def _make_decode_multi(self, n: int):
         """``n`` fused decode steps in one compiled program (lax.scan).
 
-        Identical per-step math to ``_make_decode`` — same sampler, same
-        key folding sequence (``fold_in(base_key, draw + s)``) — so
-        outputs are token-identical to ``n`` single steps. Returns
-        ([n, B] tokens, [n, B] logprobs, caches, key_valid); one host
-        RPC total. Rows whose request stops mid-block keep stepping on
-        garbage; the host discards those tokens and the slot's stale KV
-        is reclaimed on release (key_valid row cleared / prefill row
-        overwrite), the same tolerance the 1-step path already relies on
-        for free slots."""
+        Per-step math matches the classic single decode step — same
+        sampler, same key folding sequence (``fold_in(base_key, draw+s)``)
+        — so outputs are token-identical to ``n`` single steps. Returns
+        ([n, B] tokens, [n, B] logprobs, carries); one host RPC total.
+        Rows whose request stops mid-block keep stepping on garbage; the
+        host discards those tokens and the slot's stale KV is reclaimed on
+        release (key_valid row cleared / prefill row overwrite). Writes at
+        the clamped position L-1 only ever happen to rows already finished
+        per host accounting."""
         spec, dtype = self.spec, self.dtype
         from gptqmodel_tpu.inference.sampling import (
             chosen_logprobs, sample_tokens)
 
         @jax.jit
-        def decode_n(params, caches, key_valid, token, pos,
+        def decode_n(params, caches, key_valid, token, pos, tokbuf,
                      base_key, draw, temp, topk, topp, minp):
             B = token.shape[0]
             L = key_valid.shape[1]
 
             def body(carry, s):
-                token, pos, key_valid, caches = carry
+                token, pos, key_valid, caches, tokbuf = carry
                 key_valid = key_valid.at[jnp.arange(B), pos].set(True)
                 cos, sin = rope_cos_sin(spec, pos[:, None])
                 ctx = {"cos": cos, "sin": sin,
@@ -293,174 +337,135 @@ class ContinuousBatchingEngine:
                     logits, jax.random.fold_in(base_key, draw + s),
                     temp, topk, topp, minp)
                 lps = chosen_logprobs(logits, toks)
-                # free/finished rows may march past L; clamp so their
-                # (discarded) scatter targets stay in range — active rows
-                # never reach the clamp (the host caps n at L - max(pos))
                 pos = jnp.minimum(pos + 1, L - 1)
-                return (toks, pos, key_valid, new_caches), (toks, lps)
+                tokbuf = tokbuf.at[jnp.arange(B), pos].set(toks)
+                return (toks, pos, key_valid, new_caches, tokbuf), (toks, lps)
 
             carry, (toks_all, lps_all) = jax.lax.scan(
-                body, (token, pos, key_valid, caches),
+                body, (token, pos, key_valid, caches, tokbuf),
                 jnp.arange(n, dtype=jnp.uint32))
-            _, _, key_valid, caches = carry
-            return toks_all, lps_all, caches, key_valid
+            token, pos, key_valid, caches, tokbuf = carry
+            return toks_all, lps_all, caches, key_valid, token, pos, tokbuf
 
         return decode_n
 
-    def _decode_multi_step(self, active: list[int]) -> list["Request"]:
-        # largest power-of-two block that (a) fits the configured block,
-        # (b) cannot push an ACTIVE row's write pointer past max_len
-        # (pow2 rounding bounds the compile count at log2(block) variants)
-        room = self.L - int(self.pos[np.asarray(active)].max())
-        n = 1
-        while n * 2 <= min(self.decode_block, room):
-            n *= 2
-        if n <= 1:
-            return self._decode_single_step(active)
-        if n not in self._decode_multi_cache:
-            self._decode_multi_cache[n] = self._make_decode_multi(n)
-        toks, lps, self.caches, self.key_valid = self._decode_multi_cache[n](
-            self.params, self.caches, self.key_valid,
-            jnp.asarray(self.last_token), jnp.asarray(self.pos),
-            self._base_key, jnp.uint32(self._draws),
-            jnp.asarray(self.temp), jnp.asarray(self.topk),
-            jnp.asarray(self.topp), jnp.asarray(self.minp),
-        )
-        self._draws += n
-        toks = np.asarray(toks)  # [n, B]
-        lps = np.asarray(lps)
-        finished = []
-        for i in active:
-            req = self.slots[i]
-            stopped = False
-            for j in range(n):
-                tok = int(toks[j, i])
-                req.logprobs.append(float(lps[j, i]))
-                self._emit(req, tok)
-                if self.history[i] is not None:
-                    self.history[i].append(tok)
-                eos = (req.eos_token_id is not None
-                       and tok == req.eos_token_id)
-                if eos or len(req.output_ids) >= req.max_new_tokens:
-                    req.done = True
-                    req.finish_reason = "stop" if eos else "length"
-                    req._event.set()
-                    finished.append(req)
-                    self.slots[i] = None
-                    self.history[i] = None
-                    self.key_valid = self.key_valid.at[i].set(False)
-                    self.temp[i], self.topk[i] = 0.0, 0
-                    self.topp[i], self.minp[i] = 1.0, 0.0
-                    stopped = True
-                    break  # tokens past the stop point are discarded
-            if not stopped:
-                self.pos[i] += n
-                self.last_token[i] = int(toks[n - 1, i])
-        return finished
+    def _make_spec_multi(self, S: int):
+        """``S`` fused speculative verify steps in one compiled program.
 
-    def _make_verify(self, K1: int):
-        """Speculative verify: per-slot (k+1)-token block forward. Returns
-        (preds [B, K1] argmax, logprobs [B, K1], caches, key_valid) —
-        key_valid marks only each row's committed slot; the host marks
-        accepted draft slots after comparing."""
-        spec, dtype = self.spec, self.dtype
-        from gptqmodel_tpu.inference.sampling import chosen_logprobs
+        Each step: in-graph prompt-lookup drafts from the device-resident
+        id history, a (k+1)-token verify forward, then REJECTION SAMPLING
+        against the per-row warped target distribution
+        (inference/sampling.warped_probs). The draft proposal is a point
+        mass, so the standard speculative accept rule ``u < min(1,
+        p(d)/q(d))`` is ``u < p(d)``; the rejection resample draws from
+        ``p`` with the rejected draft zeroed (renormalized) and the bonus
+        token (all k accepted) from ``p`` itself — exactly the target
+        distribution per emitted position. Greedy rows (temp<=0) get a
+        one-hot target: acceptance = exact argmax match, resample = the
+        argmax, i.e. bit-identical to plain greedy decode.
+
+        Returns per-step ([S, B, K1] tokens, [S, B] emitted counts a+1,
+        [S, B, K1] logprobs) + carries. The host consumes ``counts[s,b]``
+        tokens per row per step and discards the rest."""
+        spec, dtype, k = self.spec, self.dtype, self.spec_k
+        K1 = k + 1
+        from gptqmodel_tpu.inference.sampling import (
+            chosen_logprobs, warped_probs)
 
         @jax.jit
-        def verify(params, caches, key_valid, tokens, pos, active):
-            B = tokens.shape[0]
+        def spec_n(params, caches, key_valid, token, pos, tokbuf, act,
+                   base_key, draw, temp, topk, topp, minp):
+            B = token.shape[0]
             L = key_valid.shape[1]
-            positions = pos[:, None] + jnp.arange(K1)[None, :]
-            cos, sin = rope_cos_sin(spec, positions)
-            ki = jnp.arange(L)[None, None, :]
-            qj = jnp.arange(K1)[None, :, None]
-            new_blk = (ki >= pos[:, None, None]) & (
-                ki <= pos[:, None, None] + qj)
-            ok = key_valid[:, None, :] | new_blk  # [B, K1, L]
-            ctx = {"cos": cos, "sin": sin,
-                   "bias": jnp.where(ok, 0.0, _NEG)[:, None]}
-            if has_sliding_layers(spec):
-                ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
-                    spec, positions, local=True)
-                ok_l = ok & (ki > pos[:, None, None] + qj
-                             - spec.sliding_window)
-                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
-            h = embed(spec, params, tokens, dtype, positions)
-            new_caches = []
-            for i, lp in enumerate(model_layers(spec, params)):
-                c = dict(caches[i], pos=pos)
-                cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
-                h, c = any_decoder_layer(spec, lp, h, cos_i, sin_i, bias_i, c)
-                new_caches.append(
-                    {k_: v_ for k_, v_ in c.items() if k_ != "pos"})
-            h = final_norm(spec, params, h)
-            logits = lm_logits(spec, params, h)  # [B, K1, V]
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            lps = jax.vmap(chosen_logprobs)(logits, preds)
-            # mark the committed-token slot valid for ACTIVE rows only —
-            # free slots must keep an all-False mask
-            B_ = jnp.arange(B)
-            key_valid = key_valid.at[B_, pos].set(
-                key_valid[B_, pos] | active)
-            return preds, lps, new_caches, key_valid
+            bidx = jnp.arange(B)
 
-        return verify
+            def body(carry, s):
+                token, pos, key_valid, caches, tokbuf = carry
+                drafts = jax.vmap(
+                    lambda b, hl: _lookup_drafts(b, hl, k))(
+                        tokbuf, pos + 1)  # [B, k]
+                tokens = jnp.concatenate([token[:, None], drafts], axis=1)
+                positions = pos[:, None] + jnp.arange(K1)[None, :]
+                cos, sin = rope_cos_sin(spec, positions)
+                ki = jnp.arange(L)[None, None, :]
+                qj = jnp.arange(K1)[None, :, None]
+                new_blk = (ki >= pos[:, None, None]) & (
+                    ki <= pos[:, None, None] + qj)
+                ok = key_valid[:, None, :] | new_blk  # [B, K1, L]
+                ctx = {"cos": cos, "sin": sin,
+                       "bias": jnp.where(ok, 0.0, _NEG)[:, None]}
+                if has_sliding_layers(spec):
+                    ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(
+                        spec, positions, local=True)
+                    ok_l = ok & (ki > pos[:, None, None] + qj
+                                 - spec.sliding_window)
+                    ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
+                h = embed(spec, params, tokens, dtype, positions)
+                new_caches = []
+                for i, lp_ in enumerate(model_layers(spec, params)):
+                    c = dict(caches[i], pos=pos)
+                    cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
+                    h, c = any_decoder_layer(
+                        spec, lp_, h, cos_i, sin_i, bias_i, c)
+                    new_caches.append(
+                        {k_: v_ for k_, v_ in c.items() if k_ != "pos"})
+                h = final_norm(spec, params, h)
+                logits = lm_logits(spec, params, h)  # [B, K1, V]
+                V = logits.shape[-1]
+                # committed-token KV validity (active rows only)
+                key_valid = key_valid.at[bidx, pos].set(
+                    key_valid[bidx, pos] | act)
+                rep = lambda x: jnp.repeat(x, K1)
+                p = warped_probs(
+                    logits.reshape(B * K1, V), rep(temp), rep(topk),
+                    rep(topp), rep(minp)).reshape(B, K1, V)
+                kk = jax.random.fold_in(base_key, draw + s)
+                k_acc, k_res = jax.random.split(kk)
+                u = jax.random.uniform(k_acc, (B, k))
+                pd = jnp.take_along_axis(
+                    p[:, :k], drafts[..., None], axis=-1)[..., 0]  # [B, k]
+                a = jnp.sum(jnp.cumprod(
+                    (u < pd).astype(jnp.int32), axis=1), axis=1)  # [B] 0..k
+                # residual distributions: draft token zeroed for j < k
+                dmat = jnp.concatenate(
+                    [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+                zero_d = ((jnp.arange(V)[None, None, :] == dmat[..., None])
+                          & (jnp.arange(K1)[None, :, None] < k))
+                pz = jnp.where(zero_d, 0.0, p)
+                tot = jnp.sum(pz, axis=-1, keepdims=True)
+                pz = jnp.where(tot > 0.0, pz, p)  # all-zero float guard
+                res = jax.random.categorical(
+                    k_res, jnp.log(pz), axis=-1).astype(jnp.int32)
+                jj = jnp.arange(K1, dtype=jnp.int32)[None, :]
+                out = jnp.where(jj < a[:, None], dmat, res)  # [B, K1]
+                lps = jax.vmap(chosen_logprobs)(logits, out)
+                # accepted draft KV slots become valid
+                ti = jnp.arange(L)[None, :]
+                acc_mask = ((ti >= pos[:, None] + 1)
+                            & (ti <= pos[:, None] + a[:, None])
+                            & act[:, None])
+                key_valid = key_valid | acc_mask
+                # id history: emitted tokens at logical pos+1 .. pos+a+1;
+                # masked writes land at index L and are DROPPED (OOB)
+                widx = pos[:, None] + 1 + jj
+                widx = jnp.where(
+                    (jj <= a[:, None]) & act[:, None], widx, L)
+                tokbuf = tokbuf.at[bidx[:, None], widx].set(out)
+                new_tok = jnp.take_along_axis(out, a[:, None], axis=1)[:, 0]
+                token = jnp.where(act, new_tok, token)
+                pos = jnp.where(
+                    act, jnp.minimum(pos + a + 1, L - 1), pos)
+                return ((token, pos, key_valid, new_caches, tokbuf),
+                        (out, a + 1, lps))
 
-    def _verify_step(self, active: list[int]) -> list["Request"]:
-        from gptqmodel_tpu.inference.speculative import propose_lookup
+            carry, (toks_all, counts, lps_all) = jax.lax.scan(
+                body, (token, pos, key_valid, caches, tokbuf),
+                jnp.arange(S, dtype=jnp.uint32))
+            token, pos, key_valid, caches, tokbuf = carry
+            return (toks_all, counts, lps_all, caches, key_valid, token,
+                    pos, tokbuf)
 
-        k = self.spec_k
-        drafts = np.zeros((self.B, k), np.int32)
-        for i in active:
-            drafts[i] = propose_lookup(self.history[i], k)
-        tokens = np.concatenate(
-            [self.last_token[:, None], drafts], axis=1)
-        act_mask = np.zeros(self.B, bool)
-        act_mask[active] = True
-        preds, lps, self.caches, self.key_valid = self._verify_fn(
-            self.params, self.caches, self.key_valid,
-            jnp.asarray(tokens), jnp.asarray(self.pos),
-            jnp.asarray(act_mask))
-        preds = np.asarray(preds)
-        lps = np.asarray(lps)
-        finished = []
-        acc_rows = np.zeros((self.B, self.key_valid.shape[1]), bool)
-        for i in active:
-            req = self.slots[i]
-            a = 0
-            while a < k and drafts[i, a] == preds[i, a]:
-                a += 1
-            # mark accepted draft KV slots valid; rejected slots will be
-            # overwritten (the per-slot pointer moves back over them)
-            acc_rows[i, self.pos[i] + 1:self.pos[i] + 1 + a] = True
-            stop_at = None
-            for j in range(a + 1):  # a accepted drafts + 1 bonus token
-                tok = int(preds[i, j])
-                req.logprobs.append(float(lps[i, j]))
-                self._emit(req, tok)
-                self.history[i].append(tok)
-                eos = (req.eos_token_id is not None
-                       and tok == req.eos_token_id)
-                if eos or len(req.output_ids) >= req.max_new_tokens:
-                    req.done = True
-                    req.finish_reason = "stop" if eos else "length"
-                    stop_at = j
-                    break
-            if stop_at is not None:
-                req._event.set()
-                finished.append(req)
-                self.slots[i] = None
-                self.history[i] = None
-                self.key_valid = self.key_valid.at[i].set(False)
-                acc_rows[i] = False
-                self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
-                self.minp[i] = 0.0
-                continue
-            self.pos[i] += a + 1
-            self.last_token[i] = int(preds[i, a])
-        self.key_valid = jnp.logical_or(
-            self.key_valid, jnp.asarray(acc_rows))
-        return finished
+        return spec_n
 
     # ------------------------------------------------------------ user API
     def submit(
@@ -472,6 +477,7 @@ class ContinuousBatchingEngine:
         top_p: float = 1.0,
         min_p: float = 0.0,
         stream_cb=None,
+        stop=None,
     ) -> Request:
         with self._lock:
             req = Request(
@@ -484,23 +490,31 @@ class ContinuousBatchingEngine:
                 min_p=min_p,
                 eos_token_id=self.eos_token_id,
                 stream_cb=stream_cb,
+                stop=stop,
             )
             self._next_id += 1
             self._queue.append(req)
             return req
 
     def has_work(self) -> bool:
-        return bool(self._queue) or any(s is not None for s in self.slots)
+        return (bool(self._queue) or any(s is not None for s in self.slots)
+                or self._inflight is not None or bool(self._pending_first))
 
     def step(self) -> list[Request]:
-        """One scheduler iteration: admit pending requests into every free
-        slot (FIFO), then decode all active slots. Returns requests
-        finished this step. Filling all slots per step matters most with
-        ``decode_block``: one-admission-per-step would leave slots idle a
-        whole block per queued request."""
-        while self._admit():
-            pass
-        return self._decode_step()
+        """One scheduler iteration, pipelined: dispatch block n+1 FIRST
+        (on the device-resident carries — no host sync needed), then sync
+        and process block n's tokens (stop logic lags one block; post-stop
+        tokens are discarded), then collect last step's prefill tokens and
+        admit queued requests into freed slots. Returns requests finished
+        this step."""
+        nxt = self._dispatch()
+        finished = []
+        if self._inflight is not None:
+            finished += self._collect(self._inflight)
+        self._inflight = nxt
+        finished += self._collect_first()
+        finished += self._admit_all()
+        return finished
 
     def run_until_idle(self) -> None:
         while self.has_work():
@@ -513,107 +527,154 @@ class ContinuousBatchingEngine:
         return req.output_ids
 
     # ------------------------------------------------------------ internals
-    def _admit(self) -> bool:
-        """Admit ONE queued request (prefill + slot fill). Returns True if
-        it made progress (a request was admitted or finished at prefill),
-        False when the queue is empty or no slot is free."""
-        with self._lock:
-            if not self._queue:
-                return False
-            free = [i for i, s in enumerate(self.slots) if s is None]
-            if not free:
-                return False
-            req = self._queue.pop(0)
-        slot = free[0]
-        T_true = len(req.prompt_ids)
-        if T_true + req.max_new_tokens > self.L:
-            req.done = True
-            req.finish_reason = "length_exceeded"
-            req._event.set()
-            return True
-        Tb = _bucket(T_true)
-        if Tb > self.L:
-            Tb = self.L
-        ids = np.zeros((1, Tb), np.int32)
-        ids[0, :T_true] = req.prompt_ids
-        if Tb not in self._prefill_cache:
-            self._prefill_cache[Tb] = self._make_prefill(Tb)
-        self.temp[slot] = req.temperature
-        self.topk[slot] = req.top_k
-        self.topp[slot] = req.top_p
-        self.minp[slot] = req.min_p
-        tok_dev, lp_dev, self.caches, self.key_valid = self._prefill_cache[Tb](
-            self.params, self.caches, self.key_valid, jnp.asarray(ids),
-            jnp.int32(T_true), jnp.int32(slot),
-            self._base_key, jnp.uint32(self._draws),
-            jnp.float32(req.temperature), jnp.int32(req.top_k),
-            jnp.float32(req.top_p), jnp.float32(req.min_p),
-        )
-        self._draws += 1
-        tok = int(tok_dev)
-        req.logprobs.append(float(lp_dev))
-        self._emit(req, tok)
-        # the prefill-sampled token must honor stop conditions too (eos as
-        # FIRST token, or max_new_tokens == 1) — review finding r4
-        eos = req.eos_token_id is not None and tok == req.eos_token_id
-        if eos or len(req.output_ids) >= req.max_new_tokens:
-            req.done = True
-            req.finish_reason = "stop" if eos else "length"
-            req._event.set()
-            self.temp[slot], self.topk[slot], self.topp[slot] = 0.0, 0, 1.0
-            self.minp[slot] = 0.0
-            self.key_valid = self.key_valid.at[slot].set(False)
-            return True
-        self.slots[slot] = req
-        self.history[slot] = [int(x) for x in req.prompt_ids] + [tok]
-        self.pos[slot] = T_true
-        self.last_token[slot] = tok
-        return True
+    def _dispatch(self) -> Optional[_Inflight]:
+        rows = [(i, s) for i, s in enumerate(self.slots) if s is not None]
+        if not rows:
+            return None
+        # trim tail blocks: no row needs more steps than the largest
+        # remaining budget (pow2-rounded to bound compiles at log2 variants)
+        remaining = max(
+            max(r.max_new_tokens - len(r.output_ids) for _, r in rows), 1)
+        n = _pow2floor(min(self.decode_block, _pow2ceil(remaining)))
+        knobs = (self._base_key, jnp.uint32(self._draws),
+                 jnp.asarray(self.temp), jnp.asarray(self.topk),
+                 jnp.asarray(self.topp), jnp.asarray(self.minp))
+        self._dispatches += 1
+        if self.spec_k > 0:
+            if n not in self._spec_multi_cache:
+                self._spec_multi_cache[n] = self._make_spec_multi(n)
+            act = np.zeros(self.B, bool)
+            act[[i for i, _ in rows]] = True
+            (toks, counts, lps, self.caches, self.key_valid, self.token,
+             self.pos, self.tokbuf) = self._spec_multi_cache[n](
+                self.params, self.caches, self.key_valid, self.token,
+                self.pos, self.tokbuf, jnp.asarray(act), *knobs)
+            self._draws += n
+            return _Inflight("spec", n, rows, toks, lps, counts)
+        if n not in self._decode_multi_cache:
+            self._decode_multi_cache[n] = self._make_decode_multi(n)
+        (toks, lps, self.caches, self.key_valid, self.token, self.pos,
+         self.tokbuf) = self._decode_multi_cache[n](
+            self.params, self.caches, self.key_valid, self.token,
+            self.pos, self.tokbuf, *knobs)
+        self._draws += n
+        return _Inflight("decode", n, rows, toks, lps)
 
-    def _decode_step(self) -> list[Request]:
-        active = [i for i, s in enumerate(self.slots) if s is not None]
-        if not active:
-            return []
-        if (self.spec_k > 0
-                and all(self.slots[i].temperature <= 0.0 for i in active)):
-            return self._verify_step(active)
-        if self.decode_block > 1:
-            return self._decode_multi_step(active)
-        return self._decode_single_step(active)
-
-    def _decode_single_step(self, active: list[int]) -> list[Request]:
-        toks, lps, self.caches, self.key_valid = self._decode_fn(
-            self.params, self.caches, self.key_valid,
-            jnp.asarray(self.last_token), jnp.asarray(self.pos),
-            self._base_key, jnp.uint32(self._draws),
-            jnp.asarray(self.temp), jnp.asarray(self.topk),
-            jnp.asarray(self.topp), jnp.asarray(self.minp),
-        )
-        self._draws += 1
-        toks = np.asarray(toks)  # [B] int32 + [B] f32 logprobs to host
-        lps = np.asarray(lps)
+    def _collect(self, blk: _Inflight) -> list[Request]:
+        toks = np.asarray(blk.toks)  # sync point: waits for block n only —
+        lps = np.asarray(blk.lps)  # block n+1 is already running on device
+        counts = np.asarray(blk.counts) if blk.counts is not None else None
         finished = []
-        for i in active:
-            req = self.slots[i]
-            tok = int(toks[i])
-            req.logprobs.append(float(lps[i]))
+        for slot, req in blk.rows:
+            if self.slots[slot] is not req:  # released/re-admitted: discard
+                continue
+            if req.cancelled:
+                self._release(slot, req, "stop")
+                finished.append(req)
+                continue
+            stopped = False
+            for s in range(blk.n):
+                emit = ([int(toks[s, slot])] if counts is None else
+                        [int(x) for x in
+                         toks[s, slot, :int(counts[s, slot])]])
+                src = (lps[s, slot] if counts is None
+                       else lps[s, slot, :len(emit)])
+                for tok, lp in zip(
+                        emit, np.atleast_1d(np.asarray(src, np.float64))):
+                    req.logprobs.append(float(lp))
+                    self._emit(req, tok)
+                    eos = (req.eos_token_id is not None
+                           and tok == req.eos_token_id)
+                    if eos or len(req.output_ids) >= req.max_new_tokens:
+                        self._release(slot, req,
+                                      "stop" if eos else "length")
+                        finished.append(req)
+                        stopped = True
+                        break
+                if stopped:
+                    break
+        return finished
+
+    def _collect_first(self) -> list[Request]:
+        """Sync prefill-sampled tokens dispatched LAST step (the prefill
+        runs right after the block synced above, so this never waits on
+        the just-dispatched block)."""
+        pending, self._pending_first = self._pending_first, []
+        finished = []
+        for slot, req, tok_fut, lp_fut in pending:
+            if req.cancelled:
+                self._release(slot, req, "stop")
+                finished.append(req)
+                continue
+            tok = int(tok_fut)
+            req.logprobs.append(float(lp_fut))
             self._emit(req, tok)
-            if self.history[i] is not None:
-                self.history[i].append(tok)
-            self.pos[i] += 1
-            self.last_token[i] = tok
             eos = req.eos_token_id is not None and tok == req.eos_token_id
             if eos or len(req.output_ids) >= req.max_new_tokens:
+                self._release(slot, req, "stop" if eos else "length")
+                finished.append(req)
+        return finished
+
+    def _admit_all(self) -> list[Request]:
+        """Admit queued requests into every free slot (FIFO). Bounded by
+        the queue length at entry, so a concurrent submitter that keeps
+        the queue non-empty with finish-at-prefill requests cannot starve
+        decode (review finding r4)."""
+        finished = []
+        with self._lock:
+            budget = len(self._queue)
+        while budget > 0:
+            budget -= 1
+            with self._lock:
+                if not self._queue:
+                    break
+                free = [i for i, s in enumerate(self.slots) if s is None]
+                if not free:
+                    break
+                req = self._queue.pop(0)
+            slot = free[0]
+            T_true = len(req.prompt_ids)
+            if T_true + req.max_new_tokens > self.L:
                 req.done = True
-                req.finish_reason = "stop" if eos else "length"
+                req.finish_reason = "length_exceeded"
                 req._event.set()
                 finished.append(req)
-                self.slots[i] = None
-                self.history[i] = None
-                self.key_valid = self.key_valid.at[i].set(False)
-                self.temp[i], self.topk[i], self.topp[i] = 0.0, 0, 1.0
-                self.minp[i] = 0.0
+                continue
+            Tb = min(_bucket(T_true), self.L)
+            ids = np.zeros((1, Tb), np.int32)
+            ids[0, :T_true] = req.prompt_ids
+            if Tb not in self._prefill_cache:
+                self._prefill_cache[Tb] = self._make_prefill(Tb)
+            self.temp[slot] = req.temperature
+            self.topk[slot] = req.top_k
+            self.topp[slot] = req.top_p
+            self.minp[slot] = req.min_p
+            (tok_fut, lp_fut, self.caches, self.key_valid, self.token,
+             self.pos, self.tokbuf) = self._prefill_cache[Tb](
+                self.params, self.caches, self.key_valid, self.token,
+                self.pos, self.tokbuf, jnp.asarray(ids),
+                jnp.int32(T_true), jnp.int32(slot),
+                self._base_key, jnp.uint32(self._draws),
+                jnp.float32(req.temperature), jnp.int32(req.top_k),
+                jnp.float32(req.top_p), jnp.float32(req.min_p),
+            )
+            self._draws += 1
+            self.slots[slot] = req
+            # first-token stop check happens at NEXT step's collect (the
+            # scalar future must not force a wait on the inflight block)
+            self._pending_first.append((slot, req, tok_fut, lp_fut))
         return finished
+
+    def _release(self, slot: int, req: Request, reason: str):
+        req.done = True
+        req.finish_reason = reason
+        req._event.set()
+        self.slots[slot] = None
+        # lazy clear applies AFTER any already-dispatched block's updates,
+        # reclaiming its post-stop writes; prefill overwrites the row fully
+        self.key_valid = self.key_valid.at[slot].set(False)
+        self.temp[slot], self.topk[slot] = 0.0, 0
+        self.topp[slot], self.minp[slot] = 1.0, 0.0
 
     def _emit(self, req: Request, tok: int):
         req.output_ids.append(int(tok))

@@ -9,6 +9,10 @@ generate. Endpoints:
 - POST /v1/completions        (raw prompt)
 - GET  /v1/models
 
+Both POST endpoints honor OpenAI ``stop`` sequences (str or list; matched
+host-side on the decoded tail so sequences spanning token boundaries work —
+the reference forwards them as HF ``stop_strings``, openai_server.py:80)
+and ``n`` > 1 choices (n slots decoding concurrently in the shared batch).
 Both POST endpoints honor ``"stream": true`` with OpenAI-protocol SSE
 (``data: {chunk}\n\n`` ... ``data: [DONE]``): the engine's per-token
 ``stream_cb`` feeds a queue the handler drains, emitting incremental text
@@ -146,21 +150,59 @@ class OpenAiServer:
             self._httpd.shutdown()
 
     # ----------------------------------------------------------- handlers
-    def _gen(self, prompt_ids, req: dict):
-        r = self.engine.submit(
-            prompt_ids,
+    @staticmethod
+    def _stops(req: dict) -> list:
+        """Normalize OpenAI ``stop`` (str | list[str] | None) — the
+        reference forwards it as HF ``stop_strings``
+        (gptqmodel/utils/openai_server.py:80); here stop matching runs
+        host-side on the decoded tail, so sequences spanning token
+        boundaries match naturally."""
+        s = req.get("stop")
+        if s is None:
+            return []
+        return [s] if isinstance(s, str) else [str(x) for x in s]
+
+    def _sampler_kw(self, req: dict) -> dict:
+        return dict(
             max_new_tokens=int(req.get("max_tokens", 128)),
             temperature=float(req.get("temperature", 0.0)),
             top_k=int(req.get("top_k", 0)),
             top_p=float(req.get("top_p", 1.0)),
             min_p=float(req.get("min_p", 0.0)),
         )
+
+    def _gen(self, prompt_ids, req: dict):
+        stops = self._stops(req)
+        cb = None
+        if stops:
+            # cancel the slot as soon as a stop string appears in the
+            # decoded text (tokens already past it are truncated below)
+            holder: list = []
+            watch_ids: list[int] = []
+
+            def cb(tok: int):
+                watch_ids.append(tok)
+                text = self.tokenizer.decode(
+                    watch_ids, skip_special_tokens=True)
+                if holder and any(s in text for s in stops):
+                    holder[0].cancel()
+
+        r = self.engine.submit(prompt_ids, stream_cb=cb,
+                               **self._sampler_kw(req))
+        if stops:
+            holder.append(r)
         r.wait()
         ids = r.output_ids
         if self.engine.eos_token_id is not None and ids and ids[-1] == self.engine.eos_token_id:
             ids = ids[:-1]
         text = self.tokenizer.decode(ids, skip_special_tokens=True)
-        return text, r.finish_reason, len(r.output_ids), r
+        reason = r.finish_reason
+        if stops:
+            cut = min((text.find(s) for s in stops if s in text),
+                      default=-1)
+            if cut >= 0:
+                text, reason = text[:cut], "stop"
+        return text, reason, len(r.output_ids), r
 
     def _stream(self, req: dict, chat: bool):
         """Generator of OpenAI stream chunks (the SSE payloads)."""
@@ -173,15 +215,9 @@ class OpenAiServer:
         else:
             ids = self.tokenizer(req.get("prompt", ""))["input_ids"]
         q: queue.Queue = queue.Queue()
+        stops = self._stops(req)
         r = self.engine.submit(
-            ids,
-            max_new_tokens=int(req.get("max_tokens", 128)),
-            temperature=float(req.get("temperature", 0.0)),
-            top_k=int(req.get("top_k", 0)),
-            top_p=float(req.get("top_p", 1.0)),
-            min_p=float(req.get("min_p", 0.0)),
-            stream_cb=q.put,
-        )
+            ids, stream_cb=q.put, **self._sampler_kw(req))
         obj = "chat.completion.chunk" if chat else "text_completion"
         rid = "chatcmpl-0" if chat else "cmpl-0"
         created = int(time.time())
@@ -195,6 +231,7 @@ class OpenAiServer:
             }
         out_ids: list[int] = []
         sent = ""
+        stop_reason = None
         while True:
             try:
                 tok = q.get(timeout=0.1)
@@ -214,6 +251,32 @@ class OpenAiServer:
             text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
             if text.endswith("\ufffd"):
                 continue
+            if stops:
+                cut = min((text.find(s) for s in stops if s in text),
+                          default=-1)
+                if cut >= 0:  # stop sequence complete (may span tokens)
+                    r.cancel()
+                    stop_reason = "stop"
+                    text = text[:cut]
+                    if text[len(sent):]:
+                        body = ({"delta": {"content": text[len(sent):]}}
+                                if chat else {"text": text[len(sent):]})
+                        yield {
+                            "id": rid, "object": obj, "created": created,
+                            "model": self.model_name,
+                            "choices": [dict(body, index=0,
+                                             finish_reason=None)],
+                        }
+                    sent = text
+                    break
+                # hold back any tail that could still grow into a stop
+                # sequence (emit only the prefix no stop can start in)
+                safe = len(text)
+                for s in stops:
+                    for o in range(1, min(len(s), len(text)) + 1):
+                        if text.endswith(s[:o]):
+                            safe = min(safe, len(text) - o)
+                text = text[:safe]
             delta, sent = text[len(sent):], text
             if not delta:
                 continue
@@ -227,6 +290,12 @@ class OpenAiServer:
         # flush any held-back tail (even a genuinely invalid sequence is
         # emitted once generation is over)
         text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        if stops:  # always truncate the flush too (cancel lags a block)
+            cut = min((text.find(s) for s in stops if s in text),
+                      default=-1)
+            if cut >= 0:
+                stop_reason = "stop"
+                text = text[:cut]
         if text[len(sent):]:
             body = ({"delta": {"content": text[len(sent):]}} if chat
                     else {"text": text[len(sent):]})
@@ -240,51 +309,72 @@ class OpenAiServer:
             "model": self.model_name,
             "choices": [{"index": 0,
                          **({"delta": {}} if chat else {"text": ""}),
-                         "finish_reason": r.finish_reason or "stop"}],
+                         "finish_reason": stop_reason or r.finish_reason
+                         or "stop"}],
         }
+
+    def _gen_n(self, ids, req: dict):
+        """``n`` choices (OpenAI ``n``): n slots decode CONCURRENTLY in the
+        shared batch (submitted together, so the engine admits them into
+        sibling slots in the same step). Greedy requests yield identical
+        choices, as OpenAI's do at temperature 0."""
+        n = max(1, int(req.get("n", 1)))
+        if n == 1:
+            return [self._gen(ids, req)]
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=n) as ex:
+            return list(ex.map(lambda _: self._gen(ids, req), range(n)))
 
     def _chat(self, req: dict) -> dict:
         msgs = req.get("messages", [])
         ids = self.tokenizer.apply_chat_template(
             msgs, add_generation_prompt=True, tokenize=True
         )
-        text, reason, n_out, _r = self._gen(ids, req)
+        results = self._gen_n(ids, req)
+        total_out = sum(n_out for _, _, n_out, _ in results)
         return {
             "id": "chatcmpl-0",
             "object": "chat.completion",
             "created": int(time.time()),
             "model": self.model_name,
             "choices": [{
-                "index": 0,
+                "index": i,
                 "message": {"role": "assistant", "content": text},
                 "finish_reason": reason or "stop",
-            }],
+            } for i, (text, reason, _, _) in enumerate(results)],
             "usage": {
                 "prompt_tokens": len(ids),
-                "completion_tokens": n_out,
-                "total_tokens": len(ids) + n_out,
+                "completion_tokens": total_out,
+                "total_tokens": len(ids) + total_out,
             },
         }
 
     def _completion(self, req: dict) -> dict:
         prompt = req.get("prompt", "")
         ids = self.tokenizer(prompt)["input_ids"]
-        text, reason, n_out, r = self._gen(ids, req)
-        choice = {"index": 0, "text": text, "finish_reason": reason or "stop"}
-        if req.get("logprobs"):
-            choice["logprobs"] = {
-                "tokens": [self.tokenizer.decode([t]) for t in r.output_ids],
-                "token_logprobs": [round(v, 6) for v in r.logprobs],
-            }
+        results = self._gen_n(ids, req)
+        choices = []
+        for i, (text, reason, n_out, r) in enumerate(results):
+            choice = {"index": i, "text": text,
+                      "finish_reason": reason or "stop"}
+            if req.get("logprobs"):
+                choice["logprobs"] = {
+                    "tokens": [self.tokenizer.decode([t])
+                               for t in r.output_ids],
+                    "token_logprobs": [round(v, 6) for v in r.logprobs],
+                }
+            choices.append(choice)
+        total_out = sum(n_out for _, _, n_out, _ in results)
         return {
             "id": "cmpl-0",
             "object": "text_completion",
             "created": int(time.time()),
             "model": self.model_name,
-            "choices": [choice],
+            "choices": choices,
             "usage": {
                 "prompt_tokens": len(ids),
-                "completion_tokens": n_out,
-                "total_tokens": len(ids) + n_out,
+                "completion_tokens": total_out,
+                "total_tokens": len(ids) + total_out,
             },
         }

@@ -134,6 +134,14 @@ def quantize_model(
         lambda base, ids: embed(spec, base, ids, dtype=activation_dtype)
     )
     hidden = [np.asarray(embed_fn(base, jnp.asarray(ids_all[b]))) for b in range(nb)]
+    if calibration.mm_embeds is not None:
+        # multimodal calibration (modality != TEXT archs): replace
+        # placeholder-token embeddings with the supplied vision/audio tower
+        # outputs so every captured Hessian sees visual-context activations
+        # (reference: per-arch prepare_dataset runs real image/audio batches,
+        # gptqmodel/models/definitions/ovis.py:129, models/base.py:775,260)
+        for b in range(nb):  # np.asarray(jax) is read-only -> copy to merge
+            hidden[b] = calibration.merge_mm(np.array(hidden[b]), b)
     positions = jnp.broadcast_to(jnp.arange(T), (B, T))
     cos, sin = rope_cos_sin(spec, positions)
     attn_bias = make_causal_mask(T, T)

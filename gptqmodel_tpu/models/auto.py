@@ -260,8 +260,17 @@ class BaseQModel:
         calibration_sort: Optional[str] = "desc",
         max_length: int = 2048,
         activation_dtype=jnp.float32,
+        image_token_id: Optional[int] = None,
     ) -> list[dict]:
-        """Quantize the model with calibration data; returns the quant log."""
+        """Quantize the model with calibration data; returns the quant log.
+
+        Multimodal calibration (VL/omni archs, reference modality IMAGE/
+        AUDIO — gptqmodel/models/base.py:260): calibration entries may be
+        dicts with ``input_ids`` containing placeholder tokens plus
+        ``image_embeds`` ([n_mm, hidden] precomputed tower embeddings);
+        they are merged at placeholder positions before capture so text-
+        tower Hessians see visual-context activations. ``image_token_id``
+        defaults to the checkpoint config's image_token_id/-index."""
         if self.quantized:
             raise RuntimeError("model is already quantized")
         from gptqmodel_tpu.looper.calibration import (
@@ -289,6 +298,8 @@ class BaseQModel:
             return self.quant_log
 
         if not isinstance(calibration, CalibrationBatches):
+            if image_token_id is None:
+                image_token_id = _find_image_token_id(self.hf_config)
             calibration = prepare_calibration(
                 calibration,
                 tokenizer=tokenizer or (self.tokenizer if _has_tokenizer(self.model_dir) else None),
@@ -296,6 +307,7 @@ class BaseQModel:
                 max_length=max_length,
                 concat_size=calibration_concat_size,
                 sort=calibration_sort,
+                image_token_id=image_token_id,
             )
         result = quantize_model(
             self.model_dir, self.qcfg, calibration, activation_dtype=activation_dtype
@@ -478,6 +490,24 @@ class BaseQModel:
         )
         srv.start(host=host, port=port, block=block)
         return srv
+
+
+def _find_image_token_id(cfg, _depth: int = 0) -> int:
+    """Resolve the VL placeholder token id from a (possibly nested) HF
+    config dict: image_token_id / image_token_index at any level (llava,
+    qwen*-vl, ovis-style nesting). -1 when absent (text-only arch)."""
+    if not isinstance(cfg, dict) or _depth > 3:
+        return -1
+    for k in ("image_token_id", "image_token_index"):
+        v = cfg.get(k)
+        if isinstance(v, int):
+            return v
+    for v in cfg.values():
+        if isinstance(v, dict):
+            found = _find_image_token_id(v, _depth + 1)
+            if found >= 0:
+                return found
+    return -1
 
 
 def _has_tokenizer(model_dir: Path) -> bool:
