@@ -372,8 +372,11 @@ def _cache_write_read(cache: dict, k, v, B: int, T: int, dtype):
             cache["v_s"] = upd(cache["v_s"], v_sc)
     elif T == 1:  # per-slot write positions (continuous batching)
         bidx = jnp.arange(B)
+        # one (row, pos) target per row: unique + row-sorted by construction,
+        # so the scatter lowers without dedup/serialization guards
         upd = lambda buf, val: buf.at[bidx, :, pos].set(
-            val[:, :, 0].astype(buf.dtype)
+            val[:, :, 0].astype(buf.dtype),
+            unique_indices=True, indices_are_sorted=True,
         )
         cache = dict(cache, k=upd(cache["k"], k_store),
                      v=upd(cache["v"], v_store), pos=pos + 1)

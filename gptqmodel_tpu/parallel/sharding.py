@@ -148,11 +148,87 @@ def param_pspecs(tree, model_axis: str = "model", _leaf_name: str = ""):
     return P()
 
 
-def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+def tp_pad_dense(spec, params, tp: int, group_size: int):
+    """Zero-pad a dense llama-style params tree so every TP-sharded dim
+    divides ``tp`` — semantics-preserving TP padding (the TPU-native
+    analog of the reference's TensorParallelPadderConfig, config.py:1185,
+    which pads in-features pre-solve so downstream TP runtimes shard
+    evenly). Returns (padded_spec, padded_params).
+
+    Padding rules (all zero-filled, so outputs are bit-equal to the
+    unpadded model up to fp reduction order):
+    - heads: kv_heads -> next multiple of tp, heads scaled by the same
+      GQA ratio (so the query->kv-group mapping of REAL heads is
+      unchanged; padded q/k/v rows are zero => zero attention output, and
+      o_proj's padded in-columns are zero).
+    - intermediate: next multiple of lcm(tp, tp*group_size) so both the
+      gate/up out-shard and down_proj's quantization-group shard divide.
+    Quantizing AFTER padding keeps original group boundaries intact
+    (padded groups quantize to zeros), so the padded quantized model
+    matches the unpadded quantized model exactly.
+
+    Requires heads % kv_heads == 0 and (padded heads * head_dim) to land
+    on a group_size*tp multiple for o_proj's group shard — raises with
+    guidance otherwise (pick a smaller group_size)."""
+    import dataclasses
+    import math
+
+    H, KV, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    if H % KV:
+        raise ValueError(f"GQA ratio must be integral: heads={H} kv={KV}")
+    ratio = H // KV
+    KVp = -(-KV // tp) * tp
+    Hp = KVp * ratio
+    I = spec.intermediate_size
+    mult = tp * group_size
+    Ip = -(-I // mult) * mult
+    if (Hp * D) % mult:
+        raise ValueError(
+            f"padded attention in-features {Hp}*{D} not divisible by "
+            f"tp*group_size={mult}; choose group_size dividing "
+            f"{math.gcd(Hp * D, mult)}")
+
+    def pad_out(w, new_rows):
+        w = np.asarray(w)
+        return np.pad(w, ((0, new_rows - w.shape[0]), (0, 0)))
+
+    def pad_in(w, new_cols):
+        w = np.asarray(w)
+        return np.pad(w, ((0, 0), (0, new_cols - w.shape[1])))
+
+    import copy
+    out = copy.deepcopy(params)
+    for lp in out["model"]["layers"]:
+        sa = lp["self_attn"]
+        sa["q_proj"]["weight"] = pad_out(sa["q_proj"]["weight"], Hp * D)
+        sa["k_proj"]["weight"] = pad_out(sa["k_proj"]["weight"], KVp * D)
+        sa["v_proj"]["weight"] = pad_out(sa["v_proj"]["weight"], KVp * D)
+        sa["o_proj"]["weight"] = pad_in(sa["o_proj"]["weight"], Hp * D)
+        for k in ("q_proj", "k_proj", "v_proj"):
+            if sa[k].get("bias") is not None:
+                b = np.asarray(sa[k]["bias"])
+                n = (Hp if k == "q_proj" else KVp) * D
+                sa[k]["bias"] = np.pad(b, (0, n - b.shape[0]))
+        mlp = lp["mlp"]
+        if "gate_proj" in mlp:
+            mlp["gate_proj"]["weight"] = pad_out(
+                mlp["gate_proj"]["weight"], Ip)
+            mlp["up_proj"]["weight"] = pad_out(mlp["up_proj"]["weight"], Ip)
+            mlp["down_proj"]["weight"] = pad_in(
+                mlp["down_proj"]["weight"], Ip)
+    new_spec = dataclasses.replace(
+        spec, num_heads=Hp, num_kv_heads=KVp, intermediate_size=Ip)
+    return new_spec, out
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model",
+                 strict: bool = False):
     """device_put every leaf with its NamedSharding. A leaf whose sharded
     dim doesn't divide the mesh axis falls back to replication WITH a
     warning naming the tensor — a TP misconfiguration must not silently
-    degrade to replicated weights (round-1 VERDICT weak #6)."""
+    degrade to replicated weights (round-1 VERDICT weak #6). With
+    ``strict=True`` any fallback raises instead (use after tp_pad_dense,
+    where a fallback means the padding missed a tensor)."""
     specs = param_pspecs(params, model_axis)
     fallbacks: list[str] = []
 
@@ -172,6 +248,10 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
         return jax.device_put(leaf, NamedSharding(mesh, s))
 
     out = _tree_zip_map(put, params, specs)
+    if fallbacks and strict:
+        raise ValueError(
+            f"shard_params(strict): {len(fallbacks)} tensor(s) would be "
+            f"replicated: {'; '.join(fallbacks[:5])}")
     if fallbacks:
         log.warning(
             "shard_params: %d tensor(s) REPLICATED instead of sharded "

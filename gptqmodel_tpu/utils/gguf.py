@@ -286,6 +286,45 @@ def dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
     return (d[:, None] * np.take_along_axis(sc, sub, 1) * q).reshape(-1)[:n]
 
 
+def quant_q5_k(x: np.ndarray) -> np.ndarray:
+    """Encode Q5_K super-blocks (min/max sub-block affine like quant_q4_k,
+    5-bit codes; byte layout is the exact inverse of dequant_q5_k, so
+    round-trips are bit-stable — export symmetry with the reference's
+    internal_gguf.py:202 quantize())."""
+    x = x.reshape(-1, 256).astype(np.float32)
+    nb = len(x)
+    sub = x.reshape(nb, 8, 32)
+    mn = sub.min(axis=2)
+    mx = sub.max(axis=2)
+    m_full = np.maximum(0.0, -mn)  # stored min term is subtractive
+    s_full = np.maximum(mx + m_full, 1e-12) / 31.0
+    d = np.maximum(s_full.max(axis=1), 1e-12) / 63.0
+    dmin = np.maximum(m_full.max(axis=1), 1e-12) / 63.0
+    sc = np.clip(np.round(s_full / d[:, None]), 0, 63)
+    m = np.clip(np.round(m_full / dmin[:, None]), 0, 63)
+    eff_s = np.maximum(d[:, None] * sc, 1e-12)
+    eff_m = dmin[:, None] * m
+    q = np.clip(
+        np.round((sub + eff_m[:, :, None]) / eff_s[:, :, None]), 0, 31
+    ).astype(np.uint8)
+    flat = q.reshape(nb, 256)
+    out = np.zeros((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _q4k_pack_scales(sc, m)
+    qh = np.zeros((nb, 32), np.uint8)
+    for j in range(8):  # fifth bit: elem 32j+i -> bit j of qh byte i
+        qh |= (((flat[:, 32 * j : 32 * (j + 1)] >> 4) & 1) << j).astype(
+            np.uint8)
+    out[:, 16:48] = qh
+    lo4 = flat & 0xF
+    for chunk in range(4):  # nibble layout shared with Q4_K
+        lo = lo4[:, 64 * chunk : 64 * chunk + 32]
+        hi = lo4[:, 64 * chunk + 32 : 64 * chunk + 64]
+        out[:, 48 + 32 * chunk : 48 + 32 * (chunk + 1)] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
 def dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
     """Q5_K: 176-byte super-blocks of 256 — d f16, dmin f16, 12B 6-bit
     scales/mins (8 sub-blocks of 32), qh[32] (5th bits), 128 nibble bytes.

@@ -80,7 +80,7 @@ def test_q6_k_handbuilt_block():
     np.testing.assert_allclose(G.dequant_q6_k(blk, 256), q.astype(np.float32) - 32)
 
 
-@pytest.mark.parametrize("codec", ["q4_0", "q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("codec", ["q4_0", "q8_0", "q4_k", "q5_k", "q6_k"])
 def test_quant_roundtrip_error_bounded(codec):
     rng = np.random.default_rng(2)
     x = rng.standard_normal(1024).astype(np.float32) * 0.1
@@ -88,7 +88,8 @@ def test_quant_roundtrip_error_bounded(codec):
     dec = getattr(G, f"dequant_{codec}")
     back = dec(enc(x), 1024)
     # step/2 bounds on N(0, 0.1) blocks; K-quants add 6-bit scale rounding
-    tol = {"q4_0": 0.04, "q8_0": 0.002, "q4_k": 0.05, "q6_k": 0.02}[codec]
+    tol = {"q4_0": 0.04, "q8_0": 0.002, "q4_k": 0.05, "q5_k": 0.03,
+           "q6_k": 0.02}[codec]
     assert np.abs(back - x).max() < tol
 
 
@@ -117,6 +118,21 @@ def test_kquant_encode_exact_on_grid(codec):
     np.testing.assert_allclose(back, x, atol=5e-3)
 
 
+def test_q5_k_encode_grid_roundtrip():
+    """q5_k encode (new, VERDICT r4 #8): grid values survive encode->decode
+    (same affine structure as q4_k with 5-bit codes + qh fifth-bit plane);
+    and encode->decode->encode is byte-stable."""
+    rng = np.random.default_rng(7)
+    s, m = 0.25, 0.5
+    q = rng.integers(0, 32, 512).reshape(-1, 32)
+    q[:, 0], q[:, 1] = 0, 31  # pin code range so 6-bit scale codes are exact
+    x = (s * q.reshape(-1) - m).astype(np.float32)
+    blk = G.quant_q5_k(x)
+    back = G.dequant_q5_k(blk, 512)
+    np.testing.assert_allclose(back, x, atol=5e-3)
+    assert np.array_equal(G.quant_q5_k(back), blk)  # byte-stable round-trip
+
+
 def test_container_roundtrip():
     with tempfile.TemporaryDirectory() as tmp:
         p = Path(tmp) / "t.gguf"
@@ -142,7 +158,7 @@ def test_rope_permute_roundtrip():
     np.testing.assert_array_equal(_unpermute_rows(_permute_rows(w, 4), 4), w)
 
 
-@pytest.mark.parametrize("qt", ["q4_0", "q8_0", "q4_k", "q6_k", "f16"])
+@pytest.mark.parametrize("qt", ["q4_0", "q8_0", "q4_k", "q5_k", "q6_k", "f16"])
 def test_model_export_import_roundtrip(qt):
     """tiny llama -> export GGUF -> load_gguf -> forward fidelity. Q4_0/Q8_0
     import as packed QuantLinears (fused kernel path)."""
@@ -168,8 +184,8 @@ def test_model_export_import_roundtrip(qt):
             forward_logits(m.spec, m.params, jnp.asarray(ids), dtype=jnp.float32)
         )
         rel = np.linalg.norm(got - dense_logits) / np.linalg.norm(dense_logits)
-        tol = {"q4_0": 0.2, "q8_0": 0.02, "q4_k": 0.2, "q6_k": 0.05,
-               "f16": 2e-3}[qt]
+        tol = {"q4_0": 0.2, "q8_0": 0.02, "q4_k": 0.2, "q5_k": 0.1,
+               "q6_k": 0.05, "f16": 2e-3}[qt]
         assert rel < tol, (qt, rel)
 
         gen = m.generate(np.arange(1, 7).reshape(1, 6), max_new_tokens=3,
