@@ -222,34 +222,51 @@ class ContinuousBatchingEngine:
             self.decode_block = 1
 
     # ------------------------------------------------------------- jit fns
-    def _make_prefill(self, T: int):
+    def _make_prefill(self, T: int, kb: int):
+        """Batched admission prefill: ``kb`` prompts (padded to bucket
+        ``T``) prefill in ONE program and scatter into their slots.
+        Prefill is weight-streaming-bound, so [kb, T] costs ~the same as
+        [1, T] — a burst of admissions pays one pass over the weights
+        instead of kb (r5; the reference delegates batching to vLLM).
+        Dummy pad rows carry slot index B (out of range): every scatter
+        for them is DROPPED by JAX semantics, so kb only has to bound the
+        group size, not match it."""
         spec, L, dtype = self.spec, self.L, self.dtype
         from gptqmodel_tpu.inference.sampling import (
             chosen_logprobs, sample_tokens)
 
         @jax.jit
         def prefill(params, caches, key_valid, token, pos, tokbuf, ids,
-                    true_len, slot, base_key, draw, temp, topk, topp, minp):
-            # mini-cache view for the slot (generic over int8-KV scale keys)
+                    true_lens, slots, base_key, draw, temp, topk, topp,
+                    minp):
+            # fresh per-group mini caches (zeros), BUCKET-length T not L:
+            # the layer only writes positions 0..T-1, attention only needs
+            # the prompt span, and the write-back scatters just [:T] — so
+            # a [kb, T] prefill's KV traffic is prompt-proportional, not
+            # kb*max_len (prefill overwrites the row's validity anyway,
+            # so stale content past T never matters)
             mini = []
             for c in caches:
                 entry = {"pos": jnp.int32(0)}
                 for kk, buf in c.items():
-                    entry[kk] = jax.lax.dynamic_slice(
-                        buf, (slot,) + (0,) * (buf.ndim - 1), (1,) + buf.shape[1:]
-                    )
+                    if kk in ("k", "v", "k_s", "v_s"):  # positional dim 2
+                        shp = (kb,) + buf.shape[1:2] + (T,) + buf.shape[3:]
+                    else:  # recurrent state (conv/ssm/...): full copy
+                        shp = (kb,) + buf.shape[1:]
+                    entry[kk] = jnp.zeros(shp, buf.dtype)
                 mini.append(entry)
             positions = jnp.arange(T)[None, :]
             cos, sin = rope_cos_sin(spec, positions)
-            qi = jnp.arange(T)[:, None]
-            ki = jnp.arange(L)[None, :]
-            ok = (ki <= qi) & (ki < true_len)
+            qi = jnp.arange(T)[None, :, None]
+            ki = jnp.arange(T)[None, None, :]
+            tl = true_lens[:, None, None]
+            ok = (ki <= qi) & (ki < tl)  # [kb, T, T]
             ctx = {"cos": cos, "sin": sin,
-                   "bias": jnp.where(ok, 0.0, _NEG)[None, None]}
+                   "bias": jnp.where(ok, 0.0, _NEG)[:, None]}
             if has_sliding_layers(spec):
                 ctx["cos_l"], ctx["sin_l"] = rope_cos_sin(spec, positions, local=True)
                 ok_l = ok & (ki > qi - spec.sliding_window)
-                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[None, None]
+                ctx["bias_l"] = jnp.where(ok_l, 0.0, _NEG)[:, None]
             h = embed(spec, params, ids, dtype, positions)
             for i, lp in enumerate(model_layers(spec, params)):
                 cos_i, sin_i, bias_i = layer_rope_bias(spec, i, ctx)
@@ -257,31 +274,29 @@ class ContinuousBatchingEngine:
                     spec, lp, h, cos_i, sin_i, bias_i, mini[i]
                 )
             h = final_norm(spec, params, h)
-            last = jax.lax.dynamic_slice(h, (0, true_len - 1, 0), (1, 1, h.shape[-1]))
-            logits = lm_logits(spec, params, last)[0, 0]
+            last = h[jnp.arange(kb), true_lens - 1][:, None]  # [kb, 1, H]
+            logits = lm_logits(spec, params, last)[:, 0]  # [kb, V]
             for i, c in enumerate(caches):
                 for kk, buf in c.items():
-                    c[kk] = jax.lax.dynamic_update_slice(
-                        buf, mini[i][kk], (slot,) + (0,) * (buf.ndim - 1)
-                    )
-            row = jnp.arange(L) < true_len
-            key_valid = jax.lax.dynamic_update_slice(
-                key_valid, row[None, :], (slot, 0)
-            )
-            tok = sample_tokens(
-                logits[None], jax.random.fold_in(base_key, draw),
-                temp[None], topk[None], topp[None], minp[None],
-            )[0]
-            lp = chosen_logprobs(logits[None], tok[None])[0]
-            # device-resident carries: seed the slot's decode state + the
-            # id-history row (prompt then the sampled token at true_len)
-            token = token.at[slot].set(tok)
-            pos = pos.at[slot].set(true_len)
-            hist = jnp.zeros((L,), jnp.int32)
-            hist = jax.lax.dynamic_update_slice(hist, ids[0], (0,))
-            hist = hist.at[true_len].set(tok)
-            tokbuf = jax.lax.dynamic_update_slice(tokbuf, hist[None], (slot, 0))
-            return tok, lp, caches, key_valid, token, pos, tokbuf
+                    if kk in ("k", "v", "k_s", "v_s"):
+                        c[kk] = buf.at[slots, :, 0:T].set(
+                            mini[i][kk], unique_indices=True)
+                    else:
+                        c[kk] = buf.at[slots].set(
+                            mini[i][kk], unique_indices=True)
+            rows = jnp.arange(L)[None, :] < true_lens[:, None]
+            key_valid = key_valid.at[slots].set(rows, unique_indices=True)
+            toks = sample_tokens(
+                logits, jax.random.fold_in(base_key, draw),
+                temp, topk, topp, minp)  # [kb]
+            lps = chosen_logprobs(logits, toks)
+            token = token.at[slots].set(toks, unique_indices=True)
+            pos = pos.at[slots].set(true_lens, unique_indices=True)
+            hist = jnp.zeros((kb, L), jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, ids, (0, 0))
+            hist = hist.at[jnp.arange(kb), true_lens].set(toks)
+            tokbuf = tokbuf.at[slots].set(hist, unique_indices=True)
+            return toks, lps, caches, key_valid, token, pos, tokbuf
 
         return prefill
 
@@ -616,11 +631,14 @@ class ContinuousBatchingEngine:
         return finished
 
     def _admit_all(self) -> list[Request]:
-        """Admit queued requests into every free slot (FIFO). Bounded by
-        the queue length at entry, so a concurrent submitter that keeps
-        the queue non-empty with finish-at-prefill requests cannot starve
-        decode (review finding r4)."""
+        """Admit queued requests into every free slot (FIFO), BATCHED:
+        the whole group prefills in one [kb, T] program (one pass over
+        the weights for a burst of admissions). Bounded by the queue
+        length at entry, so a concurrent submitter that keeps the queue
+        non-empty with finish-at-prefill requests cannot starve decode
+        (review finding r4)."""
         finished = []
+        group: list[tuple[int, Request]] = []
         with self._lock:
             budget = len(self._queue)
         while budget > 0:
@@ -628,11 +646,11 @@ class ContinuousBatchingEngine:
             with self._lock:
                 if not self._queue:
                     break
-                free = [i for i, s in enumerate(self.slots) if s is None]
+                free = [i for i, s in enumerate(self.slots)
+                        if s is None and not any(g[0] == i for g in group)]
                 if not free:
                     break
                 req = self._queue.pop(0)
-            slot = free[0]
             T_true = len(req.prompt_ids)
             if T_true + req.max_new_tokens > self.L:
                 req.done = True
@@ -640,30 +658,64 @@ class ContinuousBatchingEngine:
                 req._event.set()
                 finished.append(req)
                 continue
-            Tb = min(_bucket(T_true), self.L)
-            ids = np.zeros((1, Tb), np.int32)
-            ids[0, :T_true] = req.prompt_ids
-            if Tb not in self._prefill_cache:
-                self._prefill_cache[Tb] = self._make_prefill(Tb)
+            group.append((free[0], req))
+        if not group:
+            return finished
+        # batch SAME-BUCKET admissions, width capped so the group stays in
+        # the weight-streaming-bound regime (kb*T <= ~512 tokens — beyond
+        # that prefill turns compute-bound and batching stops being free);
+        # the (bucket -> width) mapping is FIXED, so compile count stays
+        # one program per bucket and no (T, k) combo compiles mid-run
+        by_bucket: dict[int, list] = {}
+        for slot, req in group:
+            Tb = min(_bucket(len(req.prompt_ids)), self.L)
+            by_bucket.setdefault(Tb, []).append((slot, req))
+        for Tb, items in by_bucket.items():
+            kb = max(1, min(self.B, 512 // Tb))
+            for c0 in range(0, len(items), kb):
+                self._prefill_group(Tb, kb, items[c0:c0 + kb])
+        return finished
+
+    def _prefill_group(self, Tb: int, kb: int, items: list):
+        ids = np.zeros((kb, Tb), np.int32)
+        true_lens = np.ones(kb, np.int32)
+        # dummy pad rows get DISTINCT out-of-range slots (B, B+1, ...):
+        # every scatter for them is dropped (unique_indices stays honest)
+        slots_arr = np.arange(self.B, self.B + kb, dtype=np.int32)
+        temp = np.zeros(kb, np.float32)
+        topk = np.zeros(kb, np.int32)
+        topp = np.ones(kb, np.float32)
+        minp = np.zeros(kb, np.float32)
+        for r_i, (slot, req) in enumerate(items):
+            T_true = len(req.prompt_ids)
+            ids[r_i, :T_true] = req.prompt_ids
+            true_lens[r_i] = T_true
+            slots_arr[r_i] = slot
+            temp[r_i] = req.temperature
+            topk[r_i] = req.top_k
+            topp[r_i] = req.top_p
+            minp[r_i] = req.min_p
             self.temp[slot] = req.temperature
             self.topk[slot] = req.top_k
             self.topp[slot] = req.top_p
             self.minp[slot] = req.min_p
-            (tok_fut, lp_fut, self.caches, self.key_valid, self.token,
-             self.pos, self.tokbuf) = self._prefill_cache[Tb](
-                self.params, self.caches, self.key_valid, self.token,
-                self.pos, self.tokbuf, jnp.asarray(ids),
-                jnp.int32(T_true), jnp.int32(slot),
-                self._base_key, jnp.uint32(self._draws),
-                jnp.float32(req.temperature), jnp.int32(req.top_k),
-                jnp.float32(req.top_p), jnp.float32(req.min_p),
-            )
-            self._draws += 1
+        if (Tb, kb) not in self._prefill_cache:
+            self._prefill_cache[(Tb, kb)] = self._make_prefill(Tb, kb)
+        (toks, lps, self.caches, self.key_valid, self.token,
+         self.pos, self.tokbuf) = self._prefill_cache[(Tb, kb)](
+            self.params, self.caches, self.key_valid, self.token,
+            self.pos, self.tokbuf, jnp.asarray(ids),
+            jnp.asarray(true_lens), jnp.asarray(slots_arr),
+            self._base_key, jnp.uint32(self._draws),
+            jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+            jnp.asarray(minp),
+        )
+        self._draws += 1
+        for r_i, (slot, req) in enumerate(items):
             self.slots[slot] = req
             # first-token stop check happens at NEXT step's collect (the
             # scalar future must not force a wait on the inflight block)
-            self._pending_first.append((slot, req, tok_fut, lp_fut))
-        return finished
+            self._pending_first.append((slot, req, toks[r_i], lps[r_i]))
 
     def _release(self, slot: int, req: Request, reason: str):
         req.done = True

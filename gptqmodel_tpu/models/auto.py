@@ -458,8 +458,10 @@ class BaseQModel:
                spec_k: int = 0, decode_block: int = 1):
         """Continuous-batching engine over this model (analog of reference
         base.py:1798 serve stack). ``decode_block`` fuses that many decode
-        steps per host dispatch (remote-host serving); ``spec_k`` enables
-        prompt-lookup speculative decoding for all-greedy batches."""
+        steps per host dispatch; ``spec_k`` enables prompt-lookup
+        speculative decoding (rejection-sampled — exact for stochastic
+        requests too, r5). The engine pipelines host work against the
+        device (dispatch-ahead; see inference/scheduler.py)."""
         from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
 
         if self.params is None:
@@ -480,12 +482,19 @@ class BaseQModel:
         max_len: int = 2048,
         block: bool = True,
         dtype=jnp.bfloat16,
+        kv_quant: bool = False,
+        spec_k: int = 0,
+        decode_block: int = 1,
     ):
-        """Start an OpenAI-compatible server (reference base.py:1798)."""
+        """Start an OpenAI-compatible server (reference base.py:1798).
+        ``spec_k``/``decode_block``/``kv_quant`` reach the engine (see
+        :meth:`engine`)."""
         from gptqmodel_tpu.inference.server import OpenAiServer
 
         srv = OpenAiServer(
-            self.engine(max_slots=max_slots, max_len=max_len, dtype=dtype),
+            self.engine(max_slots=max_slots, max_len=max_len, dtype=dtype,
+                        kv_quant=kv_quant, spec_k=spec_k,
+                        decode_block=decode_block),
             self.tokenizer,
         )
         srv.start(host=host, port=port, block=block)

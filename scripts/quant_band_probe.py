@@ -85,12 +85,14 @@ def run_quality_probe(layers: int = 2):
             [rng.integers(1, 32000, size=(128,)) for _ in range(4)],
             np.int32)
 
-        def ppl(spec, params):
+        def logprobs(spec, params):
             lg = np.asarray(forward_logits(
                 spec, params, jnp.asarray(held)), np.float32)  # [B, T, V]
-            lp = lg - np.log(np.exp(
+            return lg - np.log(np.exp(
                 lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) \
                 - lg.max(-1, keepdims=True)
+
+        def ppl(lp):
             tgt = held[:, 1:]
             nll = -np.take_along_axis(
                 lp[:, :-1], tgt[..., None], axis=-1)[..., 0]
@@ -106,17 +108,27 @@ def run_quality_probe(layers: int = 2):
         dense = build_params_tree(
             mdef.wrap_reader(reader, m_fp.hf_config),
             conv1d_suffixes=mdef.conv1d_suffixes)
-        ppl_fp = ppl(m_fp.spec, dense)
+        lp_fp = logprobs(m_fp.spec, dense)
         del dense
 
         m = GPTQModel.load(
             src, QuantizeConfig(bits=4, group_size=128, pack_workers=2))
         m.quantize(calib, batch_size=4)
-        ppl_q = ppl(m.spec, m.params)
-        ratio = ppl_q / ppl_fp
-        print(f"held-out ppl: fp {ppl_fp:.3f} quant {ppl_q:.3f} "
-              f"ratio {ratio:.5f}", flush=True)
-        return ppl_fp, ppl_q, ratio
+        lp_q = logprobs(m.spec, m.params)
+        ppl_fp, ppl_q = ppl(lp_fp), ppl(lp_q)
+        # fidelity metrics MONOTONE in quantization error (ppl ratio on a
+        # random-init probe model is not): fp-vs-quant top-1 agreement and
+        # mean KL(fp || quant) over held-out positions
+        agree = float(np.mean(
+            np.argmax(lp_fp, -1) == np.argmax(lp_q, -1)))
+        kl = float(np.mean(
+            np.sum(np.exp(lp_fp) * (lp_fp - lp_q), axis=-1)))
+        out = {"ppl_fp": ppl_fp, "ppl_q": ppl_q,
+               "ppl_ratio": ppl_q / ppl_fp, "top1_agreement": agree,
+               "kl_fp_q": kl}
+        print("held-out quality: " + " ".join(
+            f"{k}={v:.5f}" for k, v in out.items()), flush=True)
+        return out
 
 
 if __name__ == "__main__":
