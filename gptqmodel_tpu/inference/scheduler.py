@@ -165,6 +165,7 @@ class ContinuousBatchingEngine:
         kv_quant: bool = False,
         spec_k: int = 0,
         decode_block: int = 1,
+        spec_min_accept: float = 0.35,
     ):
         """``spec_k`` > 0 enables prompt-lookup speculative decode steps
         (inference/speculative.py rationale: the k+1-token verify forward
@@ -173,7 +174,15 @@ class ContinuousBatchingEngine:
         all ride the verify path. ``decode_block`` > 1 fuses that many
         decode (or verify) steps into ONE jitted ``lax.scan`` program —
         one host RPC per block. Independent of both, the engine pipelines
-        host work against the device: see the module docstring."""
+        host work against the device: see the module docstring.
+
+        Speculation is ADAPTIVE (r5, measured: low-acceptance traffic at
+        158 vs 457 tok/s without — logs/serve_r5_spec.log): when the EMA
+        of accepted drafts per verify step drops below
+        ``spec_min_accept``, the engine falls back to plain decode blocks
+        for a cooldown window, then re-probes with one verify block.
+        Outputs are unaffected (both paths are exact); only the schedule
+        changes. Set ``spec_min_accept=0`` to force always-speculate."""
         self.spec = spec
         self.params = params
         self.B = max_slots
@@ -211,6 +220,7 @@ class ContinuousBatchingEngine:
         self._inflight: Optional[_Inflight] = None
         self._pending_first: list = []  # (slot, req, tok_fut, lp_fut)
         self._dispatches = 0  # RPC-count telemetry (serve bench artifact)
+        self._dispatch_kinds = {"spec": 0, "decode": 0}
         self.spec_k = int(spec_k)
         if self.spec_k > 0 and any("k" not in c for c in self.caches):
             # recurrent blocks (mamba/linear/conv) have no positional KV to
@@ -220,6 +230,9 @@ class ContinuousBatchingEngine:
         if self.decode_block > 1 and any("k" not in c for c in self.caches):
             # recurrent state can't discard post-stop writes post-hoc
             self.decode_block = 1
+        self.spec_min_accept = float(spec_min_accept)
+        self._spec_ema: Optional[float] = None  # accepted drafts / step
+        self._spec_cooldown = 0  # decode-only blocks left before re-probe
 
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int, kb: int):
@@ -555,7 +568,12 @@ class ContinuousBatchingEngine:
                  jnp.asarray(self.temp), jnp.asarray(self.topk),
                  jnp.asarray(self.topp), jnp.asarray(self.minp))
         self._dispatches += 1
-        if self.spec_k > 0:
+        use_spec = self.spec_k > 0
+        if use_spec and self._spec_cooldown > 0:
+            self._spec_cooldown -= 1
+            use_spec = False  # adaptive fallback; re-probe at cooldown end
+        if use_spec:
+            self._dispatch_kinds["spec"] += 1
             if n not in self._spec_multi_cache:
                 self._spec_multi_cache[n] = self._make_spec_multi(n)
             act = np.zeros(self.B, bool)
@@ -566,6 +584,7 @@ class ContinuousBatchingEngine:
                 self.pos, self.tokbuf, jnp.asarray(act), *knobs)
             self._draws += n
             return _Inflight("spec", n, rows, toks, lps, counts)
+        self._dispatch_kinds["decode"] += 1
         if n not in self._decode_multi_cache:
             self._decode_multi_cache[n] = self._make_decode_multi(n)
         (toks, lps, self.caches, self.key_valid, self.token, self.pos,
@@ -579,6 +598,18 @@ class ContinuousBatchingEngine:
         toks = np.asarray(blk.toks)  # sync point: waits for block n only —
         lps = np.asarray(blk.lps)  # block n+1 is already running on device
         counts = np.asarray(blk.counts) if blk.counts is not None else None
+        if blk.kind == "spec" and blk.rows and counts is not None:
+            # adaptive speculation: EMA of accepted drafts per verify step
+            # (counts = accepted + 1); low acceptance -> decode-only
+            # cooldown, then a one-block re-probe
+            a_mean = float(np.mean(
+                counts[:, [s for s, _ in blk.rows]])) - 1.0
+            self._spec_ema = (a_mean if self._spec_ema is None
+                              else 0.5 * self._spec_ema + 0.5 * a_mean)
+            if (self.spec_min_accept > 0
+                    and self._spec_ema < self.spec_min_accept):
+                self._spec_cooldown = 16
+                self._spec_ema = None  # fresh estimate at the next probe
         finished = []
         for slot, req in blk.rows:
             if self.slots[slot] is not req:  # released/re-admitted: discard

