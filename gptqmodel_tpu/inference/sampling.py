@@ -183,8 +183,18 @@ def warped_probs(
     ``temperature <= 0`` get a one-hot at the raw argmax, which reduces
     speculative acceptance to exact argmax match (greedy exactness).
 
-    Masked entries are exactly 0: ``exp(_NEG - max)`` underflows in f32,
-    so ``u < p(d)`` with ``u ~ U[0,1)`` never accepts a masked draft."""
+    Masked entries are exactly 0: ``u < p(d)`` with ``u ~ U[0,1)`` never
+    accepts a masked draft.
+
+    Implementation is VALUE-THRESHOLD based (r5): a values-only
+    descending sort yields the k-th value and the nucleus cutoff value;
+    survivors are then selected in ORIGINAL index space by comparison —
+    no index companion array and, critically, no [N, V] scatter-back (the
+    scatter made a sampled verify step cost 38 ms at llama-8B vocab,
+    logs/spec_ab_r5.log). Tie semantics at the k-th/nucleus boundary are
+    value-inclusive, matching HF's own TopK filter (``logits <
+    topk(...)[-1]`` keeps ties); for continuous logits the distribution
+    is identical to the positional cut."""
     N, V = logits.shape
     logits = logits.astype(jnp.float32)
     onehot = jax.nn.one_hot(
@@ -193,24 +203,28 @@ def warped_probs(
     def warped(_):
         t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
         scaled = logits / t
-        sl, si = jax.lax.top_k(scaled, V)
+        sl = -jnp.sort(-scaled, axis=-1)  # values only, descending
         pos = jnp.arange(V, dtype=jnp.int32)[None, :]
         k = top_k.astype(jnp.int32)[:, None]
-        sl = jnp.where((k > 0) & (pos >= k), _NEG, sl)
-        p = jax.nn.softmax(sl, axis=-1)
-        cum = jnp.cumsum(p, axis=-1)
-        keep = (cum - p) < top_p.astype(jnp.float32)[:, None]
-        sl = jnp.where(keep, sl, _NEG)
-        if min_p is not None:
-            p2 = jax.nn.softmax(sl, axis=-1)
-            thresh = min_p.astype(jnp.float32)[:, None] * p2[:, :1]
-            sl = jnp.where(
-                (min_p.astype(jnp.float32)[:, None] > 0.0)
-                & (p2 < thresh), _NEG, sl)
-        p_sorted = jax.nn.softmax(sl, axis=-1)
-        # scatter back to original vocab order
-        return jnp.zeros((N, V), jnp.float32).at[
-            jnp.arange(N)[:, None], si].set(p_sorted)
+        kth = jnp.take_along_axis(
+            sl, jnp.clip(k - 1, 0, V - 1), axis=-1)  # [N, 1]
+        mk = (k > 0) & (pos >= k)
+        slm = jnp.where(mk, _NEG, sl)
+        p_s = jax.nn.softmax(slm, axis=-1)  # sorted-space post-top-k probs
+        cum = jnp.cumsum(p_s, axis=-1)
+        keep_s = (cum - p_s) < top_p.astype(jnp.float32)[:, None]
+        cut = jnp.sum(keep_s.astype(jnp.int32), axis=-1,
+                      keepdims=True)  # prefix length >= 1
+        vstar = jnp.take_along_axis(sl, cut - 1, axis=-1)  # last kept value
+        smax = sl[:, :1]
+        keep_o = scaled >= vstar  # nucleus (top_p>=1 -> vstar=min, all kept)
+        keep_o &= (k <= 0) | (scaled >= kth)
+        if min_p is not None:  # p2/p2_max ratios are raw exp ratios
+            m = min_p.astype(jnp.float32)[:, None]
+            keep_o &= (m <= 0.0) | (
+                scaled >= smax + jnp.log(jnp.maximum(m, 1e-30)))
+        ex = jnp.where(keep_o, jnp.exp(scaled - smax), 0.0)
+        return ex / jnp.sum(ex, axis=-1, keepdims=True)
 
     any_stochastic = jnp.any(temperature > 0.0)
     p = jax.lax.cond(any_stochastic, warped, lambda _: onehot, None)

@@ -454,18 +454,24 @@ class ContinuousBatchingEngine:
                     p[:, :k], drafts[..., None], axis=-1)[..., 0]  # [B, k]
                 a = jnp.sum(jnp.cumprod(
                     (u < pd).astype(jnp.int32), axis=1), axis=1)  # [B] 0..k
-                # residual distributions: draft token zeroed for j < k
                 dmat = jnp.concatenate(
                     [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
-                zero_d = ((jnp.arange(V)[None, None, :] == dmat[..., None])
-                          & (jnp.arange(K1)[None, :, None] < k))
-                pz = jnp.where(zero_d, 0.0, p)
+                # only position a's resample is ever emitted (j<a emits the
+                # draft, j>a is discarded by the host), so gather THAT
+                # row's residual and draw one [B, V] categorical — not
+                # [B, K1, V] (full-vocab Gumbel bits are the cost)
+                p_a = jnp.take_along_axis(
+                    p, a[:, None, None], axis=1)[:, 0]  # [B, V]
+                d_a = jnp.take_along_axis(dmat, a[:, None], axis=1)  # [B,1]
+                zero_d = ((jnp.arange(V)[None, :] == d_a)
+                          & (a[:, None] < k))  # bonus (a==k) keeps p intact
+                pz = jnp.where(zero_d, 0.0, p_a)
                 tot = jnp.sum(pz, axis=-1, keepdims=True)
-                pz = jnp.where(tot > 0.0, pz, p)  # all-zero float guard
+                pz = jnp.where(tot > 0.0, pz, p_a)  # all-zero float guard
                 res = jax.random.categorical(
-                    k_res, jnp.log(pz), axis=-1).astype(jnp.int32)
+                    k_res, jnp.log(pz), axis=-1).astype(jnp.int32)  # [B]
                 jj = jnp.arange(K1, dtype=jnp.int32)[None, :]
-                out = jnp.where(jj < a[:, None], dmat, res)  # [B, K1]
+                out = jnp.where(jj < a[:, None], dmat, res[:, None])
                 lps = jax.vmap(chosen_logprobs)(logits, out)
                 # accepted draft KV slots become valid
                 ti = jnp.arange(L)[None, :]
