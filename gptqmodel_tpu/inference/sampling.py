@@ -30,15 +30,23 @@ import jax.numpy as jnp
 
 _NEG = jnp.float32(jnp.finfo(jnp.float32).min)
 
-# sampler backend: "sort" = one full [B, V] descending sort per step;
+# sampler backend:
+# "legacy_sort" (default) = the positional sorted-space sampler — on the
+#   v5e it is the FASTEST for decode blocks (sampled block-8: 68.6 ms vs
+#   warp 70.9, logs/serve_ab_r5b.log — the warp's full-space categorical
+#   RNG outweighs dropping the index companion at B=8).
+# "warp" = categorical over the value-threshold warped target
+#   (warped_probs — the same warp the speculative path verifies against;
+#   tie semantics then agree everywhere). The spec path always uses
+#   warped_probs regardless of this knob; decode-vs-spec tie handling can
+#   differ on exactly-equal logits (measure-zero for continuous logits).
 # "candidates" = exact two-stage sampler (approx_max_k candidate set +
-# full-sort lax.cond fallback when a row's cut set could exceed the
-# candidates). MEASURED NEGATIVE on the v5e (scripts/tpu_session_serve_ab3,
-# logs/serve_ab3_r5.log): candidates 74.8 ms vs sort 68.6 ms per sampled
-# block-8 at llama-8B vocab — approx_max_k at recall 1.0 is not cheaper
-# than the full sort there, and XLA evaluates both conditional branches
-# (even the greedy block pays +4 ms). Kept opt-in for future chips.
-_SAMPLER = os.environ.get("GPTQ_TPU_SAMPLER", "sort")
+#   full-sort lax.cond fallback). MEASURED NEGATIVE on the v5e
+#   (scripts/tpu_session_serve_ab3, logs/serve_ab3_r5.log): 74.8 ms vs
+#   68.6 per sampled block-8 at llama-8B vocab — approx_max_k at recall
+#   1.0 is not cheaper there and XLA evaluates both conditional branches.
+#   Kept opt-in for future chips.
+_SAMPLER = os.environ.get("GPTQ_TPU_SAMPLER", "legacy_sort")
 _CANDIDATES = int(os.environ.get("GPTQ_TPU_SAMPLER_C", "256"))
 
 
@@ -65,7 +73,15 @@ def sample_tokens(
         if _SAMPLER == "candidates" and V > 4 * _CANDIDATES:
             return _sample_candidates(
                 logits, key, temperature, top_k, top_p, min_p)
-        return _sample_sort(logits, key, temperature, top_k, top_p, min_p)
+        if _SAMPLER == "legacy_sort":
+            return _sample_sort(
+                logits, key, temperature, top_k, top_p, min_p)
+        # default: categorical over the value-threshold warped target —
+        # shares warped_probs with the speculative path (identical warp
+        # semantics everywhere), values-only sort, no index companion
+        p = warped_probs(logits, temperature, top_k, top_p, min_p)
+        return jax.random.categorical(
+            key, jnp.log(p), axis=-1).astype(jnp.int32)
 
     any_stochastic = jnp.any(temperature > 0.0)
     # skip the [B, V] sort entirely when the whole batch is greedy

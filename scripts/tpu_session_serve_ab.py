@@ -81,15 +81,20 @@ for rep in range(2):
 # prefill cost at each bucket
 for T in (16, 64, 256):
     Tb = T
-    if Tb not in eng._prefill_cache:
-        eng._prefill_cache[Tb] = eng._make_prefill(Tb)
-    pf = eng._prefill_cache[Tb]
+    if (Tb, 1) not in eng._prefill_cache:
+        eng._prefill_cache[(Tb, 1)] = eng._make_prefill(Tb, 1)
+    pf = eng._prefill_cache[(Tb, 1)]
     ids = np.zeros((1, Tb), np.int32)
     ids[0] = rng.integers(1, 32000, size=Tb)
     args = (eng.params, eng.caches, eng.key_valid, eng.token, eng.pos,
-            eng.tokbuf, jnp.asarray(ids), jnp.int32(Tb), jnp.int32(0),
-            eng._base_key, jnp.uint32(60_000), jnp.float32(0), jnp.int32(0),
-            jnp.float32(1.0), jnp.float32(0))
+            eng.tokbuf, jnp.asarray(ids),
+            jnp.asarray(np.full(1, Tb, np.int32)),
+            jnp.asarray(np.zeros(1, np.int32)),
+            eng._base_key, jnp.uint32(60_000),
+            jnp.asarray(np.zeros(1, np.float32)),
+            jnp.asarray(np.zeros(1, np.int32)),
+            jnp.asarray(np.ones(1, np.float32)),
+            jnp.asarray(np.zeros(1, np.float32)))
     out = pf(*args)
     jax.block_until_ready(out[0])
     best = 1e9

@@ -70,15 +70,16 @@ def test_candidate_sampler_greedy_rows_exact(monkeypatch):
 
 
 def test_sampler_mode_gate_small_vocab(monkeypatch):
-    """V <= 4*C keeps the plain sort path (candidate overhead not worth
-    it); behavior equal either way."""
-    monkeypatch.setattr(samp, "_SAMPLER", "candidates")
+    """V <= 4*C keeps the default warp path (candidate overhead not worth
+    it): candidates mode and warp mode draw the identical token."""
     rng = np.random.default_rng(4)
     logits = jnp.asarray(rng.standard_normal((1, 32)), jnp.float32)
     t = jnp.asarray([0.9], jnp.float32)
     k = jnp.asarray([8], jnp.int32)
     p1 = jnp.asarray([0.9], jnp.float32)
     m = jnp.asarray([0.0], jnp.float32)
+    monkeypatch.setattr(samp, "_SAMPLER", "candidates")
     a = samp.sample_tokens(logits, jax.random.PRNGKey(7), t, k, p1, m)
-    b = samp._sample_sort(logits, jax.random.PRNGKey(7), t, k, p1, m)
+    monkeypatch.setattr(samp, "_SAMPLER", "warp")
+    b = samp.sample_tokens(logits, jax.random.PRNGKey(7), t, k, p1, m)
     assert int(a[0]) == int(b[0])
