@@ -260,3 +260,32 @@ def test_adaptive_speculation_falls_back_on_low_acceptance():
     eng2.run_until_idle()
     assert r2.output_ids == r1.output_ids
     assert eng2._dispatch_kinds["decode"] == 0, eng2._dispatch_kinds
+
+
+@pytest.mark.parametrize("spec_k,block", [(0, 4), (3, 2)])
+def test_sliding_window_scheduler_matches_oracle(spec_k, block):
+    """gemma3-style sliding/full layer alternation through the scheduler:
+    the decode/spec programs' windowed-mask branches (bias_l over
+    key_valid and over the verify block) must match the full-forward
+    oracle with a window SMALLER than the context."""
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+
+    spec = tiny_spec(
+        hidden=64, layers=2, heads=4, kv_heads=2, inter=128, vocab=96,
+        sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"])
+    params = random_dense_params(spec, seed=13)
+    rng = np.random.default_rng(6)
+    base = rng.integers(1, 90, size=4)
+    p1 = np.tile(base, 4).tolist()  # 16 tokens > window 8
+    p2 = rng.integers(1, 90, size=11).tolist()
+
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=96, dtype=jnp.float32,
+        spec_k=spec_k, decode_block=block)
+    r1 = eng.submit(p1, max_new_tokens=10)
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=7)
+    eng.run_until_idle()
+    assert r1.output_ids == _oracle_greedy(spec, params, p1, 10)
+    assert r2.output_ids == _oracle_greedy(spec, params, p2, 7)
