@@ -234,6 +234,33 @@ class ContinuousBatchingEngine:
         self._spec_ema: Optional[float] = None  # accepted drafts / step
         self._spec_cooldown = 0  # decode-only blocks left before re-probe
 
+    # ------------------------------------------------------------- sharding
+    def shard(self, mesh, model_axis: str = "model"):
+        """Tensor-parallel serving: place the KV caches on ``mesh`` (head
+        dim sharded) and the small carries replicated. With params sharded
+        by ``parallel.sharding.shard_params``, every engine program —
+        prefill groups, fused decode blocks, speculative verify scans —
+        is partitioned by GSPMD from its input shardings alone; outputs
+        are oracle-exact (tests/test_sharded_engine.py) and the caches
+        KEEP their sharding through the scan carries. kv_heads must
+        divide the mesh axis (pad via tp_pad_dense otherwise)."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        for c in self.caches:
+            for k in c:
+                if k in ("k", "v", "k_s", "v_s"):
+                    sp = P(None, model_axis)  # [B, Hkv, L, ...]
+                else:  # recurrent state: replicate (small)
+                    sp = P()
+                c[k] = _jax.device_put(c[k], NamedSharding(mesh, sp))
+        rep = NamedSharding(mesh, P())
+        self.key_valid = _jax.device_put(self.key_valid, rep)
+        self.token = _jax.device_put(self.token, rep)
+        self.pos = _jax.device_put(self.pos, rep)
+        self.tokbuf = _jax.device_put(self.tokbuf, rep)
+        return self
+
     # ------------------------------------------------------------- jit fns
     def _make_prefill(self, T: int, kb: int):
         """Batched admission prefill: ``kb`` prompts (padded to bucket
