@@ -233,6 +233,11 @@ class ContinuousBatchingEngine:
         self.spec_min_accept = float(spec_min_accept)
         self._spec_ema: Optional[float] = None  # accepted drafts / step
         self._spec_cooldown = 0  # decode-only blocks left before re-probe
+        # recurrent state consumes EVERY prefill token sequentially, so
+        # right-pad bucketing would pollute it (transformer.py mamba
+        # prefill is exact for un-padded prompts) — such models prefill at
+        # EXACT lengths (one compile per distinct prompt length)
+        self._recurrent = any("k" not in c for c in self.caches)
 
     # ------------------------------------------------------------- sharding
     def shard(self, mesh, model_axis: str = "model"):
@@ -732,7 +737,8 @@ class ContinuousBatchingEngine:
         # one program per bucket and no (T, k) combo compiles mid-run
         by_bucket: dict[int, list] = {}
         for slot, req in group:
-            Tb = min(_bucket(len(req.prompt_ids)), self.L)
+            Tb = (len(req.prompt_ids) if self._recurrent
+                  else min(_bucket(len(req.prompt_ids)), self.L))
             by_bucket.setdefault(Tb, []).append((slot, req))
         for Tb, items in by_bucket.items():
             kb = max(1, min(self.B, 512 // Tb))

@@ -314,3 +314,62 @@ def test_decode_block_eos_mid_block():
     ref2 = _oracle_greedy(spec, params, p2, 12)
     stop2 = (ref2.index(eos) + 1) if eos in ref2 else 4
     assert r2.output_ids == ref2[:min(stop2, 4)]
+
+
+def test_scheduler_recurrent_mamba_matches_oracle():
+    """Pipelined scheduling over RECURRENT caches (conv+ssm, no KV):
+    decode_block/spec are force-disabled, but the r5 dispatch-ahead lag
+    still applies — a released slot's state runs one garbage block before
+    re-admission overwrites it wholesale. Staggered admission + slot
+    REUSE must stay oracle-exact."""
+    import tempfile
+    from pathlib import Path
+
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from tests.test_model_breadth import _jax_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon_mamba", vocab_size=128, hidden_size=64,
+            state_size=8, num_hidden_layers=2, conv_kernel=4, expand=2,
+            time_step_rank=8, use_bias=False, use_conv_bias=True,
+            tie_word_embeddings=False)
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(
+            torch.float32).eval().save_pretrained(
+            Path(tmp) / "m", safe_serialization=True)
+        spec, params, _, _ = _jax_logits(Path(tmp) / "m")
+
+    def oracle(prompt, steps):
+        seq = list(prompt)
+        out = []
+        for _ in range(steps):
+            lg = np.asarray(forward_logits(
+                spec, params, jnp.asarray([seq], dtype=jnp.int32)))
+            nxt = int(np.argmax(lg[0, -1]))
+            out.append(nxt)
+            seq.append(nxt)
+        return out
+
+    rng = np.random.default_rng(5)
+    p1 = rng.integers(1, 120, size=9).tolist()
+    p2 = rng.integers(1, 120, size=17).tolist()
+    p3 = rng.integers(1, 120, size=5).tolist()
+
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=96, dtype=jnp.float32,
+        decode_block=8, spec_k=4)  # both must self-disable on recurrents
+    assert eng.decode_block == 1 and eng.spec_k == 0
+    r1 = eng.submit(p1, max_new_tokens=6)
+    eng.step()
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=5)
+    r3 = eng.submit(p3, max_new_tokens=4)  # queued: reuses a freed slot
+    eng.run_until_idle()
+    assert r1.output_ids == oracle(p1, 6)
+    assert r2.output_ids == oracle(p2, 5)
+    assert r3.output_ids == oracle(p3, 4)
