@@ -305,6 +305,16 @@ def greedy_generate(
         prompt_lens = np.full((B,), T, dtype=np.int32)
     max_len = max_len or (T + max_new_tokens)
     caches = init_kv_cache(spec, B, max_len, dtype, kv_quant)
+    if (any("k" not in c for c in caches)
+            and len(set(int(x) for x in np.asarray(prompt_lens))) > 1):
+        # recurrent state consumes pad tokens (attention masks them) —
+        # a ragged right-padded batch would corrupt short rows' state
+        # (transformer.py mamba prefill is exact for un-padded prompts)
+        raise ValueError(
+            "ragged prompt lengths are not supported for recurrent-cache "
+            "models in batch greedy_generate (pad tokens would flow "
+            "through the conv/ssm state); use equal-length rows or the "
+            "continuous-batching engine (exact-length prefill)")
     prefill = make_prefill_fn(spec, dtype)
     decode = make_decode_fn(spec, dtype)
 

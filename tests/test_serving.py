@@ -373,3 +373,61 @@ def test_scheduler_recurrent_mamba_matches_oracle():
     assert r1.output_ids == oracle(p1, 6)
     assert r2.output_ids == oracle(p2, 5)
     assert r3.output_ids == oracle(p3, 4)
+
+
+def test_scheduler_hybrid_lfm2_matches_oracle():
+    """Hybrid conv+attention (lfm2) through the scheduler: mixed cache
+    types per layer, exact-length recurrent prefill, per-slot attention
+    writes — staggered admission + slot reuse vs the oracle."""
+    import tempfile
+    from pathlib import Path
+
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu.inference.scheduler import ContinuousBatchingEngine
+    from gptqmodel_tpu.models.transformer import forward_logits
+    from tests.test_model_breadth import _jax_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="lfm2", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2, conv_L_cache=3,
+            layer_types=["conv", "full_attention", "conv"],
+            block_auto_adjust_ff_dim=False,
+            max_position_embeddings=256, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(
+            torch.float32).eval().save_pretrained(
+            Path(tmp) / "m", safe_serialization=True)
+        spec, params, _, _ = _jax_logits(Path(tmp) / "m")
+
+    def oracle(prompt, steps):
+        seq = list(prompt)
+        out = []
+        for _ in range(steps):
+            lg = np.asarray(forward_logits(
+                spec, params, jnp.asarray([seq], dtype=jnp.int32)))
+            nxt = int(np.argmax(lg[0, -1]))
+            out.append(nxt)
+            seq.append(nxt)
+        return out
+
+    rng = np.random.default_rng(7)
+    p1 = rng.integers(1, 120, size=9).tolist()
+    p2 = rng.integers(1, 120, size=13).tolist()
+    p3 = rng.integers(1, 120, size=6).tolist()
+
+    eng = ContinuousBatchingEngine(
+        spec, params, max_slots=2, max_len=96, dtype=jnp.float32)
+    assert eng._recurrent  # conv layers force exact-length prefill
+    r1 = eng.submit(p1, max_new_tokens=6)
+    eng.step()
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=5)
+    r3 = eng.submit(p3, max_new_tokens=4)
+    eng.run_until_idle()
+    assert r1.output_ids == oracle(p1, 6)
+    assert r2.output_ids == oracle(p2, 5)
+    assert r3.output_ids == oracle(p3, 4)
