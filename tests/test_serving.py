@@ -431,3 +431,38 @@ def test_scheduler_hybrid_lfm2_matches_oracle():
     assert r1.output_ids == oracle(p1, 6)
     assert r2.output_ids == oracle(p2, 5)
     assert r3.output_ids == oracle(p3, 4)
+
+
+def test_greedy_generate_rejects_ragged_recurrent():
+    """Batch greedy_generate must refuse ragged prompt lengths on
+    recurrent-cache models (pad tokens would flow through conv/ssm
+    state) — equal-length batches still work."""
+    import tempfile
+    from pathlib import Path
+
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    from gptqmodel_tpu.inference.engine import greedy_generate
+    from tests.test_model_breadth import _jax_logits
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = AutoConfig.for_model(
+            model_type="falcon_mamba", vocab_size=128, hidden_size=64,
+            state_size=8, num_hidden_layers=1, conv_kernel=4, expand=2,
+            time_step_rank=8, use_bias=False, use_conv_bias=True,
+            tie_word_embeddings=False)
+        torch.manual_seed(0)
+        AutoModelForCausalLM.from_config(cfg).to(
+            torch.float32).eval().save_pretrained(
+            Path(tmp) / "m", safe_serialization=True)
+        spec, params, _, _ = _jax_logits(Path(tmp) / "m")
+
+    ids = np.ones((2, 8), np.int32)
+    with pytest.raises(ValueError, match="ragged"):
+        greedy_generate(spec, params, ids,
+                        prompt_lens=np.array([8, 5]), max_new_tokens=2,
+                        dtype=jnp.float32)
+    out = greedy_generate(spec, params, ids, max_new_tokens=2,
+                          dtype=jnp.float32)
+    assert out.shape == (2, 2)
